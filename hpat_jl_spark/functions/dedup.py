@@ -1,0 +1,261 @@
+"""Deduplication kernels: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Extension layer (no reference parity — SURVEY §4.1 note: minhash via
+LSH is new surface). Design point is a 100 TB corpus:
+
+- exact dedup: one hash-aggregate on a 128-bit fingerprint — a single
+  shuffle of (fingerprint, doc_id), never of the text payload.
+- MinHash+LSH: signatures are computed scan-side with built-in functions
+  (xxhash64 under `b` different seeds via salt concat), bands hashed and
+  exploded so the candidate join shuffles only (band_key, doc_id) pairs.
+  Candidate pairs are then verified with exact shingle Jaccard — only
+  candidate docs' shingle arrays are re-joined, never the full corpus
+  cross product.
+- SimHash: 64-bit signature from per-token hashes; near-dup = signatures
+  whose Hamming distance ≤ k, found by banding the 64 bits into 4×16-bit
+  keys (any equal band → candidate; catches all pairs with distance ≤ 3
+  in expectation, standard simhash blocking).
+
+All hashing is xxhash64 (deterministic across runs/partitions), so every
+query here is reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hpat_jl_spark.functions.text import fingerprint, shingles, tokens
+
+# Mersenne prime 2^61-1: modulus for minhash permutations
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on normalized-text fingerprint; keeps the lowest id
+    per group (deterministic canonical representative) and reports the
+    duplicate count. Output: (keep_id, n_dups, fingerprint)."""
+    return (
+        docs.withColumn("fingerprint", fingerprint(text_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def minhash_signature(text_col: str, num_hashes: int = 32, shingle_n: int = 3) -> Column:
+    """MinHash signature as array<bigint> of length ``num_hashes``.
+
+    Permutation family: h_i(s) = (xxhash64(s, seed=i) & MAX) — xxhash64
+    with a per-hash seed column is a proper hash family; min over the
+    shingle set approximates the Jaccard permutation argument. Entirely
+    JVM-side (higher-order functions over the shingle array).
+    """
+    sh = shingles(text_col, shingle_n)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    sh, lambda s: F.pmod(F.xxhash64(s, F.lit(i)), F.lit(_MERSENNE))
+                )
+            ).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` rows of
+    ``num_hashes/bands`` values, hash each band, self-join on
+    (band_index, band_hash). Returns candidate pairs (id_a < id_b) with
+    the fraction of matching minhashes (estimated Jaccard).
+
+    Scale: the exploded band table is (bands × n_docs) rows of two longs;
+    the self-join groups by band key — only same-bucket docs pair up.
+    A degenerate bucket (e.g. empty docs) is the skew hazard; cap with
+    AQE skew-join or a bucket-size guard upstream.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(text_col, num_hashes, shingle_n).alias("sig"),
+    )
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(F.col("sig"), b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", "bk.band", "bk.bhash")
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    ).cast("double") / F.lit(float(num_hashes))
+    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def simhash_signature(text_col: str, bits: int = 64) -> Column:
+    """SimHash: sum per-bit ±1 votes of token hashes, take the sign.
+    Expressed as: for each bit b, count tokens whose hash has bit b set;
+    bit is 1 if count > n_tokens/2. Returns array<int> of 0/1 (length
+    ``bits``) — array form keeps the per-bit logic in codegen'd
+    higher-order functions."""
+    toks = tokens(text_col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(toks)
+    return F.array(
+        *[
+            (
+                F.size(
+                    F.filter(
+                        hashes,
+                        lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                    )
+                )
+                * 2
+                > n
+            ).cast("int")
+            for b in range(bits)
+        ]
+    )
+
+
+def simhash_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-dup candidates by SimHash banding: any shared 16-bit band →
+    candidate; verify by exact Hamming distance ≤ max_hamming."""
+    per_band = bits // bands
+    sigs = docs.select(
+        F.col(id_col).alias("id"), simhash_signature(text_col, bits).alias("sig")
+    )
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "",
+                            *[
+                                F.element_at(F.col("sig"), b * per_band + r + 1)
+                                for r in range(per_band)
+                            ],
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", "bk.band", "bk.bkey")
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x != y),
+            lambda m: m,
+        )
+    )
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    bucket_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact (unigram) Jaccard similarity for all pairs within a bucket.
+    The bucket columns bound the O(n²): at 100 TB you bucket by
+    (lang, source, length-band) or by LSH band, never globally."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in bucket_cols],
+        F.array_distinct(tokens(text_col)).alias("words"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    cond = (F.col("a.id") < F.col("b.id"))
+    for c in bucket_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
+    union = F.size(F.array_union(F.col("a.words"), F.col("b.words")))
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") > threshold)
+    )

@@ -1,0 +1,154 @@
+"""Similarity search over an embedding column (array<float>).
+
+Extension layer. Brute-force cosine top-k is the exact baseline; the
+scale path is LSH bucketing (random hyperplanes → same-bucket candidates
+only) — at 100 TB the cross product is never materialized; candidates
+come from bucket joins exactly like MinHash dedup.
+
+All arithmetic is double-precision, sequential fold over the vector
+(deterministic, matches the DuckDB oracle's accumulation order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<float> columns, in
+    double. F.aggregate/zip_with are codegen'd higher-order functions —
+    no Python in the loop."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Physical shape: broadcast the (small) query set, evaluate cosine
+    against every candidate partition-locally, then per-query top-k via
+    window row_number (Catalyst 4.x plans rank-limit without full sort).
+    Output: (query_id, neighbor_id, cosine_sim, rank). Deterministic:
+    ties broken by neighbor id on the ROUNDED similarity."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket key = sign bits of ``num_planes``
+    fixed pseudo-random projections. Deterministic planes derived from
+    xxhash64(seed, plane, coord) — no stored model, so the same code
+    runs identically on every executor at any scale.
+
+    Adds column ``lsh_bucket`` (bigint). Same-bucket vectors are
+    candidate near-neighbors; probing adjacent buckets (1-bit flips)
+    trades recall for cost."""
+    v = F.col(vec_col)
+
+    def plane_coef(p: int, i: int) -> Column:
+        # deterministic pseudo-random coefficient in [-1, 1)
+        h = F.xxhash64(F.lit(seed), F.lit(p), F.lit(i))
+        return (h % 100003).cast("double") / 50001.5 - 1.0
+
+    bits = []
+    for p in range(num_planes):
+        proj = None
+        for i in range(dim):
+            term = F.element_at(v, i + 1).cast("double") * plane_coef(p, i)
+            proj = term if proj is None else proj + term
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return df.withColumn("lsh_bucket", bucket.cast("long"))
+
+
+def knn_lsh(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: only same-LSH-bucket pairs are scored. The
+    bucket equi-join replaces the cross join — this is the 100 TB path
+    (shuffle keyed on bucket, candidates meet only in their bucket)."""
+    from pyspark.sql import Window
+
+    qb = lsh_buckets(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "q_vec", num_planes, dim=dim,
+    )
+    cb = lsh_buckets(
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "c_vec", num_planes, dim=dim,
+    )
+    scored = (
+        cb.join(qb, "lsh_bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

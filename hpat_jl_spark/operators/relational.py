@@ -1,0 +1,138 @@
+"""The reference's relational operator surface, Spark-first.
+
+HPAT.jl exposes exactly four table operators (reference
+src/capture-api.jl): filter `t[cond]`, inner equi-`join`, `aggregate`,
+and table vcat `[t1; t2]`. Each compiled to hand-written MPI C++:
+  - filter  → in-place column compaction loop
+              (reference src/cgen-hpat-pattern-match-table.jl:26-65)
+  - join    → key%num_pes bucketing + MPI_Alltoallv + timsort + sort-merge
+              (reference src/cgen-hpat-pattern-match-table.jl:139-472)
+  - aggregate → local hash partial agg ("combiner") + Alltoallv + final
+              hash agg (reference src/cgen-hpat-pattern-match-table.jl:535-658)
+  - vcat    → per-column concatenation (reference src/capture-api.jl:146-184)
+
+Spark's physical machinery is the same algorithm family (hash-partitioned
+shuffle, SortMergeJoinExec, partial+final HashAggregateExec, union), so
+these wrappers only translate the *semantics* — key renaming, output
+column layout, expression-then-reduce aggregation — and leave physical
+planning to Catalyst/AQE, which additionally provides what the reference
+lacked: broadcast joins for small sides, spill-to-disk, skew splitting,
+and whole-stage codegen.
+
+All wrappers accept/return plain DataFrames so they compose with the full
+PySpark surface (the reference's surface is closed; ours is open).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def table_filter(t: DataFrame, cond: Column | str) -> DataFrame:
+    """`t2 = t1[cond]` — row selection over every column.
+
+    Reference semantics (src/capture-api.jl:208-272): a boolean vector
+    over columns selects rows of all columns; arithmetic/comparison ops
+    in the condition are auto-vectorized. Spark: `df.filter` — Catalyst
+    pushes the predicate to the Parquet scan when possible.
+    """
+    return t.filter(F.expr(cond) if isinstance(cond, str) else cond)
+
+
+def join(
+    t1: DataFrame,
+    t2: DataFrame,
+    left_key: str,
+    right_key: str,
+    out_key: str | None = None,
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """`t3 = join(t1, t2, :k1==:k2, :k_out)`.
+
+    Reference semantics (src/capture-api.jl:286-378): single equality
+    key; duplicate keys on both sides produce the cross-product of
+    matches; the output key column takes a new name and becomes column 1,
+    followed by t1's then t2's non-key columns.
+
+    Extensions over the reference: `how` exposes Spark's full join-type
+    surface (left/right/full/semi/anti — absent in HPAT), and
+    `broadcast_right=True` hints a broadcast-hash join for small
+    dimension tables (the reference always shuffled both sides;
+    AQE will also auto-broadcast when a side is measured small).
+    """
+    out_key = out_key or left_key
+    right = F.broadcast(t2) if broadcast_right else t2
+    joined = t1.join(right, on=t1[left_key] == t2[right_key], how=how)
+    if how in ("left_semi", "leftsemi", "left_anti", "leftanti"):
+        # semi/anti joins keep only t1's columns
+        cols = [t1[left_key].alias(out_key)] + [
+            t1[c] for c in t1.columns if c != left_key
+        ]
+        return joined.select(*cols)
+    cols = (
+        [F.coalesce(t1[left_key], t2[right_key]).alias(out_key)]
+        + [t1[c] for c in t1.columns if c != left_key]
+        + [t2[c] for c in t2.columns if c != right_key]
+    )
+    return joined.select(*cols)
+
+
+def aggregate(
+    t: DataFrame,
+    key: str,
+    aggs: Iterable[tuple[str, Column]],
+    key_alias: str | None = None,
+) -> DataFrame:
+    """`t2 = aggregate(t1, :key, :out = f(expr(:cols...)), ...)`.
+
+    Reference semantics (src/capture-api.jl:387-479): each output column
+    is a reduction over an element-wise expression of input columns
+    (e.g. ``sum(:val2 .== 1.1)``); the grouping key may be renamed
+    (`:cid = :ss_customer_sk`, src/capture-api.jl:481-493). Conditional
+    sums like ``sum(:i_class_id==1)`` map to
+    ``F.sum((col == 1).cast("long"))``.
+
+    Spark executes this as partial hash aggregation before the shuffle +
+    final hash aggregation after — exactly the reference's
+    combiner/reducer plan — with spill support the reference lacked.
+    """
+    grouped = t.groupBy(F.col(key).alias(key_alias or key))
+    return grouped.agg(*[col.alias(name) for name, col in aggs])
+
+
+def count_unique(expr: Column | str) -> Column:
+    """`length(unique(expr))` — exact per-group distinct count.
+
+    Reference semantics (src/cgen-hpat-pattern-match-table.jl:665-684,
+    844-923): local set of (key, value) pairs per destination rank,
+    pairwise shuffle of sets, final per-key count. Spark's
+    ``countDistinct`` runs the same expand+two-phase-agg plan. For the
+    100 TB path prefer :func:`approx_count_unique` — exact distinct is a
+    full shuffle of distinct pairs no matter the engine.
+    """
+    return F.countDistinct(expr)
+
+
+def approx_count_unique(expr: Column | str, rsd: float = 0.05) -> Column:
+    """HyperLogLog++ distinct count — the scale path the reference lacked."""
+    return F.approx_count_distinct(expr, rsd)
+
+
+def table_vcat(*tables: DataFrame) -> DataFrame:
+    """`t4 = [t2; t3]` — UNION ALL of identically-schema'd tables.
+
+    Reference semantics (src/capture-api.jl:146-184): schemas asserted
+    equal, per-column vcat. ``unionByName`` additionally tolerates column
+    order differences (matching by name, as the reference's named-column
+    model implies).
+    """
+    if not tables:
+        raise ValueError("table_vcat needs at least one table")
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out

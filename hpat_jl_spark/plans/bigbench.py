@@ -1,0 +1,171 @@
+"""BigBench (TPCx-BB) Q26 / Q05 / Q25 analogues — the reference's three
+implemented benchmark queries (reference test/q26_test.jl, q05_test.jl,
+test/length_unique_test.jl; examples/queries_devel/{q26,q05,q25}.jl),
+re-expressed on the fixture star schema per FIXTURES.md's mapping:
+
+  store_sales / web_clickstreams → lineitem      (fact)
+  item                           → part          (dim, broadcastable)
+  customer / demographics        → orders + customer
+
+Scale design: the fact table is never shuffled before its first
+aggregation — dims join via broadcast hash (hinted and AQE-confirmed), so
+the only wide exchange is the groupBy on the fact key. The reference
+always pair-shuffled both join sides (MPI_Alltoallv, reference
+src/cgen-hpat-pattern-match-table.jl:219-320) and explicitly DISABLED
+Spark's broadcast join when benchmarking against Spark
+(examples/queries_devel/q26/run-query.sh: autoBroadcastJoinThreshold=-1);
+keeping broadcast ON is precisely the idiomatic-Spark win.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hpat_jl_spark.operators.relational import aggregate, join, table_filter
+from hpat_jl_spark.registry import register
+from hpat_jl_spark.tables import load_table
+
+_Q26_N_CLASSES = 15
+_Q26_HAVING = 1
+
+_q26_oracle = f"""
+SELECT l_suppkey AS cid,
+       count(*) AS ss_item_count,
+       {', '.join(f"sum(CASE WHEN p_size = {k} THEN 1 ELSE 0 END) AS id{k}" for k in range(1, _Q26_N_CLASSES + 1))}
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type = 'PROMO'
+GROUP BY l_suppkey
+HAVING count(*) > {_Q26_HAVING}
+"""
+
+
+@register("q26", oracle=_q26_oracle, tags=("bigbench", "headline"))
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigBench Q26 analogue (reference test/q26_test.jl:63-103).
+
+    Reference pipeline: store_sales ⋈ item on item_sk → filter
+    i_category == c → aggregate by customer: count + 15 conditional sums
+    sum(i_class_id == k) → having count > n. Here: lineitem ⋈ part,
+    filter p_type, group by l_suppkey, conditional sums over p_size.
+    """
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    # dim filtered *before* the join → smaller broadcast, pruned scan
+    promo = table_filter(part, F.col("p_type") == "PROMO")
+    j = join(lineitem, promo, "l_partkey", "p_partkey", "item_sk",
+             broadcast_right=True)
+    aggs = [("ss_item_count", F.count(F.lit(1)))] + [
+        (f"id{k}", F.sum((F.col("p_size") == k).cast("long")))
+        for k in range(1, _Q26_N_CLASSES + 1)
+    ]
+    out = aggregate(j, "l_suppkey", aggs, key_alias="cid")
+    return table_filter(out, F.col("ss_item_count") > _Q26_HAVING)
+
+
+_q05_oracle = """
+SELECT o_custkey AS cid,
+       any_value(c_nationkey) AS nation,
+       any_value(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS is_building,
+       sum(promo_clicks) AS clicks_in_category,
+       sum(id1) AS id1, sum(id2) AS id2, sum(id3) AS id3, sum(id4) AS id4,
+       sum(id5) AS id5, sum(id6) AS id6, sum(id7) AS id7
+FROM (
+  SELECT l_orderkey,
+         sum(CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END) AS promo_clicks,
+         sum(CASE WHEN p_size % 7 = 1 THEN 1 ELSE 0 END) AS id1,
+         sum(CASE WHEN p_size % 7 = 2 THEN 1 ELSE 0 END) AS id2,
+         sum(CASE WHEN p_size % 7 = 3 THEN 1 ELSE 0 END) AS id3,
+         sum(CASE WHEN p_size % 7 = 4 THEN 1 ELSE 0 END) AS id4,
+         sum(CASE WHEN p_size % 7 = 5 THEN 1 ELSE 0 END) AS id5,
+         sum(CASE WHEN p_size % 7 = 6 THEN 1 ELSE 0 END) AS id6,
+         sum(CASE WHEN p_size % 7 = 0 THEN 1 ELSE 0 END) AS id7
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_partkey IS NOT NULL
+  GROUP BY l_orderkey
+) clicks
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey
+"""
+
+
+@register("q05", oracle=_q05_oracle, tags=("bigbench", "headline"))
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigBench Q05 analogue (reference test/q05_test.jl:40-74): sentinel
+    not-null filter → clicks ⋈ item → per-user conditional aggregate →
+    ⋈ customer → ⋈ demographics. The reference simulated NOT NULL with
+    `> typemin(Int32)` sentinels; we use real null semantics
+    (SURVEY §2.2). Demographics fold into `customer` here (nationkey /
+    mktsegment as the cd_* analogues).
+
+    Scale: part broadcast; the lineitem aggregation happens BEFORE the
+    join to orders (aggregate-then-join), so the wide join carries one
+    row per order, not one per line item.
+    """
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+
+    clicks = table_filter(lineitem, F.col("l_partkey").isNotNull())
+    j1 = join(clicks, part, "l_partkey", "p_partkey", "item_sk",
+              broadcast_right=True)
+    aggs = [("promo_clicks", F.sum((F.col("p_type") == "PROMO").cast("long")))] + [
+        (f"id{k}", F.sum((F.col("p_size") % 7 == (k % 7)).cast("long")))
+        for k in range(1, 8)
+    ]
+    per_order = aggregate(j1, "l_orderkey", aggs)
+    j2 = join(per_order, orders, "l_orderkey", "o_orderkey", "order_sk")
+    j3 = join(j2, customer, "o_custkey", "c_custkey", "cid")
+    return aggregate(
+        j3,
+        "cid",
+        [
+            ("nation", F.any_value(F.col("c_nationkey"))),
+            (
+                "is_building",
+                F.any_value((F.col("c_mktsegment") == "BUILDING").cast("int")),
+            ),
+            ("clicks_in_category", F.sum("promo_clicks")),
+        ]
+        + [(f"id{k}", F.sum(f"id{k}")) for k in range(1, 8)],
+    )
+
+
+_q25_oracle = """
+SELECT o_custkey AS cid,
+       count(DISTINCT l_orderkey) AS frequency,
+       max(l_shipdate) AS most_recent,
+       round(sum(l_extendedprice), 2) AS amount
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_custkey
+"""
+
+
+@register("q25", oracle=_q25_oracle, tags=("bigbench", "headline"))
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigBench Q25 core analogue (reference test/length_unique_test.jl:
+    9-41): per-customer RFM — frequency = length(unique(ticket)) (exact
+    count-distinct), recency = maximum(date), monetary = sum(paid), with
+    the reference's key-rename (`:cid = :ss_customer_sk`).
+
+    Scale: count(DISTINCT) forces a distinct-pair shuffle in any engine
+    (the reference shuffled (key,value) set pairs, reference
+    src/cgen-hpat-pattern-match-table.jl:844-923); Spark plans it as
+    expand + two-phase aggregate. The cheap path at 100 TB is
+    approx_count_distinct (see operators.relational.approx_count_unique).
+    """
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    j = join(lineitem, orders, "l_orderkey", "o_orderkey", "order_sk")
+    return aggregate(
+        j,
+        "o_custkey",
+        [
+            ("frequency", F.countDistinct("order_sk")),
+            ("most_recent", F.max("l_shipdate")),
+            ("amount", F.round(F.sum("l_extendedprice"), 2)),
+        ],
+        key_alias="cid",
+    )

@@ -1,0 +1,105 @@
+"""TPC-H-style headline queries on the fixture schema — multi-operator
+pipelines exercising scan→filter→join→agg→sort, used as bench headliners
+alongside the BigBench analogues.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hpat_jl_spark.operators.relational import aggregate, join, table_filter
+from hpat_jl_spark.operators.windowed import top_k
+from hpat_jl_spark.registry import register
+from hpat_jl_spark.tables import load_table
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("tpch", "headline"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy single-pass aggregate. The whole query
+    is one Parquet scan + partial/final hash agg on a 6-group key — the
+    plan that must stay fully codegen'd (no Python) at 100 TB."""
+    li = load_table(spark, "lineitem", sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    filtered = table_filter(
+        li, F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    )
+    return (
+        filtered.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       any_value(o_orderdate) AS o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+    tags=("tpch", "headline"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → two joins → agg → global
+    top-k. customer is broadcast; orders⋈lineitem shuffles on orderkey;
+    the top-k is TakeOrderedAndProject (per-partition k + driver merge),
+    never a global sort. o_orderkey tiebreak makes the limit
+    deterministic."""
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    building = table_filter(customer, F.col("c_mktsegment") == "BUILDING")
+    open_orders = table_filter(orders, F.col("o_orderdate") < cutoff)
+    late_items = table_filter(li, F.col("l_shipdate") > cutoff)
+    j1 = join(open_orders, building, "o_custkey", "c_custkey", "cid",
+              broadcast_right=True)
+    j2 = join(late_items, j1, "l_orderkey", "o_orderkey", "o_orderkey")
+    agg = aggregate(
+        j2,
+        "o_orderkey",
+        [
+            (
+                "revenue",
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ),
+            ),
+            ("o_orderdate", F.any_value(F.col("o_orderdate"))),
+        ],
+    )
+    return top_k(agg, 10, F.col("revenue").desc(), F.col("o_orderkey"))

@@ -1,0 +1,169 @@
+"""Ordered/window query plans: cumsum, 3-point stencil, ranking,
+per-group top-k, and gap-based sessionization (the reference's designed
+q02 semantics, examples/queries_devel/q02.jl).
+
+All window queries here PARTITION BY a key (user) — the scalable form;
+the ordering the reference took from file row order is explicit
+(event_id / ts), per SURVEY §7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hpat_jl_spark.operators.windowed import (
+    cumsum,
+    stencil_3pt,
+    top_k_per_group,
+)
+from hpat_jl_spark.registry import register
+from hpat_jl_spark.tables import load_table
+
+SESSION_GAP_SECONDS = 3600
+
+
+@register(
+    "cumsum_per_user",
+    oracle="""
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS UNBOUNDED PRECEDING), 4) AS running_value
+FROM events
+""",
+    tags=("window",),
+)
+def cumsum_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed prefix sum (reference dist_cumsum!: local sum →
+    MPI_Exscan → local add, src/cgen-hpat-pattern-match.jl:433-459),
+    partitioned per user so every group scans in parallel."""
+    events = load_table(spark, "events", sf_dir)
+    out = cumsum(events, "value", order_by="event_id", out="__cum",
+                 partition_by="user_id")
+    return out.select(
+        "event_id", "user_id", F.round(F.col("__cum"), 4).alias("running_value")
+    )
+
+
+@register(
+    "stencil_smooth",
+    oracle="""
+SELECT event_id, user_id,
+       round(CASE WHEN lag(value) OVER w IS NULL OR lead(value) OVER w IS NULL
+             THEN value
+             ELSE (lag(value) OVER w + 2 * value + lead(value) OVER w) / 4.0
+             END, 4) AS smoothed
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+""",
+    tags=("window",),
+)
+def stencil_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-point stencil `(x[-1]+2x[0]+x[1])/4` with pass-through
+    boundaries (reference test/stencil_test1.jl:35 golden; MPI halo
+    exchange src/distributed-pass.jl:882-1001 → lag/lead window)."""
+    events = load_table(spark, "events", sf_dir)
+    out = stencil_3pt(
+        events, "value", order_by="event_id", out="__s", partition_by="user_id"
+    )
+    return out.select(
+        "event_id", "user_id", F.round(F.col("__s"), 4).alias("smoothed")
+    )
+
+
+@register(
+    "rank_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+FROM orders
+""",
+    tags=("window",),
+)
+def rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking — new surface (SURVEY §2.5 'Not present'). Unique
+    o_orderkey tiebreak ⇒ deterministic row_number."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice", F.row_number().over(w).alias("rn")
+    )
+
+
+@register(
+    "topk_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+    tags=("window",),
+)
+def topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k — the designed `sort!(...)[1:n]` tail of
+    reference examples/queries_devel/q01.jl/q02.jl, grouped."""
+    orders = load_table(spark, "orders", sf_dir)
+    return top_k_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        "o_custkey",
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_SECONDS}::BIGINT * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       round(sum(value), 2) AS session_value
+FROM numbered
+GROUP BY user_id, session_id
+""",
+    tags=("window", "sessionization"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization — the reference's *designed but dead*
+    q02 session_split (examples/queries_devel/q02.jl: sessions split on
+    1-hour timestamp gaps), realized as lag → gap flag → running sum →
+    per-session aggregate. Fully partition-parallel per user; the
+    streaming twin uses F.session_window (streaming/sessionize.py).
+    """
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = events.withColumn(
+        "__new_sess", F.when(gap > SESSION_GAP_SECONDS * 1_000_000, 1).otherwise(0)
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    numbered = flagged.withColumn("session_id", F.sum("__new_sess").over(w2))
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )

@@ -1,0 +1,82 @@
+"""Local replica of the driver's correctness gate: run a registered
+Spark plan and its DuckDB oracle side-by-side and compare row count,
+schema (column names) and order-insensitive values — so `pytest` catches
+an oracle mismatch before the driver does.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from hpat_jl_spark.tables import TABLE_NAMES, table_path
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{table_path(sf_dir, name)}'"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare_frames(actual: pd.DataFrame, expected: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions (empty = match)."""
+    problems: list[str] = []
+    if sorted(actual.columns) != sorted(expected.columns):
+        problems.append(
+            f"columns differ: spark={sorted(actual.columns)} "
+            f"oracle={sorted(expected.columns)}"
+        )
+        return problems
+    if len(actual) != len(expected):
+        problems.append(f"row count differs: spark={len(actual)} oracle={len(expected)}")
+        return problems
+    a, e = _canon(actual), _canon(expected)
+    for c in a.columns:
+        av, ev = a[c], e[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(ev):
+            ok = True
+            for x, y in zip(av.astype(float), ev.astype(float)):
+                both_nan = (isinstance(x, float) and math.isnan(x)) and (
+                    isinstance(y, float) and math.isnan(y)
+                )
+                if not both_nan and not math.isclose(x, y, rel_tol=1e-7, abs_tol=1e-7):
+                    ok = False
+                    break
+            if not ok:
+                problems.append(f"column {c!r} values differ (float compare)")
+        else:
+            if not av.astype(str).equals(ev.astype(str)):
+                diffs = (av.astype(str) != ev.astype(str)).sum()
+                problems.append(f"column {c!r}: {diffs} differing values")
+    return problems
+
+
+def check_query(spark, name: str, sf_dir: str) -> list[str]:
+    """Run registered query `name` against its oracle at sf_dir."""
+    from hpat_jl_spark import registry
+
+    registry.load_all_plans()
+    spec = registry.REGISTRY[name]
+    actual = spec.fn(spark, sf_dir).toPandas()
+    if spec.oracle is None:
+        return [] if len(actual) >= 0 else ["no result"]
+    con = duckdb_con(sf_dir)
+    expected = con.execute(spec.oracle).df()
+    return compare_frames(actual, expected)

@@ -1,0 +1,155 @@
+"""Golden tests transcribed from the reference's own test suite
+(FIXTURES.md F1/F2/F3/F5, reference test/*.jl) — tiny literal inputs,
+exact expected outputs, run through this engine's operator wrappers.
+These pin the *semantics* (duplicate-key join multiplication, boundary
+pass-through stencil, expression-then-reduce aggregation, key rename)
+independently of the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hpat_jl_spark.operators.relational import (
+    aggregate,
+    join,
+    table_filter,
+    table_vcat,
+)
+from hpat_jl_spark.operators.windowed import cumsum, stencil_3pt
+
+
+def _f1(spark):
+    # reference test/filter_test1.jl:14 golden input
+    return spark.createDataFrame(
+        list(zip([1, 2, 3, 1, 2], [1.1, 2.1, 3.1, 3.2, 1.9])),
+        "userid long, val2 double",
+    )
+
+
+def test_filter_golden(spark):
+    # reference test/filter_test1.jl:34-35: userid>2 → ([3], [3.1])
+    out = table_filter(_f1(spark), F.col("userid") > 2).collect()
+    assert [(r.userid, r.val2) for r in out] == [(3, 3.1)]
+
+
+def test_aggregate_golden(spark):
+    # reference test/aggregate_test1.jl:43-44: sum(val2) by userid
+    out = aggregate(_f1(spark), "userid", [("s", F.round(F.sum("val2"), 10))])
+    got = {r.userid: r.s for r in out.collect()}
+    assert got == {1: 4.3, 2: 4.0, 3: 3.1}
+
+
+def test_join_duplicate_keys_golden(spark):
+    # reference test/join_test1.jl:36-37: dup keys multiply → [1,1,3]
+    t1 = _f1(spark)
+    t2 = spark.createDataFrame(
+        list(zip([1, 3], [7.1, 8.3])), "userid long, val3 double"
+    )
+    out = join(t1, t2, "userid", "userid", "uid")
+    rows = sorted((r.uid, r.val3) for r in out.collect())
+    assert rows == [(1, 7.1), (1, 7.1), (3, 8.3)]
+
+
+def test_push_filter_semantics(spark):
+    # reference test/push_filter_test1.jl: filter after join ==
+    # filter pushed below join (Catalyst does the pushdown; results equal)
+    t1 = _f1(spark)
+    t2 = spark.createDataFrame(
+        list(zip([1, 3], [7.1, 8.3])), "userid long, val3 double"
+    )
+    j = join(t1, t2, "userid", "userid", "uid")
+    filtered = table_filter(j, F.col("val2") > 2.0)
+    rows = sorted((r.uid, r.val2, r.val3) for r in filtered.collect())
+    assert rows == [(1, 3.2, 7.1), (3, 3.1, 8.3)]
+    # and the physical plan shows the filter below/at the scan, not above
+    # the join: PushedFilters appears in the explain output
+    plan = filtered._sc is not None and filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan or "Filter" in plan
+
+
+def test_vcat_golden(spark):
+    # reference test/tables_cat.jl:16-21 shape: vcat of two aggregates
+    t = _f1(spark)
+    a1 = aggregate(t, "userid", [("v", F.round(F.sum("val2"), 10))])
+    a2 = aggregate(t, "userid", [("v", F.count(F.lit(1)).cast("double"))])
+    out = table_vcat(a1, a2)
+    assert out.count() == 6
+    got = sorted((r.userid, r.v) for r in out.collect())
+    assert got == [(1, 2.0), (1, 4.3), (2, 2.0), (2, 4.0), (3, 1.0), (3, 3.1)]
+
+
+def test_stencil_golden(spark):
+    # reference test/stencil_test1.jl:35: (x[-1]+2x[0]+x[1])/4 on
+    # [1.2,2.1,3.1,3.2,1.9], boundaries pass through
+    df = spark.createDataFrame(
+        list(zip(range(5), [1.2, 2.1, 3.1, 3.2, 1.9])), "i long, val2 double"
+    )
+    out = stencil_3pt(df, "val2", order_by="i", out="s")
+    got = [round(r.s, 6) for r in out.orderBy("i").collect()]
+    assert got == [1.2, 2.125, 2.875, 2.85, 1.9]
+
+
+def test_cumsum_golden(spark):
+    # reference test/cumsum_test.jl:6-14: sum(cumsum(ones(5))) == 15
+    df = spark.createDataFrame([(i, 1.0) for i in range(5)], "i long, v double")
+    out = cumsum(df, "v", order_by="i", out="c")
+    assert [r.c for r in out.orderBy("i").collect()] == [1.0, 2.0, 3.0, 4.0, 5.0]
+    assert out.agg(F.sum("c")).collect()[0][0] == 15.0
+
+
+def test_q26_small_golden(spark):
+    # reference test/q26_test.jl:41-51,93-95 small golden
+    sales = spark.createDataFrame(
+        list(zip([1, 2, 1, 3, 3, 1], [1, 1, 2, 1, 2, 3])),
+        "ss_item_sk long, ss_customer_sk long",
+    )
+    item = spark.createDataFrame(
+        list(zip([1, 2, 3], [3, 1, 2], [1, 2, 1])),
+        "i_item_sk long, i_class_id long, i_category long",
+    )
+    j = join(sales, item, "ss_item_sk", "i_item_sk", "item_sk")
+    f = table_filter(j, F.col("i_category") == 1)
+    agg = aggregate(
+        f,
+        "ss_customer_sk",
+        [("ss_item_count", F.count(F.lit(1)))]
+        + [
+            (f"id{k}", F.sum((F.col("i_class_id") == k).cast("long")))
+            for k in (1, 2, 3)
+        ],
+    )
+    out = table_filter(agg, F.col("ss_item_count") > 1)
+    rows = sorted(
+        (r.ss_customer_sk, r.ss_item_count, r.id3) for r in out.collect()
+    )
+    # customers 1 and 2 each bought 2 category-1 items, one of class 3
+    assert [(c, n, i3) for c, n, i3 in rows] == [(1, 2, 1), (2, 2, 1)]
+
+
+def test_length_unique_golden(spark):
+    # reference test/length_unique_test.jl semantics (F5): exact
+    # count-distinct + max + sum with key rename → cid
+    rows = [
+        (1, 10, 37600, 100.0),
+        (1, 10, 37000, 20.2),
+        (1, 11, 36900, 8.0),
+        (2, 20, 36000, 40.0),
+        (2, 21, 35000, 13.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "ss_customer_sk long, ticket long, date_sk long, net_paid double"
+    )
+    out = aggregate(
+        df,
+        "ss_customer_sk",
+        [
+            ("frequency", F.countDistinct("ticket")),
+            ("most_recent", F.max("date_sk")),
+            ("amount", F.round(F.sum("net_paid"), 10)),
+        ],
+        key_alias="cid",
+    )
+    got = {r.cid: (r.frequency, r.most_recent, r.amount) for r in out.collect()}
+    assert got == {1: (2, 37600, 128.2), 2: (2, 36000, 53.5)}
