@@ -47,25 +47,36 @@ def exact_dedup(
     )
 
 
-def minhash_signature(text_col: str, num_hashes: int = 32, shingle_n: int = 3) -> Column:
-    """MinHash signature as array<bigint> of length ``num_hashes``.
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures as one row per doc: columns mh0..mh{H-1}.
 
-    Permutation family: h_i(s) = (xxhash64(s, seed=i) & MAX) — xxhash64
-    with a per-hash seed column is a proper hash family; min over the
-    shingle set approximates the Jaccard permutation argument. Entirely
-    JVM-side (higher-order functions over the shingle array).
+    Permutation family: h_i(s) = xxhash64(s, seed=i) mod 2^61-1 —
+    xxhash64 with a per-hash seed is a proper hash family; min over the
+    shingle set approximates the Jaccard permutation argument.
+
+    Physical shape (the 100 TB-safe one): explode shingles → H hash
+    columns → groupBy(doc) with H min-aggregates. The mins fold
+    map-side (partial hash aggregation), so the shuffle carries exactly
+    (id, H longs) per doc — never the shingles. An earlier
+    expression-tree formulation (array_min over transform, ×H) spent
+    ~20 s in codegen alone at ANY data size; aggregation is the right
+    primitive, not nested array lambdas.
     """
-    sh = shingles(text_col, shingle_n)
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    sh, lambda s: F.pmod(F.xxhash64(s, F.lit(i)), F.lit(_MERSENNE))
-                )
-            ).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ]
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, shingle_n)).alias("sh"),
     )
+    aggs = [
+        F.min(F.pmod(F.xxhash64("sh", F.lit(i)), F.lit(_MERSENNE))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
 
 
 def minhash_candidates(
@@ -76,7 +87,7 @@ def minhash_candidates(
     bands: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """LSH banding: split the signature into ``bands`` rows of
+    """LSH banding: split the signature into ``bands`` groups of
     ``num_hashes/bands`` values, hash each band, self-join on
     (band_index, band_hash). Returns candidate pairs (id_a < id_b) with
     the fraction of matching minhashes (estimated Jaccard).
@@ -87,32 +98,22 @@ def minhash_candidates(
     AQE skew-join or a bucket-size guard upstream.
     """
     rows_per_band = num_hashes // bands
-    sigs = docs.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(text_col, num_hashes, shingle_n).alias("sig"),
-    )
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    band_keys = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            ).alias("bhash"),
+        )
+        for b in range(bands)
+    ]
     banded = sigs.select(
         "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at(F.col("sig"), b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"),
+        F.explode(F.array(*band_keys)).alias("bk"),
     ).select("id", "sig", "bk.band", "bk.bhash")
     left = banded.alias("a")
     right = banded.alias("b")
@@ -140,30 +141,34 @@ def minhash_candidates(
     return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
 
 
-def simhash_signature(text_col: str, bits: int = 64) -> Column:
-    """SimHash: sum per-bit ±1 votes of token hashes, take the sign.
-    Expressed as: for each bit b, count tokens whose hash has bit b set;
-    bit is 1 if count > n_tokens/2. Returns array<int> of 0/1 (length
-    ``bits``) — array form keeps the per-bit logic in codegen'd
-    higher-order functions."""
-    toks = tokens(text_col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    n = F.size(toks)
-    return F.array(
-        *[
-            (
-                F.size(
-                    F.filter(
-                        hashes,
-                        lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
-                    )
-                )
-                * 2
-                > n
-            ).cast("int")
-            for b in range(bits)
-        ]
+def simhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """SimHash signatures: one row per doc with column ``sig`` =
+    array<int> of 0/1 (length ``bits``): majority vote per bit over
+    token hashes.
+
+    Physical shape: explode tokens → one xxhash64 per token → groupBy
+    (doc) with ``bits`` conditional-sum aggregates + count; bit b is 1
+    iff 2·(#tokens with bit b set) > #tokens. All sums fold map-side;
+    the shuffle carries (id, bits ints). Same explode→partial-agg
+    pattern as minhash_signatures, for the same codegen reason."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
     )
+    hashed = toks.select("id", F.xxhash64("tok").alias("h"))
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+        for b in range(bits)
+    ]
+    counted = hashed.groupBy("id").agg(*aggs)
+    sig = F.array(
+        *[(2 * F.col(f"c{b}") > F.col("n")).cast("int") for b in range(bits)]
+    )
+    return counted.select("id", sig.alias("sig"))
 
 
 def simhash_candidates(
@@ -177,9 +182,7 @@ def simhash_candidates(
     """Near-dup candidates by SimHash banding: any shared 16-bit band →
     candidate; verify by exact Hamming distance ≤ max_hamming."""
     per_band = bits // bands
-    sigs = docs.select(
-        F.col(id_col).alias("id"), simhash_signature(text_col, bits).alias("sig")
-    )
+    sigs = simhash_signatures(docs, text_col, id_col, bits)
     banded = sigs.select(
         "id",
         "sig",

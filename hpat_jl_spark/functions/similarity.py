@@ -11,6 +11,8 @@ All arithmetic is double-precision, sequential fold over the vector
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -86,31 +88,31 @@ def lsh_buckets(
     dim: int = 64,
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket key = sign bits of ``num_planes``
-    fixed pseudo-random projections. Deterministic planes derived from
-    xxhash64(seed, plane, coord) — no stored model, so the same code
-    runs identically on every executor at any scale.
+    fixed pseudo-random projections. Planes are generated
+    deterministically from ``seed`` on each executor (no stored model,
+    no broadcast needed), so the same code buckets identically at any
+    scale.
+
+    Implemented as an Arrow-batched pandas_udf: the projection is a
+    (batch × dim) @ (dim × planes) matrix multiply — exactly the case
+    where a vectorized UDF beats a 512-term codegen expression tree
+    (SURVEY §2.9: pandas_udf is the moral equivalent of the reference
+    compiling the closure).
 
     Adds column ``lsh_bucket`` (bigint). Same-bucket vectors are
     candidate near-neighbors; probing adjacent buckets (1-bit flips)
     trades recall for cost."""
-    v = F.col(vec_col)
+    from pyspark.sql.functions import pandas_udf
 
-    def plane_coef(p: int, i: int) -> Column:
-        # deterministic pseudo-random coefficient in [-1, 1)
-        h = F.xxhash64(F.lit(seed), F.lit(p), F.lit(i))
-        return (h % 100003).cast("double") / 50001.5 - 1.0
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        planes = np.random.default_rng(seed).standard_normal((dim, num_planes))
+        m = np.vstack(vecs.to_numpy())  # (batch, dim) float32
+        bits = (m.astype(np.float64) @ planes) >= 0  # (batch, planes)
+        weights = (1 << np.arange(num_planes)).astype(np.int64)
+        return pd.Series(bits @ weights)
 
-    bits = []
-    for p in range(num_planes):
-        proj = None
-        for i in range(dim):
-            term = F.element_at(v, i + 1).cast("double") * plane_coef(p, i)
-            proj = term if proj is None else proj + term
-        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p))
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket + b
-    return df.withColumn("lsh_bucket", bucket.cast("long"))
+    bucket_udf = pandas_udf(_bucket, "long")
+    return df.withColumn("lsh_bucket", bucket_udf(F.col(vec_col)))
 
 
 def knn_lsh(

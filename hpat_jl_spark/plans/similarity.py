@@ -110,7 +110,10 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    out = S.knn_lsh(queries, emb, k=_K, num_planes=8, dim=_DIM)
+    # 3 planes = 8 buckets: the fixture embeddings are near-isotropic
+    # noise (top-5 cosine ≈ 0.37), so recall needs generous buckets;
+    # clustered real-world embeddings support far more planes.
+    out = S.knn_lsh(queries, emb, k=_K, num_planes=3, dim=_DIM)
     return out.select(
         "query_id", "neighbor_id", "cosine_sim", F.col("rank").alias("knn_rank")
     )

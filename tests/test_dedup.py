@@ -1,0 +1,64 @@
+"""Semantic tests for the rows-only dedup operators (MinHash, SimHash)
+using planted duplicates — the checks the DuckDB oracle can't express
+(promised in plans/text_pipeline.py docstrings).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hpat_jl_spark.functions import dedup as D
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """20 distinct docs + one exact dup + one near dup (1-word edit)."""
+    base = [
+        (i, " ".join(f"w{i}x{j}" for j in range(30)) + " common words here")
+        for i in range(20)
+    ]
+    rows = base + [
+        (100, base[3][1]),  # exact duplicate of doc 3
+        (101, base[5][1].replace("w5x7", "EDITED")),  # near-dup of doc 5
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_planted_dups(planted):
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in D.minhash_candidates(planted).collect()
+    }
+    assert (3, 100) in pairs and pairs[(3, 100)] == 1.0  # exact dup: all mins equal
+    assert (5, 101) in pairs and pairs[(5, 101)] >= 0.5  # near dup: high estimate
+    # unrelated docs must NOT pair up with high estimated similarity
+    high_false = {k: v for k, v in pairs.items() if k not in {(3, 100), (5, 101)} and v > 0.9}
+    assert not high_false
+
+
+def test_simhash_finds_planted_dups(planted):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_candidates(planted).collect()
+    }
+    assert pairs.get((3, 100)) == 0  # identical signature
+    assert (5, 101) in pairs  # near dup within hamming budget
+
+
+def test_exact_dedup_planted(planted):
+    out = D.exact_dedup(planted)
+    groups = {r.keep_id: r.n_dups for r in out.collect()}
+    assert groups[3] == 2  # doc 3 + doc 100 collapse, keep lowest id
+    assert 100 not in groups
+    assert out.count() == 21  # 22 docs, one collapsed pair
+
+
+def test_jaccard_pairs_planted(spark, planted):
+    docs = planted.withColumn("bucket", F.lit(1))
+    out = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.jaccard_pairs(docs, ["bucket"], threshold=0.5).collect()
+    }
+    assert out[(3, 100)] == 1.0
+    assert 0.9 <= out[(5, 101)] < 1.0

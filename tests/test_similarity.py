@@ -1,0 +1,65 @@
+"""Semantic tests for similarity search: exact knn golden on constructed
+vectors, and the LSH invariant (identical vectors always collide) plus
+planted-twin recall (promised in plans/similarity.py docstrings).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from hpat_jl_spark.functions import similarity as S
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    """8-dim unit-ish vectors: 0 and 1 nearly parallel, 2 orthogonal,
+    3 anti-parallel; 10..29 pseudo-random noise."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+    ] + [
+        (
+            10 + i,
+            [math.sin(i * 7 + j * 3) for j in range(8)],
+        )
+        for i in range(20)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_knn_exact_golden(vectors):
+    q = vectors.filter("vec_id = 0")
+    out = S.knn_bruteforce(q, vectors, k=2)
+    got = [(r.neighbor_id, r.cosine_sim) for r in out.orderBy("rank").collect()]
+    assert got[0][0] == 1  # nearly-parallel vector is rank 1
+    assert got[0][1] > 0.99
+    # anti-parallel vector must rank last overall (cosine -1); never in top-2
+    assert 3 not in [n for n, _ in got]
+
+
+def test_lsh_identical_vectors_collide(vectors):
+    """A duplicated vector must land in the same bucket — LSH's defining
+    invariant, independent of data distribution."""
+    twins = vectors.union(vectors.selectExpr("vec_id + 1000 AS vec_id", "embedding"))
+    b = S.lsh_buckets(twins, num_planes=8, dim=8)
+    buckets = {r.vec_id: r.lsh_bucket for r in b.collect()}
+    for vid in [0, 1, 2, 3, 10, 15, 29]:
+        assert buckets[vid] == buckets[vid + 1000]
+
+
+def test_lsh_finds_planted_twin(vectors):
+    """knn_lsh must retrieve an exact twin (cosine 1.0) at rank 1."""
+    twin = vectors.filter("vec_id = 0").selectExpr(
+        "500 AS vec_id", "embedding"
+    )
+    cands = vectors.union(twin)
+    out = S.knn_lsh(
+        vectors.filter("vec_id = 0"), cands, k=3, num_planes=4, dim=8
+    )
+    top = out.filter("rank = 1").collect()[0]
+    assert top.neighbor_id == 500
+    assert top.cosine_sim == 1.0
