@@ -1,0 +1,174 @@
+"""Extended relational surface beyond the reference (SURVEY §2.4/§2.7
+'Not present' rows): pivot, rollup/cube grouping sets, array-valued
+aggregation (the reference's designed-only `collect(:col)`,
+examples/queries_devel/q02.jl), approximate count-distinct (the scale
+twin of length_unique), and the scalar math-function surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hpat_jl_spark.registry import register
+from hpat_jl_spark.tables import load_table
+
+
+@register(
+    "pivot_status",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("extended",),
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot — wide conditional aggregation by a value list. The
+    explicit value list matters at scale: without it Spark runs an extra
+    distinct pass to discover columns."""
+    li = load_table(spark, "lineitem", sf_dir)
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("O").alias("qty_O"),
+        F.col("F").alias("qty_F"),
+    )
+
+
+@register(
+    "rollup_sales",
+    oracle="""
+SELECT coalesce(l_returnflag, '(all)') AS flag,
+       coalesce(l_linestatus, '(all)') AS status,
+       round(sum(l_extendedprice), 2) AS total,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    tags=("extended",),
+)
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (flag → flag+status → grand total).
+    Grouping-set nulls are coalesced to a sentinel so the oracle compare
+    is unambiguous (fixture columns are never null themselves)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("(all)")).alias("flag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("(all)")).alias("status"),
+            "total",
+            "n",
+        )
+    )
+
+
+@register(
+    "cube_sales",
+    oracle="""
+SELECT coalesce(l_returnflag, '(all)') AS flag,
+       coalesce(l_linestatus, '(all)') AS status,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    tags=("extended",),
+)
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping-set combinations (adds status-only subtotals over
+    rollup)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("(all)")).alias("flag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("(all)")).alias("status"),
+            "n",
+        )
+    )
+
+
+@register(
+    "collect_sorted_list",
+    oracle="""
+SELECT o_custkey AS cid,
+       array_to_string(list_transform(list(o_orderkey ORDER BY o_orderkey),
+                                      v -> v::VARCHAR), ',') AS orderkeys
+FROM orders
+GROUP BY o_custkey
+""",
+    tags=("extended",),
+)
+def collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued aggregation — the reference's designed-only
+    `collect(:tstamp_inSec)` (examples/queries_devel/q02.jl →
+    F.collect_list per SURVEY §2.2). Sorted + serialized so the compare
+    is canonical. At 100 TB: bounded groups only — an unbounded
+    collect_list materializes the group in memory (SURVEY §7 warning)."""
+    orders = load_table(spark, "orders", sf_dir)
+    serialized = F.concat_ws(
+        ",",
+        F.transform(
+            F.sort_array(F.collect_list("o_orderkey")), lambda v: v.cast("string")
+        ),
+    )
+    return orders.groupBy(F.col("o_custkey").alias("cid")).agg(
+        serialized.alias("orderkeys")
+    )
+
+
+@register("approx_distinct", oracle=None, tags=("extended",))
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ count-distinct — the 100 TB path for
+    length_unique (exact-distinct shuffles every distinct pair; HLL
+    ships a 1.5 KB sketch per group). Rows-only check: HLL estimates
+    are engine-specific; accuracy vs exact is asserted in
+    tests/test_plans.py."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+@register(
+    "math_surface",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(exp(l_discount), 6) AS e_disc,
+       round(ln(l_extendedprice), 6) AS ln_price,
+       round(sqrt(l_quantity), 6) AS sqrt_qty,
+       round(pow(1 + l_tax, 2), 6) AS tax_sq,
+       abs(l_quantity - 25) AS qty_dev,
+       round(sin(l_discount) + cos(l_tax), 6) AS trig
+FROM lineitem
+""",
+    tags=("extended",),
+)
+def math_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar math surface (SURVEY §2.7: exp/log/sqrt/pow from the
+    reference's examples — blackscholes.jl, logistic_regression.jl —
+    plus trig). All JVM intrinsics inside whole-stage codegen."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.exp("l_discount"), 6).alias("e_disc"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.pow(F.lit(1) + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.round(F.sin("l_discount") + F.cos("l_tax"), 6).alias("trig"),
+    )

@@ -49,6 +49,8 @@ def load_all_plans() -> None:
     import hpat_jl_spark.plans.windowed  # noqa: F401
     import hpat_jl_spark.plans.text_pipeline  # noqa: F401
     import hpat_jl_spark.plans.similarity  # noqa: F401
+    import hpat_jl_spark.plans.extended  # noqa: F401
+    import hpat_jl_spark.plans.ml_kernels  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:

@@ -1,0 +1,71 @@
+"""Schema'd readers and partitioned writers.
+
+Reference parity (SURVEY §2.1):
+- HDF5 source (collective hyperslab reads per rank, reference
+  src/cgen-hpat-pattern-match.jl:849-894) → `read_parquet` — Parquet
+  row-group splits give each task its byte range, same access pattern.
+- TXT source (MPI byte-range read + newline realignment via neighbor
+  exchange, reference src/cgen-hpat-pattern-match.jl:895-1046) →
+  `read_csv` — Spark's text input format does the split-boundary line
+  handling natively.
+- HDF5/TXT sinks (collective writes with MPI_Exscan offsets, reference
+  src/domain-pass.jl:839-911) → `write_parquet`/`write_csv` — one file
+  per task, plus optional hive partitioning / bucketing the reference
+  never had.
+
+Schemas are always explicit (reference-style static declaration —
+inference is a schema drift hazard at 100 TB and costs a pre-scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_parquet(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """Schema REQUIRED: never infer (inference scans the data twice and
+    guesses types per-run)."""
+    return spark.read.schema(schema).csv(path, header=header, sep=sep)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "snappy",
+) -> None:
+    """Parquet sink. ``partition_by`` = hive-style directory partitioning
+    (enables partition pruning for downstream readers — pick low-
+    cardinality keys; a high-cardinality partition key creates a small-
+    files problem at scale)."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, mode: str = "overwrite", header: bool = True
+) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)

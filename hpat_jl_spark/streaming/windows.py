@@ -1,0 +1,73 @@
+"""Streaming windowed aggregations: tumbling / sliding / session
+windows with watermark-based late-data handling — all new surface
+(SURVEY §2.8). The session window realizes the reference's designed q02
+gap-sessionization (examples/queries_devel/q02.jl) in streaming form;
+the batch twin is plans/windowed.sessionize_events.
+
+Scale notes: state for windowed aggs is bounded by the watermark (late
+rows beyond it are dropped and state evicted); session windows merge
+per key — skewed users produce hot state partitions, mitigated by the
+same AQE/salting discipline as batch skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-event-type counts in non-overlapping windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select("win.start", "win.end", "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Overlapping windows (each event lands in window/slide windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("win.start", "win.end", "event_type", "n_events")
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessions per user (q02 semantics): a session extends
+    while events arrive within ``gap``; watermark closes sessions and
+    evicts their state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )

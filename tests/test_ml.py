@@ -1,0 +1,74 @@
+"""ML kernel tests — golden-style like the reference's (tiny
+deterministic inputs, known answers): linreg recovers exact
+coefficients on noiseless data, kmeans recovers planted clusters,
+naive bayes separates planted classes, logistic regression separates
+linearly-separable data.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hpat_jl_spark.ml import (
+    assemble_features,
+    kmeans,
+    linear_regression,
+    logistic_regression,
+    naive_bayes,
+)
+
+
+def test_assemble_features(spark):
+    df = spark.createDataFrame([(1.0, 2.0), (3.0, 4.0)], "a double, b double")
+    out = assemble_features(df, ["a", "b"])
+    vecs = [r.features.toArray().tolist() for r in out.collect()]
+    assert sorted(vecs) == [[1.0, 2.0], [3.0, 4.0]]
+
+
+def test_linear_regression_exact(spark):
+    # y = 2a - 3b + 5, noiseless → OLS recovers exactly
+    rows = [(float(a), float(b), 2.0 * a - 3.0 * b + 5.0)
+            for a in range(6) for b in range(6)]
+    df = spark.createDataFrame(rows, "a double, b double, y double")
+    coefs, intercept = linear_regression(df, ["a", "b"], "y")
+    assert coefs == pytest.approx([2.0, -3.0], abs=1e-6)
+    assert intercept == pytest.approx(5.0, abs=1e-6)
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    centers = [(0.0, 0.0), (10.0, 10.0), (-10.0, 10.0)]
+    rows = [
+        (cx + dx * 0.1, cy + dy * 0.1)
+        for cx, cy in centers
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out, got_centers = kmeans(df, ["x", "y"], k=3, seed=7)
+    assert out.select("cluster").distinct().count() == 3
+    got = sorted((round(cx), round(cy)) for cx, cy in got_centers)
+    assert got == sorted((int(cx), int(cy)) for cx, cy in centers)
+    # each planted group lands in one cluster
+    sizes = sorted(r[1] for r in out.groupBy("cluster").count().collect())
+    assert sizes == [9, 9, 9]
+
+
+def test_naive_bayes_separates_classes(spark):
+    rows = [([5.0, 0.0, 1.0], 0.0)] * 10 + [([0.0, 5.0, 1.0], 1.0)] * 10
+    df = spark.createDataFrame(
+        [(a, b, c, lbl) for (a, b, c), lbl in rows],
+        "f1 double, f2 double, f3 double, label double",
+    )
+    out = naive_bayes(df, ["f1", "f2", "f3"], "label")
+    acc = out.filter("prediction = label").count() / out.count()
+    assert acc == 1.0
+
+
+def test_logistic_regression_separates(spark):
+    rows = [(float(x), 0.0 if x < 5 else 1.0) for x in range(10) for _ in range(5)]
+    df = spark.createDataFrame(rows, "x double, label double")
+    coefs, intercept = logistic_regression(df, ["x"], "label")
+    assert coefs[0] > 0  # increasing x → class 1
+    # decision boundary sits between 4 and 5
+    boundary = -intercept / coefs[0]
+    assert 4.0 < boundary < 5.0
