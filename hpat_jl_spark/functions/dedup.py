@@ -56,25 +56,44 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures as one row per doc: columns mh0..mh{H-1}.
 
-    Permutation family: h_i(s) = xxhash64(s, seed=i) mod 2^61-1 —
-    xxhash64 with a per-hash seed is a proper hash family; min over the
-    shingle set approximates the Jaccard permutation argument.
+    Permutation family: the standard single-base-hash affine family
+    h_i(s) = (α_i·h(s) + β_i) mod 2^61-1, h(s) = xxhash64(s) mod 2^31-1,
+    with per-i constants α_i ∈ [1, 2^31) odd, β_i ∈ [0, 2^61) drawn from
+    a fixed-seed RNG — one string hash per shingle, H cheap affine maps.
+    Bounds keep α·h + β < 2^63 (ANSI mode raises on long overflow).
+    (A per-shingle affine variant h_i = a(s)+i·b(s) is NOT min-wise
+    independent — a single shared small-b shingle dominates every i and
+    manufactures false near-dups; caught by the planted-dup tests.)
 
-    Physical shape (the 100 TB-safe one): explode shingles → H hash
-    columns → groupBy(doc) with H min-aggregates. The mins fold
-    map-side (partial hash aggregation), so the shuffle carries exactly
-    (id, H longs) per doc — never the shingles. An earlier
-    expression-tree formulation (array_min over transform, ×H) spent
-    ~20 s in codegen alone at ANY data size; aggregation is the right
-    primitive, not nested array lambdas.
+    Physical shape (the 100 TB-safe one): repartition docs to all cores
+    (tiny local files arrive as one partition; at scale the scan is
+    already split) → explode shingles → 2 hash columns → groupBy(doc)
+    with H min-aggregates. The mins fold map-side (partial hash
+    aggregation), so the shuffle carries exactly (id, H longs) per doc —
+    never the shingles. An earlier expression-tree formulation
+    (array_min over transform, ×H) spent ~20 s in codegen alone at ANY
+    data size; aggregation is the right primitive, not nested array
+    lambdas.
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(text_col, shingle_n)).alias("sh"),
+    import random
+
+    rng = random.Random(20260813)
+    coefs = [
+        (rng.randrange(1, 1 << 31) | 1, rng.randrange(0, 1 << 61))
+        for _ in range(num_hashes)
+    ]
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        docs.repartition(par)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(text_col, shingle_n)).alias("sh"),
+        )
+        .select("id", F.pmod(F.xxhash64("sh"), F.lit((1 << 31) - 1)).alias("h"))
     )
     aggs = [
-        F.min(F.pmod(F.xxhash64("sh", F.lit(i)), F.lit(_MERSENNE))).alias(f"mh{i}")
-        for i in range(num_hashes)
+        F.min(F.pmod(a * F.col("h") + b, F.lit(_MERSENNE))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(coefs)
     ]
     return sh.groupBy("id").agg(*aggs)
 
@@ -156,7 +175,8 @@ def simhash_signatures(
     iff 2·(#tokens with bit b set) > #tokens. All sums fold map-side;
     the shuffle carries (id, bits ints). Same explode→partial-agg
     pattern as minhash_signatures, for the same codegen reason."""
-    toks = docs.select(
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(par).select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
     )
     hashed = toks.select("id", F.xxhash64("tok").alias("h"))

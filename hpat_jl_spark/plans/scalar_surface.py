@@ -1,0 +1,163 @@
+"""Scalar-function surface the reference never had (SURVEY §2.7:
+'String / date / JSON / map functions: None implemented — full F.*
+surface is free in Spark, expose it in the new API'): string ops, date
+parts/arithmetic, JSON extraction, statistical aggregates, exact
+percentiles. One oracle-checked query per family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hpat_jl_spark.registry import register
+from hpat_jl_spark.tables import load_table
+
+
+@register(
+    "string_surface",
+    oracle="""
+SELECT c_custkey,
+       upper(c_name) AS uname,
+       substr(c_mktsegment, 1, 4) AS seg4,
+       concat(c_name, ':', c_mktsegment) AS tagged,
+       CAST(c_name LIKE '%1%' AS BIGINT) AS has_one,
+       regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+       length(c_name) AS name_len,
+       replace(c_mktsegment, 'ING', '*') AS repl
+FROM customer
+""",
+    tags=("scalar",),
+)
+def string_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.substring("c_mktsegment", 1, 4).alias("seg4"),
+        F.concat_ws("", F.col("c_name"), F.lit(":"), F.col("c_mktsegment")).alias(
+            "tagged"
+        ),
+        F.col("c_name").like("%1%").cast("long").alias("has_one"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("digits"),
+        F.length("c_name").alias("name_len"),
+        F.replace(F.col("c_mktsegment"), F.lit("ING"), F.lit("*")).alias("repl"),
+    )
+
+
+@register(
+    "date_surface",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate) AS yr,
+       month(o_orderdate) AS mo,
+       day(o_orderdate) AS dy,
+       date_trunc('month', o_orderdate) AS month_start,
+       date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch_start
+FROM orders
+""",
+    tags=("scalar",),
+)
+def date_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).alias("days_since_epoch_start"),
+    )
+
+
+@register(
+    "json_extract",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+FROM events
+""",
+    tags=("scalar",),
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column extraction (events.props is a JSON string)."""
+    events = load_table(spark, "events", sf_dir)
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+    )
+
+
+@register(
+    "stats_aggregates",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4) AS sd_qty,
+       round(var_samp(l_discount), 6) AS var_disc,
+       round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_cov
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("scalar",),
+)
+def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_cov"
+        ),
+    )
+
+
+@register(
+    "percentiles_exact",
+    oracle="""
+SELECT o_orderstatus,
+       round(median(o_totalprice), 2) AS med_price,
+       round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+       round(quantile_cont(o_totalprice, 0.95), 2) AS p95
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("scalar",),
+)
+def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (percentile_cont semantics in both
+    engines). Scale note: exact percentiles sort each group — the 100 TB
+    path is approx_percentile (t-digest sketch)."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.median("o_totalprice"), 2).alias("med_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 2).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 2).alias("p95"),
+    )
+
+
+@register(
+    "explode_tokens",
+    oracle="""
+SELECT token, count(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents)
+GROUP BY token
+HAVING count(*) > 50
+""",
+    tags=("scalar",),
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode → aggregate (UNNEST twin): corpus token frequencies."""
+    from hpat_jl_spark.functions.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 50)
+    )

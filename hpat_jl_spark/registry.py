@@ -51,6 +51,8 @@ def load_all_plans() -> None:
     import hpat_jl_spark.plans.similarity  # noqa: F401
     import hpat_jl_spark.plans.extended  # noqa: F401
     import hpat_jl_spark.plans.ml_kernels  # noqa: F401
+    import hpat_jl_spark.plans.temporal  # noqa: F401
+    import hpat_jl_spark.plans.scalar_surface  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:
