@@ -82,24 +82,9 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair space is bounded (the label plays the role an IVF/LSH bucket
     plays at 100 TB)."""
     emb = load_table(spark, "embeddings", sf_dir)
-    v = emb.select("vec_id", "label", "embedding")
-    a, b = v.alias("a"), v.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    )
-    cos = F.round(
-        S.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
-    )
-    return (
-        pairs.select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cos.alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") > _NEARDUP_THRESHOLD)
-    )
+    return S.neardup_pairs(
+        emb, bucket_col="label", threshold=_NEARDUP_THRESHOLD
+    ).select("id_a", "id_b", "cosine_sim")
 
 
 @register("knn_lsh", oracle=None, tags=("similarity",))
