@@ -63,6 +63,45 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_filter(out, F.col("ss_item_count") > _Q26_HAVING)
 
 
+_q01_oracle = """
+SELECT part_a, part_b, n_co FROM (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_co
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+ORDER BY n_co DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+@register("q01_copurchase", oracle=_q01_oracle, tags=("bigbench",))
+def q01_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigBench Q01 analogue (reference examples/queries_devel/q01.jl,
+    designed-only: top co-purchased item pairs per ticket via
+    countmap/flatten — unimplementable in the reference's compiler).
+    Market-basket self-join: lineitem ⋈ lineitem on orderkey, pair
+    count, deterministic top-20.
+
+    Scale: the self-join shuffles once on l_orderkey (both sides the
+    same partitioning — no second exchange); the pair explosion is
+    bounded by per-order line counts (~7 max in TPC-H-like data), so
+    output ≈ 21× order count, not quadratic in the table."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    )
+    counted = pairs.groupBy(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    ).agg(F.count(F.lit(1)).alias("n_co"))
+    return counted.orderBy(
+        F.col("n_co").desc(), F.col("part_a"), F.col("part_b")
+    ).limit(20)
+
+
 _q05_oracle = """
 SELECT o_custkey AS cid,
        any_value(c_nationkey) AS nation,

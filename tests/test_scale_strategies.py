@@ -1,0 +1,115 @@
+"""Scale-strategy tests: salted aggregate/join equivalence, bucketed
+co-located join (no shuffle exchange in the plan), checkpoint lineage
+truncation, AQE coalescing — the disciplines the 100 TB design leans on,
+each verified either by result-equivalence or by plan shape.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hpat_jl_spark.operators.skew import salted_aggregate, salted_join
+from hpat_jl_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_aggregate_equals_plain(spark):
+    orders = load_table(spark, "orders", SF)
+    plain = {
+        (r.o_custkey): (r.n, round(r.total, 2))
+        for r in orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total"))
+        .collect()
+    }
+    salted = {
+        (r.o_custkey): (r.n, round(r.total, 2))
+        for r in salted_aggregate(
+            orders,
+            "o_custkey",
+            partial_aggs=[
+                ("s", F.sum("o_totalprice")),
+                ("c", F.count(F.lit(1))),
+            ],
+            final_aggs=[("total", F.sum("s")), ("n", F.sum("c"))],
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equals_plain(spark):
+    orders = load_table(spark, "orders", SF)
+    customer = load_table(spark, "customer", SF)
+    plain = sorted(
+        (r.o_orderkey, r.c_name)
+        for r in orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).select("o_orderkey", "c_name").collect()
+    )
+    salted = sorted(
+        (r.o_orderkey, r.c_name)
+        for r in salted_join(orders, customer, "o_custkey", "c_custkey", 8)
+        .select("o_orderkey", "c_name")
+        .collect()
+    )
+    assert salted == plain
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Bucketing both sides on the join key pre-shuffles at write time —
+    the join then runs with zero exchanges (the co-located join the
+    reference achieved only by always hash-shuffling both sides at
+    query time, reference src/cgen-hpat-pattern-match-table.jl:219-320)."""
+    orders = load_table(spark, "orders", SF)
+    customer = load_table(spark, "customer", SF)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    (orders.write.mode("overwrite").bucketBy(4, "o_custkey")
+     .sortBy("o_custkey").saveAsTable("b_orders"))
+    (customer.write.mode("overwrite").bucketBy(4, "c_custkey")
+     .sortBy("c_custkey").saveAsTable("b_customer"))
+    bo, bc = spark.table("b_orders"), spark.table("b_customer")
+    # disable broadcast so the planner must consider a sort-merge join —
+    # bucketing then supplies the partitioning and no shuffle is needed
+    # (with broadcast on, tiny dims broadcast instead: also shuffle-free)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bo.join(bc, bo.o_custkey == bc.c_custkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        assert j.count() == orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_checkpoint_truncates_lineage(spark, tmp_path):
+    """Reference checkpointing (§2.10) snapshotted loop state to disk;
+    Spark's df.checkpoint materializes and cuts lineage — the iterative-
+    algorithm safety net."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    li = load_table(spark, "lineitem", SF)
+    derived = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    cp = derived.checkpoint(eager=True)
+    assert cp.count() == derived.count()
+    # lineage is cut: the checkpointed plan scans the materialized RDD
+    plan = cp._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan
+
+
+def test_aqe_coalesces_small_shuffle(spark):
+    """With AQE on, a 32-partition shuffle of tiny data coalesces to
+    few partitions at runtime — partition counts adapt to data, not
+    config (the reference's fixed num_pes cannot)."""
+    li = load_table(spark, "lineitem", SF)
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    agg.collect()
+    n_parts = agg.rdd.getNumPartitions()
+    assert n_parts <= 4, f"AQE should coalesce tiny shuffles, got {n_parts}"
