@@ -22,12 +22,16 @@ HEADLINE = [
     "q26",
     "q05",
     "q25",
+    "q01_copurchase",
+    "asof_join_views",
     "cumsum_per_user",
     "sessionize_events",
     "text_stats",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_simhash",
     "knn_bruteforce",
+    "knn_ivf",
     "embedding_neardup",
 ]
 

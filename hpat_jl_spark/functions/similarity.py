@@ -180,6 +180,101 @@ def lsh_buckets(
     return df.withColumn("lsh_bucket", bucket_udf(F.col(vec_col)))
 
 
+def knn_ivf(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) partitioning: KMeans
+    centroids define cells; each candidate is assigned to its nearest
+    cell; each query probes only its ``n_probe`` nearest cells and runs
+    exact cosine there.
+
+    Scale shape: the coarse quantizer (centroid fit) runs on a sample;
+    assignment is one Arrow matmul pass; the probe is a broadcast join
+    of (query, cell) pairs against the cell-partitioned candidates —
+    at 100 TB candidates would be WRITTEN partitioned by cell so probes
+    prune at the storage layer. Recall/cost dial = n_probe/n_centroids.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans as MLKMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = candidates.select(
+        id_col, vec_col, array_to_vector(F.col(vec_col)).alias("__fv")
+    )
+    model = MLKMeans(
+        k=n_centroids, seed=seed, featuresCol="__fv", predictionCol="__cell"
+    ).fit(feats)
+    cents = np.array([c for c in model.clusterCenters()], dtype=np.float64)
+
+    def assign_kernel(batches):
+        for pdf in batches:
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = ((M[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            out = pdf[[id_col, vec_col]].copy()
+            out["__cell"] = d.argmin(axis=1).astype(np.int32)
+            yield out
+
+    assigned = candidates.select(id_col, vec_col).mapInPandas(
+        assign_kernel, f"{id_col} long, {vec_col} array<float>, __cell int"
+    )
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, rank int"
+        )
+    qvecs = {
+        int(r[0]): np.array(list(r[1]), dtype=np.float64) for r in q_rows
+    }
+    qnorm = {qid: v / np.linalg.norm(v) for qid, v in qvecs.items()}
+    probes = []
+    for qid, v in qvecs.items():
+        d = ((cents - v) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:n_probe]:
+            probes.append((qid, int(cell)))
+    probe_df = queries.sparkSession.createDataFrame(
+        probes, "query_id long, __cell int"
+    )
+
+    def score_kernel(batches):
+        for pdf in batches:
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            M = M / np.linalg.norm(M, axis=1, keepdims=True)
+            sims = np.empty(len(pdf))
+            qids = pdf["query_id"].to_numpy()
+            for i, qid in enumerate(qids):
+                sims[i] = M[i] @ qnorm[int(qid)]
+            yield pd.DataFrame(
+                {
+                    "query_id": qids,
+                    "neighbor_id": pdf[id_col].to_numpy(),
+                    "cosine_sim": np.round(sims, 6),
+                }
+            )
+
+    from pyspark.sql import Window
+
+    probed = assigned.join(F.broadcast(probe_df), "__cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = probed.select("query_id", id_col, vec_col).mapInPandas(
+        score_kernel, "query_id long, neighbor_id long, cosine_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def knn_lsh(
     queries: DataFrame,
     candidates: DataFrame,

@@ -87,6 +87,20 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "cosine_sim")
 
 
+@register("knn_ivf", oracle=None, tags=("similarity",))
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF cells (KMeans coarse quantizer +
+    n_probe nearest cells per query) — the storage-partitionable ANN
+    path. Rows-only check; twin-retrieval and recall pinned in
+    tests/test_similarity.py."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    out = S.knn_ivf(queries, emb, k=_K, n_centroids=8, n_probe=3)
+    return out.select(
+        "query_id", "neighbor_id", "cosine_sim", F.col("rank").alias("knn_rank")
+    )
+
+
 @register("knn_lsh", oracle=None, tags=("similarity",))
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH bucketing — the

@@ -49,16 +49,49 @@ FROM stats
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, quality scoring, language-ID heuristic and
     fingerprinting in one scan — all built-in-function compositions
-    (functions/text.py), zero Python in the plan."""
+    (functions/text.py), zero Python in the plan.
+
+    Tokenization/ratios are materialized ONCE in a staged projection and
+    reused — the naive composition re-evaluates split+filter per derived
+    column (quality_score alone embeds three tokenizations; Catalyst's
+    subexpression elimination doesn't span the lambda functions)."""
     docs = load_table(spark, "documents", sf_dir)
-    sw = X.stopword_ratio("text")
-    return docs.select(
+    par = spark.sparkContext.defaultParallelism
+    staged = docs.repartition(par).select(
         "doc_id",
-        X.token_count("text").alias("n_tokens"),
-        F.round(sw, 4).alias("stopword_ratio"),
-        F.round(X.punct_ratio("text"), 4).alias("punct_ratio"),
-        F.round(X.quality_score("text"), 4).alias("quality"),
-        X.lang_guess("text").alias("lang_guess"),
+        "text",
+        X.tokens("text").alias("__toks"),
+        F.lower("text").alias("__lowered"),
+    )
+    ratios = staged.select(
+        "doc_id",
+        "text",
+        F.size("__toks").alias("n_tokens"),
+        (
+            F.size(F.filter("__toks", X._in_stopwords)).cast("double")
+            / F.size("__toks")
+        ).alias("__sw"),
+        (
+            F.length(F.regexp_replace("__lowered", r"[a-z0-9\s]", "")).cast(
+                "double"
+            )
+            / F.length("__lowered")
+        ).alias("__pr"),
+    )
+    quality = (
+        0.4 * F.least(F.col("__sw") * 5.0, F.lit(1.0))
+        + 0.3 * (1.0 - F.col("__pr"))
+        + 0.3 * F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0))
+    )
+    return ratios.select(
+        "doc_id",
+        "n_tokens",
+        F.round("__sw", 4).alias("stopword_ratio"),
+        F.round("__pr", 4).alias("punct_ratio"),
+        F.round(quality, 4).alias("quality"),
+        F.when(F.col("__sw") > 0.05, F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("lang_guess"),
         X.fingerprint("text").alias("fingerprint"),
     )
 

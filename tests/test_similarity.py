@@ -51,6 +51,35 @@ def test_lsh_identical_vectors_collide(vectors):
         assert buckets[vid] == buckets[vid + 1000]
 
 
+def test_ivf_finds_planted_twin(vectors):
+    """knn_ivf must place an identical twin in the same IVF cell and
+    retrieve it at rank 1 with cosine 1.0."""
+    twin = vectors.filter("vec_id = 0").selectExpr("600 AS vec_id", "embedding")
+    cands = vectors.union(twin)
+    out = S.knn_ivf(
+        vectors.filter("vec_id = 0"), cands, k=3,
+        n_centroids=4, n_probe=2,
+    )
+    top = out.filter("rank = 1").collect()[0]
+    assert top.neighbor_id == 600
+    assert top.cosine_sim == 1.0
+
+
+def test_ivf_recall_reasonable(vectors):
+    """Probing half the cells on small data should recover most of the
+    exact top-3."""
+    q = vectors.filter("vec_id IN (0, 2, 10)")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_bruteforce(q, vectors, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_ivf(q, vectors, k=3, n_centroids=4, n_probe=2).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.5
+
+
 def test_lsh_finds_planted_twin(vectors):
     """knn_lsh must retrieve an exact twin (cosine 1.0) at rank 1."""
     twin = vectors.filter("vec_id = 0").selectExpr(
