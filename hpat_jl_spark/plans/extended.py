@@ -129,6 +129,67 @@ def collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "grouping_sets_sales",
+    oracle="""
+SELECT coalesce(l_returnflag, '(all)') AS flag,
+       coalesce(o_orderpriority, '(all)') AS priority,
+       round(sum(l_extendedprice), 2) AS total
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY GROUPING SETS ((l_returnflag), (o_orderpriority))
+""",
+    tags=("extended",),
+)
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube): totals by flag
+    and, separately, by priority, in one pass over the join."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    li_path = f"{sf_dir}/lineitem.parquet"
+    o_path = f"{sf_dir}/orders.parquet"
+    spark.read.parquet(li_path).createOrReplaceTempView("__gs_lineitem")
+    spark.read.parquet(o_path).createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, '(all)') AS flag,
+               coalesce(o_orderpriority, '(all)') AS priority,
+               round(sum(l_extendedprice), 2) AS total
+        FROM __gs_lineitem JOIN __gs_orders ON l_orderkey = o_orderkey
+        GROUP BY GROUPING SETS ((l_returnflag), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "range_frame_window",
+    oracle="""
+SELECT event_id, user_id,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2)
+         AS value_last_hour
+FROM events
+""",
+    tags=("extended",),
+)
+def range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame: per event, the sum of the user's values in
+    the trailing hour — a value-based frame (rangeBetween), not a
+    row-count frame; the time-series primitive behind rolling metrics."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("value_last_hour"),
+    )
+
+
 @register("approx_distinct", oracle=None, tags=("extended",))
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ count-distinct — the 100 TB path for

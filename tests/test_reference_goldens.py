@@ -99,6 +99,24 @@ def test_cumsum_golden(spark):
     assert out.agg(F.sum("c")).collect()[0][0] == 15.0
 
 
+def test_cumsum_chunked_equals_global(spark):
+    # the two-pass distributed prefix sum (reference's Exscan algorithm,
+    # relational form) must equal the single-window global cumsum
+    from hpat_jl_spark.tables import load_table
+
+    events = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id", "value"
+    )
+    from hpat_jl_spark.operators.windowed import cumsum, cumsum_chunked
+
+    g = {r.event_id: round(r.c, 6) for r in cumsum(events, "value", "event_id", "c").collect()}
+    ch = {
+        r.event_id: round(r.c, 6)
+        for r in cumsum_chunked(events, "value", "event_id", "c", num_chunks=7).collect()
+    }
+    assert ch == g
+
+
 def test_q26_small_golden(spark):
     # reference test/q26_test.jl:41-51,93-95 small golden
     sales = spark.createDataFrame(
