@@ -189,6 +189,8 @@ def knn_ivf(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    max_iter: int = 5,
+    fit_sample: float | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) partitioning: KMeans
     centroids define cells; each candidate is assigned to its nearest
@@ -205,11 +207,20 @@ def knn_ivf(
     from pyspark.ml.clustering import KMeans as MLKMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = candidates.select(
-        id_col, vec_col, array_to_vector(F.col(vec_col)).alias("__fv")
+    fit_src = (
+        candidates.sample(fit_sample, seed=seed) if fit_sample else candidates
     )
+    # coalesce the fit input: KMeans iterations are treeAggregate jobs
+    # whose per-partition overhead dwarfs the math on a coarse-quantizer
+    # sample; a handful of partitions is plenty
+    feats = fit_src.select(
+        id_col, vec_col, array_to_vector(F.col(vec_col)).alias("__fv")
+    ).coalesce(4)
+    # few Lloyd iterations suffice for a coarse quantizer — cells need
+    # to be balanced, not converged
     model = MLKMeans(
-        k=n_centroids, seed=seed, featuresCol="__fv", predictionCol="__cell"
+        k=n_centroids, maxIter=max_iter, seed=seed, featuresCol="__fv",
+        predictionCol="__cell",
     ).fit(feats)
     cents = np.array([c for c in model.clusterCenters()], dtype=np.float64)
 

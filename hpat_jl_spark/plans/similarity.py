@@ -95,7 +95,9 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    out = S.knn_ivf(queries, emb, k=_K, n_centroids=8, n_probe=3)
+    out = S.knn_ivf(
+        queries, emb, k=_K, n_centroids=8, n_probe=3, fit_sample=0.25
+    )
     return out.select(
         "query_id", "neighbor_id", "cosine_sim", F.col("rank").alias("knn_rank")
     )
