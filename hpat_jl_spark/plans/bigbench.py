@@ -32,7 +32,7 @@ _Q26_HAVING = 1
 _q26_oracle = f"""
 SELECT l_suppkey AS cid,
        count(*) AS ss_item_count,
-       {', '.join(f"sum(CASE WHEN p_size = {k} THEN 1 ELSE 0 END) AS id{k}" for k in range(1, _Q26_N_CLASSES + 1))}
+       {', '.join(f"CAST(sum(CASE WHEN p_size = {k} THEN 1 ELSE 0 END) AS BIGINT) AS id{k}" for k in range(1, _Q26_N_CLASSES + 1))}
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_type = 'PROMO'
 GROUP BY l_suppkey
@@ -106,19 +106,21 @@ _q05_oracle = """
 SELECT o_custkey AS cid,
        any_value(c_nationkey) AS nation,
        any_value(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS is_building,
-       sum(promo_clicks) AS clicks_in_category,
-       sum(id1) AS id1, sum(id2) AS id2, sum(id3) AS id3, sum(id4) AS id4,
-       sum(id5) AS id5, sum(id6) AS id6, sum(id7) AS id7
+       CAST(sum(promo_clicks) AS BIGINT) AS clicks_in_category,
+       CAST(sum(id1) AS BIGINT) AS id1, CAST(sum(id2) AS BIGINT) AS id2,
+       CAST(sum(id3) AS BIGINT) AS id3, CAST(sum(id4) AS BIGINT) AS id4,
+       CAST(sum(id5) AS BIGINT) AS id5, CAST(sum(id6) AS BIGINT) AS id6,
+       CAST(sum(id7) AS BIGINT) AS id7
 FROM (
   SELECT l_orderkey,
-         sum(CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END) AS promo_clicks,
-         sum(CASE WHEN p_size % 7 = 1 THEN 1 ELSE 0 END) AS id1,
-         sum(CASE WHEN p_size % 7 = 2 THEN 1 ELSE 0 END) AS id2,
-         sum(CASE WHEN p_size % 7 = 3 THEN 1 ELSE 0 END) AS id3,
-         sum(CASE WHEN p_size % 7 = 4 THEN 1 ELSE 0 END) AS id4,
-         sum(CASE WHEN p_size % 7 = 5 THEN 1 ELSE 0 END) AS id5,
-         sum(CASE WHEN p_size % 7 = 6 THEN 1 ELSE 0 END) AS id6,
-         sum(CASE WHEN p_size % 7 = 0 THEN 1 ELSE 0 END) AS id7
+         CAST(sum(CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END) AS BIGINT) AS promo_clicks,
+         CAST(sum(CASE WHEN p_size % 7 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS id1,
+         CAST(sum(CASE WHEN p_size % 7 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS id2,
+         CAST(sum(CASE WHEN p_size % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS id3,
+         CAST(sum(CASE WHEN p_size % 7 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS id4,
+         CAST(sum(CASE WHEN p_size % 7 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS id5,
+         CAST(sum(CASE WHEN p_size % 7 = 6 THEN 1 ELSE 0 END) AS BIGINT) AS id6,
+         CAST(sum(CASE WHEN p_size % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS id7
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE l_partkey IS NOT NULL
   GROUP BY l_orderkey

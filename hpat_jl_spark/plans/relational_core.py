@@ -189,7 +189,7 @@ def agg_sum_count_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_conditional",
     oracle="""
 SELECT l_returnflag,
-       sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted,
+       CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
        sum(CASE WHEN l_quantity >= 30 THEN l_quantity ELSE 0 END) AS bulk_qty,
        round(avg(l_extendedprice), 4) AS avg_price
 FROM lineitem

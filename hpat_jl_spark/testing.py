@@ -44,6 +44,20 @@ def compare_frames(actual: pd.DataFrame, expected: pd.DataFrame) -> list[str]:
             f"oracle={sorted(expected.columns)}"
         )
         return problems
+    # dtype KIND must align (int vs float): DuckDB materializes integer
+    # sums as HUGEINT→float64, which survives a value-tolerant local
+    # compare but can break a strict driver-side value hash (1 vs 1.0)
+    for c in actual.columns:
+        ka = actual[c].dtype.kind
+        ke = expected[c].dtype.kind
+        if {ka, ke} == {"i", "f"}:
+            problems.append(
+                f"column {c!r} dtype kind differs: spark={actual[c].dtype} "
+                f"oracle={expected[c].dtype} — cast the oracle (::BIGINT) "
+                f"or the Spark column so both sides agree"
+            )
+    if problems:
+        return problems
     if len(actual) != len(expected):
         problems.append(f"row count differs: spark={len(actual)} oracle={len(expected)}")
         return problems
