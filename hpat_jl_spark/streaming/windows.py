@@ -48,6 +48,52 @@ def sliding_counts(
     )
 
 
+def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: enrich the stream with a dimension table
+    (re-read per micro-batch; broadcast by Catalyst when small). The
+    streaming plan is identical to the batch join — the static side is
+    simply not incremental."""
+    return events.join(dim, on, "left")
+
+
+def stream_stream_purchase_after_view(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Stream-stream inner join: purchases matched to views by the same
+    user within the preceding ``window_seconds``. Both sides buffer
+    state bounded by the watermark + the time-range condition (Spark
+    evicts rows that can no longer match)."""
+    from pyspark.sql import functions as F2
+
+    views = (
+        events.filter(F2.col("event_type") == "view")
+        .select(
+            F2.col("user_id").alias("v_user"),
+            F2.col("ts").alias("v_ts"),
+            F2.col("value").alias("v_value"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        events.filter(F2.col("event_type") == "purchase")
+        .select(
+            F2.col("user_id").alias("p_user"),
+            F2.col("ts").alias("p_ts"),
+            F2.col("event_id").alias("p_event_id"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        (F2.col("p_user") == F2.col("v_user"))
+        & (F2.col("v_ts") <= F2.col("p_ts"))
+        & (F2.col("v_ts") >= F2.col("p_ts") - F2.expr(f"INTERVAL {window_seconds} SECONDS")),
+        "inner",
+    ).select("p_event_id", "p_user", "p_ts", "v_ts", "v_value")
+
+
 def sessionize_stream(
     events: DataFrame,
     gap: str = "1 hour",

@@ -51,6 +51,51 @@ def test_tumbling_counts_match_batch(spark, events_dir):
     assert int(got["n_events"].sum()) == 1000  # every event in one window
 
 
+def test_stream_static_join(spark, events_dir):
+    from hpat_jl_spark.streaming.windows import enrich_with_dim
+
+    dim = spark.createDataFrame(
+        [(u, f"user-{u}") for u in range(20)], "user_id long, user_name string"
+    )
+    stream = stream_events(spark, events_dir)
+    enriched = enrich_with_dim(stream, dim, "user_id").groupBy("user_name").count()
+    got = _run_stream(spark, enriched, "enriched").toPandas()
+    assert int(got["count"].sum()) == 1000
+    assert got["user_name"].notna().all()
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    from hpat_jl_spark.streaming.windows import stream_stream_purchase_after_view
+
+    stream = stream_events(spark, events_dir)
+    j = stream_stream_purchase_after_view(stream)
+    q = (
+        j.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("ss_join").toPandas()
+    # batch twin on the same data
+    ev = load_table(spark, "events", SF)
+    views = ev.filter("event_type = 'view'").selectExpr(
+        "user_id v_user", "ts v_ts", "value v_value"
+    )
+    purchases = ev.filter("event_type = 'purchase'").selectExpr(
+        "user_id p_user", "ts p_ts", "event_id p_event_id"
+    )
+    batch = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 3600 SECONDS")),
+    ).count()
+    assert len(got) == batch
+    assert len(got) > 0
+
+
 def test_sessionize_stream_matches_batch_sessions(spark, events_dir):
     from hpat_jl_spark.plans.windowed import sessionize_events
 
