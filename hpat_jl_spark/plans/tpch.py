@@ -93,6 +93,39 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q18_large_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total,
+       round(qty, 2) AS qty
+FROM orders JOIN (
+  SELECT l_orderkey, sum(l_quantity) AS qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 150
+) big ON o_orderkey = big.l_orderkey
+""",
+    tags=("tpch",),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate subquery with HAVING feeding a join —
+    the aggregate-then-join pattern (the subquery output is tiny, so
+    AQE broadcasts it into the orders join at runtime)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 150)
+    )
+    return orders.join(big, orders.o_orderkey == big.l_orderkey).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("total"),
+        F.round("qty", 2).alias("qty"),
+    )
+
+
+@register(
     "q3_shipping_priority",
     oracle="""
 SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
