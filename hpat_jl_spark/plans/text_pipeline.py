@@ -96,6 +96,123 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_token_bpe_oracle = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpe_tokens,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens
+FROM documents
+"""
+
+
+@register("token_count_bpe", oracle=_token_bpe_oracle, tags=("text",))
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenization (word / number / punctuation split, the
+    regex approximation of a GPT-2-style pre-tokenizer) next to plain
+    whitespace counting — the token-budget accounting pass of a
+    training-data pipeline."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(X.tokens("text")).alias("n_ws_tokens"),
+    )
+
+
+_ROLL_SALTS = ("s0", "s1", "s2", "s3")
+
+_rolling_oracle = f"""
+SELECT doc_id,
+       {', '.join(
+           "list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1), "
+           f"i -> md5('{s}' || substr(text, i, 8)))) AS fp{k}"
+           for k, s in enumerate(_ROLL_SALTS)
+       )}
+FROM documents
+"""
+
+
+@register("rolling_fingerprint", oracle=_rolling_oracle, tags=("text",))
+def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: the minimum hash over all
+    character 8-gram windows, under 4 salted hash families (min-
+    selection is robust to local edits, unlike whole-document md5; a
+    single global min over-collides on shared-vocabulary corpora — 116
+    distinct values across 500 fixture docs — so the fingerprint is the
+    4-tuple, which collides only for genuinely near-identical text)."""
+    docs = load_table(spark, "documents", sf_dir)
+    idx = F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1)))
+
+    def hasher(salt: str):
+        # single-arg lambda: a 2-arg lambda would make F.transform pass
+        # (element, index) and silently shadow the salt
+        return lambda i: F.md5(
+            F.concat(F.lit(salt), F.col("text").substr(i, F.lit(8)))
+        )
+
+    cols = [
+        F.array_min(F.transform(idx, hasher(s))).alias(f"fp{k}")
+        for k, s in enumerate(_ROLL_SALTS)
+    ]
+    return docs.select("doc_id", *cols)
+
+
+_clean_pipeline_oracle = f"""
+WITH scored AS (
+  SELECT doc_id, lang, source, text,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x IN ({_STOP_SQL})))::DOUBLE
+           / len(regexp_split_to_array(trim(text), '\\s+')) AS sw,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+), kept AS (
+  SELECT * FROM scored
+  WHERE n_tokens >= 20 AND sw > 0.02
+), deduped AS (
+  SELECT fp, min(doc_id) AS keep_id,
+         arg_min(lang, doc_id) AS lang,
+         arg_min(source, doc_id) AS source
+  FROM kept GROUP BY fp
+)
+SELECT lang, source, count(*) AS n_docs
+FROM deduped
+GROUP BY lang, source
+"""
+
+
+@register("corpus_clean_pipeline", oracle=_clean_pipeline_oracle, tags=("text",))
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning: quality gate (length + stopword
+    density) → exact dedup (keep lowest id per fingerprint) → per
+    (lang, source) survivor counts. The composition every training-data
+    pipeline runs, as ONE Catalyst plan: scan → filter → two hash
+    aggregates; text never shuffles twice (the dedup shuffle carries
+    fingerprints, the count shuffle carries group keys)."""
+    docs = load_table(spark, "documents", sf_dir)
+    sw = X.stopword_ratio("text")
+    n_tokens = X.token_count("text")
+    kept = docs.select(
+        "doc_id", "lang", "source",
+        X.fingerprint("text").alias("fp"),
+        sw.alias("__sw"), n_tokens.alias("__nt"),
+    ).filter((F.col("__nt") >= 20) & (F.col("__sw") > 0.02))
+    # attributes of the KEPT doc (min doc_id) — min_by/arg_min keeps the
+    # group deterministic even if identical text appears under two
+    # different (lang, source) labels
+    deduped = kept.groupBy("fp").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("source", "doc_id").alias("source"),
+    )
+    return deduped.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 _dedup_exact_oracle = """
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
        min(doc_id) AS keep_id,
