@@ -31,7 +31,7 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_simhash",
     "knn_bruteforce",
-    "knn_ivf",
+    "knn_lsh",
     "embedding_neardup",
 ]
 

@@ -303,21 +303,51 @@ def knn_lsh(
     qb = lsh_buckets(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
         "q_vec", num_planes, dim=dim,
-    )
+    ).select("query_id", "q_vec", "lsh_bucket")
     cb = lsh_buckets(
         candidates.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
         ),
         "c_vec", num_planes, dim=dim,
     )
-    scored = (
-        cb.join(qb, "lsh_bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+    # queries are the small probe side: ship their normalized vectors
+    # into an Arrow kernel and score candidate batches with numpy (the
+    # Column-fold cosine is interpreted per element — ~10× slower)
+    q_rows = qb.collect()
+    if not q_rows:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, rank int"
         )
+    qnorm = {}
+    for r in q_rows:
+        v = np.array(list(r.q_vec), dtype=np.float64)
+        qnorm[int(r.query_id)] = v / np.linalg.norm(v)
+    probe = queries.sparkSession.createDataFrame(
+        [(int(r.query_id), int(r.lsh_bucket)) for r in q_rows],
+        "query_id long, lsh_bucket long",
+    )
+
+    def score_kernel(batches):
+        for pdf in batches:
+            M = np.vstack(pdf["c_vec"].to_numpy()).astype(np.float64)
+            M = M / np.linalg.norm(M, axis=1, keepdims=True)
+            sims = np.empty(len(pdf))
+            qids = pdf["query_id"].to_numpy()
+            for i, qid in enumerate(qids):
+                sims[i] = M[i] @ qnorm[int(qid)]
+            yield pd.DataFrame(
+                {
+                    "query_id": qids,
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "cosine_sim": np.round(sims, 6),
+                }
+            )
+
+    scored = (
+        cb.join(F.broadcast(probe), "lsh_bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "c_vec")
+        .mapInPandas(score_kernel, "query_id long, neighbor_id long, cosine_sim double")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")

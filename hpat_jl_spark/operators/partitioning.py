@@ -1,0 +1,50 @@
+"""Partitioning control — the reference's partitioning lattice
+(reference src/HPAT.jl:67: SEQ < ONE_D_VAR < TWO_D < ONE_D; fixed-point
+inference in src/distributed-pass-ast-walk.jl:34-58; user override
+`@partitioned(X, HPAT_1D|HPAT_2D|HPAT_SEQ)` src/capture-api.jl:186-206)
+mapped onto Spark's runtime partitioning:
+
+  ONE_D      block rows        → a DataFrame's native partitioning
+  ONE_D_VAR  variable chunks   → any post-shuffle DataFrame (the norm)
+  SEQ        replicated        → broadcast(df) / collected driver value
+  TWO_D      block-cyclic 2-D  → out of relational scope (Spark ML
+                                 BlockMatrix; see tests/test_linalg.py
+                                 for the gemm path)
+
+The reference needed this analysis because data placement was compiled
+in; Spark decides placement at runtime, so the user surface reduces to
+HINTS for the three cases that matter in practice, wrapped here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def partition_by_key(df: DataFrame, *keys: str, n: int | None = None) -> DataFrame:
+    """Hash-partition on join/agg keys (the reference's `key % num_pes`
+    bucketing made explicit). Pre-partitioning both sides of a repeated
+    join on the same key lets Catalyst drop the second exchange."""
+    return df.repartition(n, *keys) if n else df.repartition(*keys)
+
+
+def partition_by_range(df: DataFrame, *cols: Column | str, n: int | None = None) -> DataFrame:
+    """Range-partition (sorted block partitioning — the closest analogue
+    of the reference's ONE_D over an ordered file). Gives
+    min/max-prunable files when written, and sort-free windows within
+    partitions."""
+    return df.repartitionByRange(n, *cols) if n else df.repartitionByRange(*cols)
+
+
+def replicate(df: DataFrame) -> DataFrame:
+    """SEQ / replicated: mark a (small) frame for broadcast — every
+    executor gets a full copy, as every MPI rank held SEQ arrays."""
+    return F.broadcast(df)
+
+
+def coalesce_small(df: DataFrame, n: int = 1) -> DataFrame:
+    """Shrink partition count without a shuffle (output-file control);
+    the inverse of the reference's rebalance (which equalized chunks —
+    unnecessary in Spark, tasks tolerate uneven input)."""
+    return df.coalesce(n)
