@@ -45,6 +45,52 @@ def asof_join_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_q03_oracle = """
+SELECT p.event_id, p.user_id,
+       count(v.v_ts) AS views_before,
+       round(coalesce(sum(v.v_value), 0.0), 2) AS viewed_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id AS v_user, ts AS v_ts, value AS v_value
+           FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.v_user
+ AND v.v_ts <= p.ts
+ AND v.v_ts >= p.ts - INTERVAL 24 HOURS
+GROUP BY p.event_id, p.user_id
+"""
+
+
+@register("q03_views_before_purchase", oracle=_q03_oracle, tags=("temporal", "bigbench"))
+def q03_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigBench Q03 analogue (reference examples/queries_devel/q03.jl,
+    designed-only: items viewed in the session before each purchase):
+    per purchase, the count and value of the user's views in the
+    preceding 24 h — a batch time-range join (the streaming twin is
+    streaming/windows.stream_stream_purchase_after_view).
+
+    Scale: the join shuffles both sides once on user_id; the range
+    predicate bounds the per-user pair fan-out by the 24 h window."""
+    events = load_table(spark, "events", sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("value").alias("v_value"),
+    )
+    j = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("ts"))
+        & (F.col("v_ts") >= F.col("ts") - F.expr("INTERVAL 24 HOURS")),
+        "left",
+    )
+    return j.groupBy("event_id", "user_id").agg(
+        F.count("v_ts").alias("views_before"),
+        F.round(F.coalesce(F.sum("v_value"), F.lit(0.0)), 2).alias("viewed_value"),
+    )
+
+
 _range_oracle = """
 SELECT s.s_suppkey, c.c_custkey,
        round(s.s_acctbal - c.c_acctbal, 2) AS bal_gap

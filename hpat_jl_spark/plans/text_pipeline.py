@@ -260,6 +260,37 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_split_oracle = """
+SELECT lang,
+       CASE WHEN substr(md5(text), 1, 1) BETWEEN '0' AND 'b' THEN 'train'
+            ELSE 'eval' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@register("train_test_split", oracle=_split_oracle, tags=("text",))
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/eval split (first md5 nibble:
+    0-b → train = 12/16 = 75%). Content-addressed splitting survives
+    re-shards and re-ingestion — row-number or random splits don't;
+    this is the standard trick for reproducible corpus splits."""
+    docs = load_table(spark, "documents", sf_dir)
+    split = F.when(
+        F.substring(F.md5("text"), 1, 1).between("0", "b"), F.lit("train")
+    ).otherwise(F.lit("eval"))
+    return (
+        docs.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 @register("dedup_minhash", oracle=None, tags=("dedup",))
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (shingle → 32 minhashes → 8
