@@ -1,0 +1,68 @@
+"""Iterative relational algorithms with checkpointed lineage — the
+reference's entry point C (`@acc hpat_checkpoint`, reference
+src/HPAT.jl:221-275 + src/checkpoint.jl: snapshot live loop state every
+sqrt(2·cost·MTTF) hours and generate a _restart twin).
+
+Spark's equivalents are (a) automatic task re-execution for transient
+failures, and (b) `localCheckpoint`/`checkpoint` to truncate lineage in
+loops — without it, iteration k's plan contains all k-1 predecessors
+and planning time grows superlinearly. `connected_components` below is
+the canonical iterative-relational demo (label propagation to
+fixpoint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Label propagation: every vertex converges to the minimum vertex
+    id in its component. Returns (vertex, component).
+
+    Per iteration: candidate labels flow across edges (both directions),
+    vertices take the min of their own and neighbors' labels; stop when
+    no label changed. Lineage is truncated every ``checkpoint_every``
+    iterations (localCheckpoint — RDD blocks on executors, no HDFS
+    round-trip; use .checkpoint() where executor loss must be survivable,
+    which is the reference's disk-snapshot semantics).
+    """
+    both = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    labels = (
+        both.select(F.col("a").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+    )
+    for i in range(max_iter):
+        neighbor_labels = (
+            both.join(labels, both.a == labels.vertex)
+            .select(F.col("b").alias("vertex"), F.col("component"))
+        )
+        new_labels = (
+            labels.select("vertex", "component")
+            .union(neighbor_labels)
+            .groupBy("vertex")
+            .agg(F.min("component").alias("component"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -1,0 +1,59 @@
+"""Run every reference-parity example at toy scale (the reference's
+examples/, SURVEY §2.7/§2.9/§6) + the checkpointed iterative algorithm
+(entry point C)."""
+
+from __future__ import annotations
+
+import math
+
+from examples.blackscholes import price_options, synthesize as synth_bs
+from examples.linear_regression import run as run_linreg
+from examples.logistic_regression import synthesize as synth_lr
+from examples.logistic_regression import train as train_lr
+from examples.pi import estimate_pi
+from hpat_jl_spark.operators.iterative import connected_components
+
+
+def test_pi_example(spark):
+    est = estimate_pi(spark, 200_000)
+    assert abs(est - math.pi) < 0.02
+
+
+def test_logreg_example(spark):
+    coefs, intercept = train_lr(synth_lr(spark, 5_000, 4), 4, max_iter=15)
+    # separable sum(f) > d/2 boundary → all positive coefficients
+    assert all(c > 0 for c in coefs)
+
+
+def test_linreg_example(spark):
+    coefs, intercept = run_linreg(spark, 5_000)
+    assert round(coefs[0], 3) == 3.0
+    assert round(coefs[1], 3) == -2.0
+    assert round(intercept, 3) == 1.0
+
+
+def test_blackscholes_example(spark):
+    import math as m
+
+    out = price_options(synth_bs(spark, 500)).collect()
+    for r in out:
+        # call/put positivity + parity
+        assert r.call > 0 and r.put >= 0
+        parity = r.call - r.put - (r.price - r.strike * m.exp(-0.02 * r.t))
+        assert abs(parity) < 1e-9
+    # spot-check one row against exact math.erf pricing
+    r = out[0]
+    d1 = (m.log(r.price / r.strike) + (0.02 + 0.09 / 2) * r.t) / (0.3 * m.sqrt(r.t))
+    d2 = d1 - 0.3 * m.sqrt(r.t)
+    phi = lambda x: 0.5 * (1 + m.erf(x / m.sqrt(2)))
+    exact = r.price * phi(d1) - r.strike * m.exp(-0.02 * r.t) * phi(d2)
+    assert abs(r.call - exact) < 1e-4  # A&S approximation error bound
+
+
+def test_connected_components(spark):
+    # two components: {1,2,3,4} via chain, {10,11}; singleton 99 absent
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    out = {r.vertex: r.component for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
