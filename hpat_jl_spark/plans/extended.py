@@ -205,6 +205,77 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multi_key_join",
+    oracle="""
+SELECT a.o_custkey AS cid, a.o_orderstatus AS status, count(*) AS n_pairs
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_orderstatus = b.o_orderstatus
+ AND a.o_orderkey < b.o_orderkey
+GROUP BY 1, 2
+""",
+    tags=("extended",),
+)
+def multi_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key equi-join — absent in the reference (SURVEY §2.3:
+    single equality key only); native in Spark (both keys enter the
+    shuffle hash). Self-join: pairs of same-status orders per customer."""
+    orders = load_table(spark, "orders", sf_dir)
+    a, b = orders.alias("a"), orders.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_orderstatus") == F.col("b.o_orderstatus"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+    )
+    return pairs.groupBy(
+        F.col("a.o_custkey").alias("cid"),
+        F.col("a.o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@register(
+    "udaf_mad",
+    oracle="""
+SELECT user_id,
+       count(*) AS n,
+       round(mad(value)::DOUBLE, 4) AS value_mad
+FROM events
+GROUP BY user_id
+""",
+    tags=("extended", "udaf"),
+)
+def udaf_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped UDAF via applyInPandas: median absolute deviation
+    per user — a holistic aggregate Spark has no built-in for (the
+    reference's compiled-closure UDF surface, SURVEY §2.9, answered
+    with an Arrow grouped kernel). The whole group materializes in the
+    kernel — at 100 TB that bounds group size, exactly the holistic-
+    aggregate tradeoff (or switch to an approx sketch)."""
+    import numpy as np
+    import pandas as pd
+
+    events = load_table(spark, "events", sf_dir)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        med = np.median(v)
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n": [len(v)],
+                "value_mad": [round(float(np.median(np.abs(v - med))), 4)],
+            }
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(kernel, "user_id long, n long, value_mad double")
+    )
+
+
+@register(
     "math_surface",
     oracle="""
 SELECT l_orderkey, l_linenumber,
