@@ -91,6 +91,41 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "conditional_exprs",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       coalesce(nullif(l_returnflag, 'N'), 'NONE') AS flag_or_none,
+       greatest(l_discount, l_tax) AS max_rate,
+       least(l_quantity, 25.0) AS capped_qty,
+       CASE WHEN l_discount > 0.05 THEN 'high'
+            WHEN l_discount > 0.02 THEN 'mid'
+            ELSE 'low' END AS disc_band,
+       CAST(l_quantity BETWEEN 10 AND 20 AS BIGINT) AS mid_qty
+FROM lineitem
+""",
+    tags=("scalar",),
+)
+def conditional_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-expression surface: coalesce / nullif / greatest /
+    least / multi-branch CASE / BETWEEN — all codegen'd branches."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(
+            F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("NONE")
+        ).alias("flag_or_none"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least(F.col("l_quantity"), F.lit(25.0)).alias("capped_qty"),
+        F.when(F.col("l_discount") > 0.05, "high")
+        .when(F.col("l_discount") > 0.02, "mid")
+        .otherwise("low")
+        .alias("disc_band"),
+        F.col("l_quantity").between(10, 20).cast("long").alias("mid_qty"),
+    )
+
+
+@register(
     "stats_aggregates",
     oracle="""
 SELECT l_returnflag,

@@ -94,6 +94,37 @@ def rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rank_functions_suite",
+    oracle="""
+SELECT o_orderkey,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+    tags=("window",),
+)
+def rank_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full analytic-function surface (SURVEY §2.5 'Not present' in
+    the reference): ntile / percent_rank / cume_dist / rank /
+    dense_rank in one pass. Unique (price, orderkey) ordering keeps
+    every function deterministic."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@register(
     "topk_per_customer",
     oracle="""
 SELECT o_custkey, o_orderkey, o_totalprice FROM (

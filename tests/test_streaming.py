@@ -96,6 +96,24 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     assert len(got) > 0
 
 
+def test_streaming_dedup_drop_duplicates(spark, events_dir):
+    """Streaming exact dedup: dropDuplicates within the watermark —
+    the streaming twin of the batch dedup pass (duplicate event_ids
+    from a doubled source collapse to one)."""
+    d2 = events_dir + "_dup"
+    import os
+    import shutil as sh
+
+    os.makedirs(d2, exist_ok=True)
+    sh.copy(f"{SF}/events.parquet", f"{d2}/a.parquet")
+    sh.copy(f"{SF}/events.parquet", f"{d2}/b.parquet")  # exact duplicates
+    stream = stream_events(spark, d2)
+    deduped = stream.withWatermark("ts", "2 hours").dropDuplicates(["event_id"])
+    agg = deduped.groupBy().count()
+    got = _run_stream(spark, agg, "dedup_stream").toPandas()
+    assert int(got["count"].iloc[0]) == 1000  # 2000 rows → 1000 unique
+
+
 def test_sessionize_stream_matches_batch_sessions(spark, events_dir):
     from hpat_jl_spark.plans.windowed import sessionize_events
 
