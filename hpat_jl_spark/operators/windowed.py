@@ -43,35 +43,66 @@ def cumsum(
 def cumsum_chunked(t: DataFrame, value: str, order_by: str, out: str = "cumsum",
                    num_chunks: int = 1024) -> DataFrame:
     """Scale path for a GLOBAL prefix sum: the reference's exact
-    algorithm (local sum per chunk → exclusive scan of the tiny per-chunk
-    sums → local prefix add), expressed relationally so no single task
-    sees all rows.
+    algorithm (local prefix per chunk → exclusive scan of the tiny
+    per-chunk sums → local offset add; MPI_Exscan in the reference,
+    src/cgen-hpat-pattern-match.jl:433-459), expressed so NO single
+    task ever sees all rows.
 
-    Chunks are ranges of ``order_by`` (ntile over its distribution would
-    need a global sort; instead we hash rows to range buckets via
-    percentile boundaries computed on a sample — here simplified to
-    ntile for datasets where order_by is dense/uniform).
+    Chunking = repartitionByRange on the ordering column: the range
+    sampler picks boundaries from a sample, and RangePartitioner
+    assigns partition ids in ascending key order, so
+    spark_partition_id IS the chunk index. No task sees more rows than
+    a chunk — bounded by the largest run of IDENTICAL order keys (ties
+    can't split across ranges; salt the ordering column if one key
+    dominates). The only global object is the num_chunks-row offset
+    table (broadcast).
+
+    The tiled frame is persisted: chunk membership comes from a
+    SAMPLE-seeded shuffle, and the local-prefix and chunk-total
+    branches must observe the SAME assignment — without persistence
+    that agreement silently depends on physical-plan exchange reuse.
     """
-    # chunk id from an equi-depth tile over order_by
-    w_global = Window.orderBy(order_by)
-    tiled = t.withColumn("__chunk", F.ntile(num_chunks).over(w_global))
+    from pyspark import StorageLevel
+
+    tiled = (
+        t.repartitionByRange(num_chunks, F.col(order_by))
+        .withColumn("__chunk", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     w_in = Window.partitionBy("__chunk").orderBy(order_by).rowsBetween(
         Window.unboundedPreceding, 0
     )
     local = tiled.withColumn("__local_cum", F.sum(value).over(w_in))
-    chunk_sums = (
-        tiled.groupBy("__chunk").agg(F.sum(value).alias("__chunk_sum"))
+    chunk_sums = tiled.groupBy("__chunk").agg(
+        F.sum(value).alias("__chunk_sum"),
+        F.count(value).alias("__chunk_cnt"),
     )
     w_chunks = Window.orderBy("__chunk").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    offsets = chunk_sums.withColumn(
-        "__offset", F.coalesce(F.sum("__chunk_sum").over(w_chunks), F.lit(0))
-    ).select("__chunk", "__offset")
+    offsets = chunk_sums.select(
+        "__chunk",
+        F.coalesce(F.sum("__chunk_sum").over(w_chunks), F.lit(0)).alias("__offset"),
+        F.coalesce(F.sum("__chunk_cnt").over(w_chunks), F.lit(0)).alias(
+            "__prior_cnt"
+        ),
+    )
+    # NULL semantics must match the global window: a row whose prefix
+    # holds no non-null value gets NULL, not 0 — so an all-NULL local
+    # prefix carries the prior-chunk total only if some prior chunk had
+    # a non-null value
+    combined = (
+        F.when(
+            F.col("__local_cum").isNotNull(),
+            F.col("__local_cum") + F.col("__offset"),
+        )
+        .when(F.col("__prior_cnt") > 0, F.col("__offset"))
+        .otherwise(F.lit(None))
+    )
     return (
         local.join(F.broadcast(offsets), "__chunk")
-        .withColumn(out, F.col("__local_cum") + F.col("__offset"))
-        .drop("__chunk", "__local_cum", "__offset")
+        .withColumn(out, combined)
+        .drop("__chunk", "__local_cum", "__offset", "__prior_cnt")
     )
 
 

@@ -117,6 +117,22 @@ def test_cumsum_chunked_equals_global(spark):
     assert ch == g
 
 
+def test_cumsum_chunked_null_semantics(spark):
+    # leading NULLs stay NULL until the first non-null value, exactly
+    # like the global window (F.sum over an all-NULL prefix is NULL);
+    # NULLs after values carry the running total forward
+    rows = [(0, None), (1, None), (2, 5.0), (3, None), (4, 2.0), (5, None)]
+    df = spark.createDataFrame(rows, "i long, v double")
+    from hpat_jl_spark.operators.windowed import cumsum, cumsum_chunked
+
+    g = {r.i: r.c for r in cumsum(df, "v", "i", "c").collect()}
+    ch = {
+        r.i: r.c for r in cumsum_chunked(df, "v", "i", "c", num_chunks=3).collect()
+    }
+    assert g == {0: None, 1: None, 2: 5.0, 3: 5.0, 4: 7.0, 5: 7.0}
+    assert ch == g
+
+
 def test_q26_small_golden(spark):
     # reference test/q26_test.jl:41-51,93-95 small golden
     sales = spark.createDataFrame(
