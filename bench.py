@@ -19,6 +19,8 @@ import time
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
     "q26",
     "q05",
     "q25",

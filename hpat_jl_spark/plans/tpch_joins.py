@@ -1,0 +1,402 @@
+"""TPC-H join-suite analogues (Q4/Q5/Q7/Q8/Q10/Q12/Q13/Q14) on the
+fixture schema.
+
+The reference implements exactly one join shape — single-key inner
+equi-join (reference src/cgen-hpat-pattern-match-table.jl:139-472) — and
+its benchmark queries (BigBench q05/q25/q26) never exceed three joins.
+This module exercises the full join surface a user of the reference
+would need next: existential semi-joins, left outer joins with join-time
+predicates, star joins over 6+ tables, self-joined dimensions (two
+`nation` roles), and conditional-aggregate post-processing. All are
+classic TPC-H shapes adapted to the driver fixtures (no partsupp table;
+no commit/receipt dates — lateness is measured against o_orderdate).
+
+Scale notes (100 TB design point) are in each docstring; the common
+theme: dimension tables (region/nation/supplier/part/customer) broadcast
+— only lineitem⋈orders ever shuffles, and always on the same key
+(orderkey), so AQE can reuse the exchange across stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hpat_jl_spark.operators.relational import table_filter
+from hpat_jl_spark.operators.windowed import top_k
+from hpat_jl_spark.registry import register
+from hpat_jl_spark.tables import load_table
+
+
+def _disc_price():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+    tags=("tpch",),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS subquery → left-semi join with a
+    non-equi residual predicate (l_shipdate > o_orderdate), then a
+    low-cardinality aggregate. The semi-join shuffles on orderkey but
+    keeps only the orders side afterwards; each order is emitted at most
+    once no matter how many lineitems match — the semantics an inner
+    join + distinct would reproduce only with an extra shuffle."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    q = table_filter(
+        orders,
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")),
+    )
+    shipped_late = q.join(
+        li,
+        (q.o_orderkey == li.l_orderkey) & (li.l_shipdate > q.o_orderdate),
+        "left_semi",
+    )
+    return shipped_late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+""",
+    tags=("tpch", "headline"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join with the extra c_nationkey =
+    s_nationkey "local supplier" constraint. Plan at scale: the only
+    shuffle is lineitem⋈(orders⋈customer) on orderkey; supplier, nation
+    and region are broadcast, and the nationkey-equality predicate rides
+    the supplier broadcast join as a residual — no second big shuffle."""
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+
+    asia_nations = nation.join(
+        F.broadcast(table_filter(region, F.col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    o96 = table_filter(
+        orders,
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")),
+    )
+    oc = o96.join(F.broadcast(customer), o96.o_custkey == customer.c_custkey)
+    loc = li.join(oc, li.l_orderkey == oc.o_orderkey)
+    with_supp = loc.join(
+        F.broadcast(supplier),
+        (loc.l_suppkey == supplier.s_suppkey)
+        & (loc.c_nationkey == supplier.s_nationkey),
+    )
+    return (
+        with_supp.join(
+            F.broadcast(asia_nations),
+            with_supp.s_nationkey == asia_nations.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_disc_price()), 2).alias("revenue"))
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    tags=("tpch",),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same dimension table (nation) joined in two
+    roles — supplier nation and customer nation — with a disjunctive
+    cross-pair predicate. Both nation copies broadcast; the pair
+    predicate is applied after both are attached, where Catalyst can
+    still not push it into either single join, exactly the case the
+    reference's single-table filter pushdown (src/datatable-pass.jl:
+    336-502) could never handle."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    li96 = table_filter(
+        li,
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")),
+    )
+    sn = supplier.join(F.broadcast(n1), supplier.s_nationkey == n1.n1_key)
+    cn = customer.join(F.broadcast(n2), customer.c_nationkey == n2.n2_key)
+    oc = orders.join(F.broadcast(cn), orders.o_custkey == cn.c_custkey)
+    lo = li96.join(oc, li96.l_orderkey == oc.o_orderkey)
+    both = lo.join(F.broadcast(sn), lo.l_suppkey == sn.s_suppkey)
+    pair = both.filter(
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        pair.withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum(_disc_price()), 2).alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM (SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2,
+           region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND p_type = 'STANDARD') all_nations
+GROUP BY o_year
+""",
+    tags=("tpch",),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: 8-table join (nation twice) feeding a
+    ratio-of-conditional-sums aggregate — the `sum(cond ? x : 0) /
+    sum(x)` post-expression pattern the reference only sketched in
+    designed-only queries (examples/queries_devel/q25.jl:10-23). One
+    shuffle (lineitem⋈orders); everything else broadcasts."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+
+    europe_keys = nation.join(
+        F.broadcast(table_filter(region, F.col("r_name") == "EUROPE")),
+        nation.n_regionkey == region.r_regionkey,
+    ).select(F.col("n_nationkey").alias("eu_key"))
+    supp_nation = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    std_parts = table_filter(part, F.col("p_type") == "STANDARD").select("p_partkey")
+    eu_cust = customer.join(
+        F.broadcast(europe_keys), customer.c_nationkey == F.col("eu_key")
+    ).select("c_custkey")
+    o96 = table_filter(
+        orders,
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")),
+    )
+    oc = o96.join(F.broadcast(eu_cust), o96.o_custkey == F.col("c_custkey"))
+    lo = li.join(F.broadcast(std_parts), li.l_partkey == F.col("p_partkey")).join(
+        oc, li.l_orderkey == oc.o_orderkey
+    )
+    full = lo.join(F.broadcast(supp_nation), lo.l_suppkey == supp_nation.s_suppkey)
+    vol = F.sum(_disc_price())
+    nat_vol = F.sum(F.when(F.col("nation") == "NATION_3", _disc_price()).otherwise(0.0))
+    return (
+        full.withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(F.round(nat_vol / vol, 6).alias("mkt_share"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(c_acctbal, 2) AS c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    tags=("tpch", "headline"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: fact⋈fact shuffle join (orders⋈lineitem on
+    orderkey) with broadcast customer/nation, wide grouping key
+    (custkey, name, acctbal, nation) and global top-20 by revenue.
+    The top-k is TakeOrderedAndProject — per-partition heap + driver
+    merge of 20 rows, never a full sort — with c_custkey as the
+    deterministic tiebreaker."""
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+
+    o96 = table_filter(
+        orders,
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")),
+    )
+    returned = table_filter(li, F.col("l_returnflag") == "R")
+    lo = returned.join(o96, returned.l_orderkey == o96.o_orderkey)
+    loc = lo.join(F.broadcast(customer), lo.o_custkey == customer.c_custkey)
+    full = loc.join(F.broadcast(nation), loc.c_nationkey == nation.n_nationkey)
+    agg = full.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        F.round(F.sum(_disc_price()), 2).alias("revenue")
+    )
+    out = agg.select(
+        "c_custkey",
+        "c_name",
+        "revenue",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "n_name",
+    )
+    return top_k(out, 20, F.col("revenue").desc(), F.col("c_custkey"))
+
+
+@register(
+    "q12_priority_lateness",
+    oracle="""
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_returnflag IN ('A', 'R')
+  AND date_diff('day', o_orderdate, l_shipdate) > 60
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+""",
+    tags=("tpch",),
+)
+def q12_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no l_shipmode/commit dates in the
+    fixture — lateness is shipdate more than 60 days after the order
+    date, and grouping is by returnflag). Join predicate date arithmetic
+    (datediff) is evaluated post-join as a residual; the conditional
+    counts are the reference's `sum(:i_class_id==k)` pattern
+    (test/q26_test.jl:70-84) over a join instead of a base table."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    li96 = table_filter(
+        li,
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")),
+    )
+    lo = li96.join(orders, li96.l_orderkey == orders.o_orderkey).filter(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return lo.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count
+""",
+    tags=("tpch",),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join with a join-time filter on the
+    right side (the filter must NOT drop customers — it belongs in the
+    ON clause, not WHERE), then a two-level aggregate (orders per
+    customer → customers per order-count). count(o_orderkey) counts
+    non-null matches only, so no-order customers land in c_count=0."""
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    not_low = table_filter(orders, F.col("o_orderpriority") != "5-LOW")
+    co = customer.join(
+        not_low, customer.c_custkey == not_low.o_custkey, "left_outer"
+    )
+    per_cust = co.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+""",
+    tags=("tpch",),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: broadcast join + single-row ratio aggregate.
+    At 100 TB the month filter prunes the lineitem scan (and would prune
+    partitions if lineitem were date-partitioned); part broadcasts; the
+    answer is one partial/final agg with two running sums."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    li_m = table_filter(
+        li,
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp")),
+    )
+    lp = li_m.join(F.broadcast(part), li_m.l_partkey == part.p_partkey)
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(0.0))
+    return lp.agg(
+        F.round(F.lit(100.0) * promo / F.sum(_disc_price()), 4).alias("promo_revenue")
+    )

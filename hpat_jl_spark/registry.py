@@ -46,6 +46,9 @@ def load_all_plans() -> None:
     import hpat_jl_spark.plans.relational_core  # noqa: F401
     import hpat_jl_spark.plans.bigbench  # noqa: F401
     import hpat_jl_spark.plans.tpch  # noqa: F401
+    import hpat_jl_spark.plans.tpch_joins  # noqa: F401
+    import hpat_jl_spark.plans.tpch_subqueries  # noqa: F401
+    import hpat_jl_spark.plans.tpch_partsupp  # noqa: F401
     import hpat_jl_spark.plans.windowed  # noqa: F401
     import hpat_jl_spark.plans.text_pipeline  # noqa: F401
     import hpat_jl_spark.plans.similarity  # noqa: F401
