@@ -308,3 +308,42 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") > threshold)
     )
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Transitive near-dup clustering: MinHash+LSH candidate pairs →
+    connected components → canonical id per cluster (the component's
+    minimum doc id). Returns every document as (doc_id, canonical_id);
+    singletons map to themselves.
+
+    This is the stage pair-finding alone cannot replace: if A≈B and
+    B≈C but A and C don't share a band, pairwise dedup keeps one of
+    {A,B} and one of {B,C} — clustering keeps exactly one of {A,B,C}.
+
+    Scale: label propagation iterates only over the candidate EDGES
+    (near-dup pairs are a tiny fraction of the corpus), never the docs;
+    each iteration is one join+min-aggregate on the edge set with
+    lineage checkpointed (operators/iterative.py). The final
+    canonical-id attach is a left join of docs against the clustered
+    vertices only.
+    """
+    from hpat_jl_spark.operators.iterative import connected_components
+
+    pairs = minhash_candidates(
+        docs, text_col, id_col, num_hashes, bands, shingle_n
+    ).filter(F.col("est_jaccard") >= threshold)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return docs.select(F.col(id_col).alias("doc_id")).join(
+        comp, F.col("doc_id") == comp.vertex, "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("canonical_id"),
+    )

@@ -316,3 +316,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("doc_b"),
         "hamming",
     )
+
+
+@register("dedup_cluster", oracle=None, tags=("dedup",))
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: MinHash+LSH pairs → connected
+    components → per-cluster summary (canonical id = min doc_id,
+    cluster size, chars removable by keeping only the canonical).
+    Rows-only driver check (iterative CC + xxhash64 family have no
+    DuckDB twin); transitive-merge semantics pinned by
+    tests/test_dedup.py::test_neardup_clusters_transitive."""
+    docs = load_table(spark, "documents", sf_dir)
+    assign = D.neardup_clusters(docs, threshold=0.5)
+    clustered = assign.filter(F.col("doc_id") != F.col("canonical_id"))
+    sizes = (
+        clustered.join(docs, "doc_id")
+        .groupBy("canonical_id")
+        .agg(
+            (F.count(F.lit(1)) + 1).alias("cluster_size"),
+            F.sum("n_chars").alias("chars_removable"),
+        )
+    )
+    return sizes.select("canonical_id", "cluster_size", "chars_removable")

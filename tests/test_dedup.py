@@ -62,3 +62,26 @@ def test_jaccard_pairs_planted(spark, planted):
     }
     assert out[(3, 100)] == 1.0
     assert 0.9 <= out[(5, 101)] < 1.0
+
+
+def test_neardup_clusters_transitive(spark):
+    """A≈B and B≈C must land in ONE cluster keyed by min id, even when
+    A and C are farther apart than either is from B — the property
+    pairwise dedup lacks. Unrelated docs stay singletons."""
+    words = [f"t{i}u{j}" for i in range(4) for j in range(10)]
+    base = " ".join(words)
+    chain_b = base.replace("t0u0", "EDIT1")
+    chain_c = chain_b.replace("t3u9", "EDIT2")  # 2 edits from base
+    rows = [
+        (10, base),
+        (20, chain_b),
+        (30, chain_c),
+        (40, " ".join(f"z{k}q{k}" for k in range(40))),  # unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assign = {
+        r.doc_id: r.canonical_id
+        for r in D.neardup_clusters(docs, threshold=0.4).collect()
+    }
+    assert assign[10] == 10 and assign[20] == 10 and assign[30] == 10
+    assert assign[40] == 40
