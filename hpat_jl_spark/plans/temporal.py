@@ -118,3 +118,87 @@ def range_join_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.round(F.col("s_acctbal") - F.col("c_acctbal"), 2).alias("bal_gap"),
     )
+
+
+_funnel_oracle = """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM s1)::BIGINT AS n_view,
+       (SELECT count(*) FROM s2)::BIGINT AS n_view_click,
+       (SELECT count(*) FROM s3)::BIGINT AS n_view_click_purchase
+"""
+
+
+@register("funnel_conversion", oracle=_funnel_oracle, tags=("temporal",))
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (view → click → purchase): a user advances
+    a step only with a LATER event of the next type — the sequential
+    dependency that makes this harder than three independent counts.
+
+    Plan shape: each step is filter → per-user min-timestamp aggregate →
+    join to the previous step's frontier. All three shuffles hash on
+    user_id, so AQE reuses one exchange layout; the per-step frontiers
+    shrink monotonically (step N+1 joins only step-N survivors)."""
+    ev = load_table(spark, "events", sf_dir)
+
+    def step_after(prev: DataFrame, etype: str, t_prev: str, t_out: str) -> DataFrame:
+        nxt = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
+        return (
+            nxt.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(t_prev))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(t_out))
+        )
+
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = step_after(s1, "click", "t1", "t2")
+    s3 = step_after(s2, "purchase", "t2", "t3")
+    c1 = s1.agg(F.count(F.lit(1)).alias("n_view"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("n_view_click"))
+    c3 = s3.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+    return c1.crossJoin(c2).crossJoin(c3)
+
+
+_retention_oracle = """
+WITH first AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+               FROM events GROUP BY user_id)
+SELECT cohort_week,
+       (date_diff('day', cohort_week, date_trunc('week', e.ts)) / 7)::INT
+         AS week_offset,
+       count(DISTINCT e.user_id)::BIGINT AS active_users
+FROM events e JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@register("weekly_retention", oracle=_retention_oracle, tags=("temporal",))
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week; for each
+    (cohort, week-offset) the distinct active users. Two shuffles on
+    user_id (first-week aggregate + attach), then one on the
+    low-cardinality (cohort, offset) key; both engines truncate weeks
+    to Monday so the offsets align exactly."""
+    ev = load_table(spark, "events", sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = ev.join(first, "user_id").select(
+        "user_id",
+        "cohort_week",
+        (
+            F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+        ).cast("int").alias("week_offset"),
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("active_users")
+    )

@@ -69,3 +69,10 @@ def write_csv(
     df: DataFrame, path: str, mode: str = "overwrite", header: bool = True
 ) -> None:
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per line, splittable on read) — for
+    interchange with text-pipeline tooling; Parquet remains the
+    performance path (JSON re-parses every value on read)."""
+    df.write.mode(mode).json(path)

@@ -44,3 +44,16 @@ def test_csv_roundtrip(spark, tmp_path):
     a = sorted(tuple(r) for r in cust.collect())
     b = sorted(tuple(r) for r in back.collect())
     assert a == b
+
+
+def test_json_roundtrip(spark, tmp_path):
+    from hpat_jl_spark.sources.io import read_json, write_json
+
+    cust = load_table(spark, "customer", SF)
+    path = str(tmp_path / "cust_json")
+    write_json(cust, path)
+    back = read_json(spark, path, SCHEMAS["customer"])
+    assert back.count() == cust.count()
+    a = sorted(tuple(r) for r in cust.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
