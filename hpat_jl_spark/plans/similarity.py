@@ -118,3 +118,64 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "cosine_sim", F.col("rank").alias("knn_rank")
     )
+
+
+_centroid_oracle = """
+WITH ex AS (
+  SELECT label, vec_id, unnest(embedding)::DOUBLE AS val,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings),
+cent AS (SELECT label, pos, avg(val) AS cval FROM ex GROUP BY 1, 2),
+cnorm AS (SELECT label, sqrt(sum(cval * cval)) AS cn FROM cent GROUP BY 1),
+pv AS (SELECT e.label, e.vec_id, sum(e.val * c.cval) AS dot,
+              sqrt(sum(e.val * e.val)) AS vn
+       FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+       GROUP BY 1, 2)
+SELECT pv.label, count(*)::BIGINT AS n_vecs,
+       round(max(cn), 6) AS centroid_norm,
+       round(avg(dot / (vn * cn)), 6) AS mean_cos_to_centroid
+FROM pv JOIN cnorm ON pv.label = cnorm.label
+GROUP BY pv.label
+"""
+
+
+@register("embedding_centroids", oracle=_centroid_oracle, tags=("similarity",))
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed per-label centroid + intra-class cohesion (mean
+    cosine of members to their centroid) — the embedding-quality probe
+    run before training on a corpus.
+
+    Scale shape: posexplode to (label, vec_id, pos, val) — 64× the rows
+    but only 4 narrow columns — then per-(label, pos) partial+final avg
+    gives the centroid WITHOUT collecting vectors to the driver; the
+    member-to-centroid dot products are a (label, pos) equi-join (the
+    centroid side is dims × labels rows — broadcast), re-aggregated per
+    vector. Everything is JVM-side hash aggregation; no Python, no
+    driver matmul, no per-vector UDF."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    ex = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    cent = ex.groupBy("label", "pos").agg(F.avg("val").alias("cval"))
+    cnorm = cent.groupBy(F.col("label").alias("cl")).agg(
+        F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cn")
+    )
+    pv = (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sum(F.col("val") * F.col("cval")).alias("dot"),
+            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vn"),
+        )
+    )
+    return (
+        pv.join(F.broadcast(cnorm), pv.label == F.col("cl"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.max("cn"), 6).alias("centroid_norm"),
+            F.round(
+                F.avg(F.col("dot") / (F.col("vn") * F.col("cn"))), 6
+            ).alias("mean_cos_to_centroid"),
+        )
+    )

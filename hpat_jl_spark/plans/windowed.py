@@ -198,3 +198,46 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.round(F.sum("value"), 2).alias("session_value"),
     )
+
+
+_quartile_oracle = """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY l_suppkey),
+q AS (SELECT l_suppkey, revenue,
+             ntile(4) OVER (ORDER BY revenue, l_suppkey) AS quartile
+      FROM rev)
+SELECT quartile, count(*)::BIGINT AS n_suppliers,
+       round(sum(revenue), 2) AS total_revenue,
+       round(min(revenue), 2) AS lo, round(max(revenue), 2) AS hi
+FROM q GROUP BY quartile
+"""
+
+
+@register("supplier_revenue_quartiles", oracle=_quartile_oracle, tags=("windowed",))
+def supplier_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ntile(4) over per-supplier revenue — an unpartitioned
+    window, i.e. a GLOBAL sort. Revenue is rounded to cents BEFORE
+    ranking and l_suppkey breaks ties, so bucket boundaries are
+    deterministic across engines.
+
+    Scale note: an unpartitioned window is the one operator that
+    serializes into a single task after a RangePartitioning sort UNLESS
+    the input is already small — here it runs on the per-supplier
+    aggregate (|suppliers| rows, 5 orders of magnitude smaller than
+    lineitem), which is the correct place for a global rank. Ranking
+    raw lineitem globally would be the 100 TB anti-pattern."""
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    w = Window.orderBy("revenue", "l_suppkey")
+    q = rev.withColumn("quartile", F.ntile(4).over(w))
+    return q.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("revenue"), 2).alias("total_revenue"),
+        F.round(F.min("revenue"), 2).alias("lo"),
+        F.round(F.max("revenue"), 2).alias("hi"),
+    )
