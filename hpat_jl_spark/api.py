@@ -125,3 +125,24 @@ def aggregate(t: DataFrame, key: str, _key_alias: str | None = None, **aggs: Col
 def vcat(*tables: DataFrame) -> DataFrame:
     """`[t1; t2]` — UNION ALL with schema matching by name."""
     return table_vcat(*tables)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every fixture table as a temp view so `sql()` queries
+    can name them — the open SQL entry point the reference never had
+    (its only entry is the `@acc hpat` macro; SURVEY §3)."""
+    from hpat_jl_spark.tables import TABLE_NAMES, load_table
+
+    for name in TABLE_NAMES:
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)
+    return list(TABLE_NAMES)
+
+
+def sql(spark: SparkSession, query: str, sf_dir: str | None = None) -> DataFrame:
+    """Run ANSI SQL against the registered views (registering them
+    first when ``sf_dir`` is given). Same Catalyst plans as the
+    DataFrame surface — `spark.sql` and DataFrame calls are two
+    frontends to one optimizer, so everything in PLANS.md applies."""
+    if sf_dir is not None:
+        register_views(spark, sf_dir)
+    return spark.sql(query)
