@@ -85,3 +85,34 @@ def test_neardup_clusters_transitive(spark):
     }
     assert assign[10] == 10 and assign[20] == 10 and assign[30] == 10
     assert assign[40] == 40
+
+
+def test_minhash_estimates_calibrated(spark):
+    """est_jaccard from 32 minhashes must track exact shingle Jaccard
+    within ~3σ (σ = sqrt(j(1-j)/32) ≈ 0.09): statistical calibration,
+    not just planted-pair retrieval."""
+
+    def shingles3(text):
+        t = text.split()
+        n = max(len(t) - 2, 1)
+        return {" ".join(t[i : i + 3]) for i in range(n)}
+
+    base = [f"w{i}" for i in range(60)]
+    docs, expected = [], {}
+    for frac in (1.0, 0.8, 0.6):
+        # doc pair sharing a prefix of `frac` of the words
+        keep = int(60 * frac)
+        a = " ".join(base)
+        b = " ".join(base[:keep] + [f"alt{i}" for i in range(60 - keep)])
+        ia, ib = int(frac * 1000), int(frac * 1000) + 1
+        docs += [(ia, a), (ib, b)]
+        sa, sb = shingles3(a), shingles3(b)
+        expected[(ia, ib)] = len(sa & sb) / len(sa | sb)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in D.minhash_candidates(df, bands=16).collect()
+    }
+    for pair, exact in expected.items():
+        assert pair in got, f"pair {pair} (exact J={exact:.2f}) not retrieved"
+        assert abs(got[pair] - exact) <= 0.3, (pair, got[pair], exact)
