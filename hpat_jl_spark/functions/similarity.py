@@ -355,3 +355,131 @@ def knn_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def build_ivf_index(
+    candidates: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iter: int = 5,
+    fit_sample: float | None = None,
+) -> None:
+    """Persist an IVF index: candidate vectors written as Parquet
+    partitioned BY CELL (hive layout ``data/__cell=N/``), centroids
+    alongside. This is the storage form of the 100 TB ANN path: a probe
+    of p cells reads only p/n_centroids of the corpus — the pruning
+    happens in the file listing (PartitionFilters), before any I/O.
+
+    Reuses the same coarse quantizer as :func:`knn_ivf` (sampled KMeans
+    fit, few Lloyd iterations) and the same Arrow assignment kernel, so
+    an in-memory probe and an on-disk probe return identical results
+    for the same (seed, n_centroids)."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans as MLKMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fit_src = (
+        candidates.sample(fit_sample, seed=seed) if fit_sample else candidates
+    )
+    feats = fit_src.select(
+        array_to_vector(F.col(vec_col)).alias("__fv")
+    ).coalesce(4)
+    model = MLKMeans(
+        k=n_centroids, maxIter=max_iter, seed=seed, featuresCol="__fv",
+        predictionCol="__cell",
+    ).fit(feats)
+    cents = np.array([c for c in model.clusterCenters()], dtype=np.float64)
+
+    def assign_kernel(batches):
+        for pdf in batches:
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = ((M[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            out = pdf[[id_col, vec_col]].copy()
+            out["__cell"] = d.argmin(axis=1).astype(np.int32)
+            yield out
+
+    assigned = candidates.select(id_col, vec_col).mapInPandas(
+        assign_kernel, f"{id_col} long, {vec_col} array<float>, __cell int"
+    )
+    assigned.write.mode("overwrite").partitionBy("__cell").parquet(f"{path}/data")
+    spark = candidates.sparkSession
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
+    spark.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe a persisted IVF index: nearest ``n_probe`` cells per query
+    from the stored centroids, then scan ONLY those hive partitions
+    (`__cell IN (...)` becomes PartitionFilters — directories outside
+    the probe set are never listed or read) and score exact cosine.
+
+    Returns (query_id, neighbor_id, cosine_sim, rank)."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
+    for r in cent_rows:
+        cents[r.cell] = np.array(r.centroid)
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, rank int"
+        )
+    qnorm = {}
+    probes = []
+    for r in q_rows:
+        v = np.array(list(r.qv), dtype=np.float64)
+        qnorm[int(r.query_id)] = v / np.linalg.norm(v)
+        d = ((cents - v) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:n_probe]:
+            probes.append((int(r.query_id), int(cell)))
+    probe_df = spark.createDataFrame(probes, "query_id long, __cell int")
+    cells = sorted({c for _, c in probes})
+
+    data = spark.read.parquet(f"{path}/data").filter(F.col("__cell").isin(cells))
+
+    def score_kernel(batches):
+        for pdf in batches:
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            M = M / np.linalg.norm(M, axis=1, keepdims=True)
+            sims = np.empty(len(pdf))
+            qids = pdf["query_id"].to_numpy()
+            for i, qid in enumerate(qids):
+                sims[i] = M[i] @ qnorm[int(qid)]
+            yield pd.DataFrame(
+                {
+                    "query_id": qids,
+                    "neighbor_id": pdf[id_col].to_numpy(),
+                    "cosine_sim": np.round(sims, 6),
+                }
+            )
+
+    probed = data.join(F.broadcast(probe_df), "__cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = probed.select("query_id", id_col, vec_col).mapInPandas(
+        score_kernel, "query_id long, neighbor_id long, cosine_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

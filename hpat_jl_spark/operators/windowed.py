@@ -176,3 +176,53 @@ def top_k_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def resample_ffill(
+    t: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "interval 1 day",
+    unit: str = "day",
+    value_agg: Column | None = None,
+) -> DataFrame:
+    """Regularize an irregular time series: per key, emit one row per
+    grid step over the table's GLOBAL time span, carrying the last
+    observed value forward across gaps (NULL before a key's first
+    observation). Output: (key, grid_ts, value) with value_col's name.
+
+    Scale shape: the grid is |keys| × |steps| rows built from a
+    broadcast one-row span — never a range materialized per key on the
+    driver. The left join and the forward-fill window both hash on the
+    key, so the fill reuses the join's partitioning; the window frame is
+    running (UNBOUNDED PRECEDING..CURRENT ROW), which Spark evaluates
+    streaming per partition — no per-key buffering of the whole series.
+    """
+    d0, d1 = f"__d0", f"__d1"
+    span = t.agg(
+        F.date_trunc(unit, F.min(ts_col)).alias(d0),
+        F.date_trunc(unit, F.max(ts_col)).alias(d1),
+    )
+    grid_ts = F.explode(F.sequence(F.col(d0), F.col(d1), F.expr(step)))
+    steps = span.select(grid_ts.alias("__grid_ts"))
+    keys = t.select(key).distinct()
+    grid = keys.crossJoin(F.broadcast(steps))
+    obs = t.groupBy(
+        key, F.date_trunc(unit, F.col(ts_col)).alias("__grid_ts")
+    ).agg(
+        (value_agg if value_agg is not None else F.last(value_col)).alias("__obs")
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__grid_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, [key, "__grid_ts"], "left")
+        .select(
+            key,
+            F.col("__grid_ts").alias(ts_col),
+            F.last("__obs", ignorenulls=True).over(w).alias(value_col),
+        )
+    )

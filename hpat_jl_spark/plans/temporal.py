@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hpat_jl_spark.operators.asof import asof_join, banded_range_join
+from hpat_jl_spark.operators.windowed import resample_ffill
 from hpat_jl_spark.registry import register
 from hpat_jl_spark.tables import load_table
 
@@ -201,4 +202,40 @@ def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return act.groupBy("cohort_week", "week_offset").agg(
         F.countDistinct("user_id").alias("active_users")
+    )
+
+
+_resample_oracle = """
+WITH span AS (SELECT date_trunc('day', min(ts)) AS d0,
+                     date_trunc('day', max(ts)) AS d1 FROM events),
+grid AS (
+  SELECT u.user_id, unnest(generate_series(d0, d1, INTERVAL '1 day')) AS day
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 20) u, span),
+obs AS (SELECT user_id, date_trunc('day', ts) AS day,
+               round(sum(value), 2) AS day_total
+        FROM events WHERE user_id < 20 GROUP BY 1, 2)
+SELECT g.user_id, g.day AS ts,
+       last_value(o.day_total IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day
+"""
+
+
+@register("resample_daily_ffill", oracle=_resample_oracle, tags=("temporal",))
+def resample_daily_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: per-user daily grid over the global
+    event span with the last observed daily total carried across gaps
+    (NULL before a user's first event). Exercises sequence+explode grid
+    generation, a broadcast one-row span, and an ignore-nulls running
+    window — the resample/ffill primitive every feature-engineering
+    pipeline needs and the reference never had (its time axis was file
+    row order, SURVEY §2.5)."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 20)
+    return resample_ffill(
+        ev,
+        key="user_id",
+        ts_col="ts",
+        value_col="value",
+        value_agg=F.round(F.sum("value"), 2),
     )

@@ -92,3 +92,30 @@ def test_lsh_finds_planted_twin(vectors):
     top = out.filter("rank = 1").collect()[0]
     assert top.neighbor_id == 500
     assert top.cosine_sim == 1.0
+
+
+def test_ivf_index_persists_and_prunes(spark, tmp_path):
+    """Persisted IVF index: probing reads ONLY the probed hive
+    partitions (PartitionFilters on __cell — storage-layer pruning, the
+    100 TB ANN path) and returns the same neighbors as the in-memory
+    IVF probe with identical quantizer parameters."""
+    from pyspark.sql import functions as F
+
+    from hpat_jl_spark.functions.similarity import (
+        build_ivf_index,
+        knn_ivf,
+        query_ivf_index,
+    )
+    from hpat_jl_spark.tables import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    queries = emb.filter(F.col("vec_id") < 4)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8, seed=7)
+    out = query_ivf_index(spark, path, queries, k=3, n_probe=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__cell" in plan
+    got = {(r.query_id, r.rank): r.neighbor_id for r in out.collect()}
+    mem = knn_ivf(queries, emb, k=3, n_centroids=8, n_probe=3, seed=7)
+    want = {(r.query_id, r.rank): r.neighbor_id for r in mem.collect()}
+    assert got == want and len(got) == 12
