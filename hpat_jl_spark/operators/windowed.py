@@ -226,3 +226,39 @@ def resample_ffill(
             F.last("__obs", ignorenulls=True).over(w).alias(value_col),
         )
     )
+
+
+def ewma_regular(
+    t: DataFrame,
+    key: str,
+    order_by: str,
+    value_col: str,
+    alpha: float,
+    out: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average over a regularly-indexed
+    series, per key: y_0 = x_0, y_t = (1-α)·y_{t-1} + α·x_t.
+
+    The recurrence looks inherently sequential, but rebasing to
+    z_i = x_i·(1-α)^{-i} turns it into a running SUM:
+    y_t = (1-α)^t · [(1-α)·x_0·... closed form
+    y_t = r^t·((1-r)·Z_t + r·x_0·(1)/(1)) with r = 1-α and
+    Z_t = Σ_{i≤t} x_i·r^{-i} — i.e. one window prefix sum plus scalar
+    math, fully distributed (hash on key, streaming frame). No UDF, no
+    per-key driver loop.
+
+    Numerical bound: r^{-i} grows as (1/(1-α))^i — keep per-key series
+    length × |log(1-α)| ≲ 700 (double overflow); for longer series or
+    α→1 use an applyInPandas kernel instead (bounded per-key state).
+    """
+    r = 1.0 - alpha
+    w = Window.partitionBy(key).orderBy(order_by)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    i = (F.row_number().over(w) - 1).cast("double")
+    z = F.col(value_col) / F.pow(F.lit(r), F.row_number().over(w) - 1)
+    zsum = F.sum(z).over(run)
+    first = F.first(value_col).over(w)
+    y = F.pow(F.lit(r), i) * (
+        F.lit(1.0 - r) * (zsum - first) + first
+    )
+    return t.withColumn(out, y)

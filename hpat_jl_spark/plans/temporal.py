@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hpat_jl_spark.operators.asof import asof_join, banded_range_join
-from hpat_jl_spark.operators.windowed import resample_ffill
+from hpat_jl_spark.operators.windowed import ewma_regular, resample_ffill
 from hpat_jl_spark.registry import register
 from hpat_jl_spark.tables import load_table
 
@@ -238,4 +238,53 @@ def resample_daily_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         value_col="value",
         value_agg=F.round(F.sum("value"), 2),
+    )
+
+
+_ewma_oracle = """
+WITH obs AS (SELECT user_id, date_trunc('day', ts) AS day,
+                    round(sum(value), 2) AS x
+             FROM events WHERE user_id < 30 GROUP BY 1, 2),
+idx AS (SELECT user_id, day, x,
+               row_number() OVER (PARTITION BY user_id ORDER BY day) - 1 AS i,
+               first_value(x) OVER (PARTITION BY user_id ORDER BY day) AS x0
+        FROM obs),
+z AS (SELECT *, sum(x / power(0.5, i))
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zsum
+      FROM idx)
+SELECT user_id, day,
+       floor(power(0.5, i) * (0.5 * (zsum - x0) + x0) * 10000) / 10000.0 AS ewma
+FROM z
+"""
+
+
+@register("ewma_daily_value", oracle=_ewma_oracle, tags=("temporal",))
+def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (α=0.5) of daily event-value totals — the linear
+    recurrence y_t = 0.5·y_{t-1} + 0.5·x_t expressed as ONE windowed
+    prefix sum via exponential rebasing (operators/windowed.ewma_regular)
+    — no UDF, no sequential loop, fully partition-parallel on user_id.
+    The oracle runs the identical closed form in DuckDB; equivalence to
+    pandas ewm(adjust=False) is pinned in tests to 1e-9. α=0.5 keeps
+    every rescale an exact power of two, so both engines execute
+    bit-identical FP sequences (α=0.3 tripped last-ulp pow() divergence
+    between JVM and libm at two rounding boundaries)."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 30)
+    # daily totals rounded to cents BEFORE the recurrence: float sums
+    # differ across engines at ~1e-12 and the exponential rebasing
+    # amplifies that past the output rounding boundary — identical
+    # inputs keep the closed form engine-stable
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("x"))
+    out = ewma_regular(obs, "user_id", "day", "x", alpha=0.5)
+    # floor-quantize instead of round(): with α=0.5 both engines produce
+    # BIT-IDENTICAL doubles, and floor/multiply/divide are exact IEEE ops
+    # on identical inputs — while round() reinterprets decimally (Spark
+    # BigDecimal HALF_UP vs DuckDB mul-round-div) and the cents-dyadic
+    # values here land EXACTLY on .xxxx5 boundaries where those differ
+    return out.select(
+        "user_id", "day",
+        (F.floor(F.col("ewma") * 10000) / 10000.0).alias("ewma"),
     )

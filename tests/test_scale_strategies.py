@@ -113,3 +113,32 @@ def test_aqe_coalesces_small_shuffle(spark):
     agg.collect()
     n_parts = agg.rdd.getNumPartitions()
     assert n_parts <= 4, f"AQE should coalesce tiny shuffles, got {n_parts}"
+
+
+def test_ewma_matches_pandas(spark):
+    """The windowed closed form (exponential rebasing → one prefix sum)
+    must equal the sequential recurrence pandas ewm(adjust=False) runs."""
+    import numpy as np
+    import pandas as pd
+
+    from hpat_jl_spark.operators.windowed import ewma_regular
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(k), int(i), float(v))
+        for k in range(3)
+        for i, v in enumerate(rng.normal(size=40))
+    ]
+    df = spark.createDataFrame(rows, "k long, i long, x double")
+    out = (
+        ewma_regular(df, "k", "i", "x", alpha=0.3)
+        .toPandas()
+        .sort_values(["k", "i"], ignore_index=True)
+    )
+    pdf = pd.DataFrame(rows, columns=["k", "i", "x"]).sort_values(
+        ["k", "i"], ignore_index=True
+    )
+    expected = pdf.groupby("k")["x"].transform(
+        lambda s: s.ewm(alpha=0.3, adjust=False).mean()
+    )
+    assert np.abs(out["ewma"].to_numpy() - expected.to_numpy()).max() < 1e-9
