@@ -304,3 +304,87 @@ def math_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
         F.round(F.sin("l_discount") + F.cos("l_tax"), 6).alias("trig"),
     )
+
+
+_unpivot_oracle = """
+SELECT o_orderkey, metric, val
+FROM (SELECT o_orderkey, o_totalprice AS total_price,
+             o_totalprice * 0.25 AS est_tax
+      FROM orders WHERE o_orderkey < 500)
+UNPIVOT (val FOR metric IN (total_price, est_tax))
+"""
+
+
+@register("unpivot_metrics", oracle=_unpivot_oracle, tags=("extended",))
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide metric columns → (key, metric, value) long
+    form — the inverse of `pivot_status`, completing the reshape pair.
+    Spark's unpivot/melt is a zero-shuffle Expand node (each input row
+    emits one row per metric), same as DuckDB's UNPIVOT."""
+    orders = load_table(spark, "orders", sf_dir)
+    # ×0.25 is an exact dyadic scaling → bit-identical across engines
+    # with NO rounding step (see CLAUDE.md round() trap)
+    wide = orders.filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("total_price"),
+        (F.col("o_totalprice") * 0.25).alias("est_tax"),
+    )
+    long = wide.unpivot(
+        ids=["o_orderkey"],
+        values=["total_price", "est_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return long.select("o_orderkey", "metric", "val")
+
+
+_histogram_oracle = """
+SELECT least(greatest(floor(o_totalprice / 25000.0) + 1, 0), 21)::BIGINT
+         AS bucket,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS bucket_total
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("order_price_histogram", oracle=_histogram_oracle, tags=("extended",))
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (width_bucket semantics, 20 bins of 25k
+    over [0, 500k], spelled as floor arithmetic identical on both
+    engines) — binning IS a group-by
+    on a computed key, so the whole histogram is one partial+final hash
+    aggregate over the scan; no sort, no per-bin pass. The 100 TB shape
+    for any distribution profile."""
+    orders = load_table(spark, "orders", sf_dir)
+    bucket = F.least(
+        F.greatest(F.floor(F.col("o_totalprice") / 25000.0) + 1, F.lit(0)),
+        F.lit(21),
+    )
+    return (
+        orders.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("bucket_total"),
+        )
+    )
+
+
+@register("stratified_sample_sources", oracle=None, tags=("extended",))
+def stratified_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus downsampling (sampleBy): per-source keep
+    fractions — the rebalancing step when one source dominates a
+    training mix. Seeded and deterministic WITHIN Spark but with no
+    DuckDB twin (different PRNG) → rows-only driver check; the strata
+    proportions are asserted in tests/test_scale_strategies.py."""
+    docs = load_table(spark, "documents", sf_dir)
+    fractions = {"web": 0.3, "wiki": 1.0, "books": 1.0, "code": 0.6}
+    sources = [r.source for r in docs.select("source").distinct().collect()]
+    sampled = docs.sampleBy(
+        "source", {s: fractions.get(s, 0.5) for s in sources}, seed=42
+    )
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )

@@ -142,3 +142,34 @@ def test_ewma_matches_pandas(spark):
         lambda s: s.ewm(alpha=0.3, adjust=False).mean()
     )
     assert np.abs(out["ewma"].to_numpy() - expected.to_numpy()).max() < 1e-9
+
+
+def test_stratified_sample_proportions(spark):
+    """sampleBy keep-fractions hold per stratum (Bernoulli tolerance)
+    and the sample is seed-deterministic."""
+    from hpat_jl_spark import registry
+
+    registry.load_all_plans()
+    fn = registry.REGISTRY["stratified_sample_sources"].fn
+    sf = "/root/testdata/sf0.01"
+    from hpat_jl_spark.tables import load_table
+
+    totals = {
+        r.source: r.n
+        for r in load_table(spark, "documents", sf)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    kept = {r.source: r.n_kept for r in fn(spark, sf).collect()}
+    fractions = {"web": 0.3, "wiki": 1.0, "books": 1.0, "code": 0.6}
+    for src, frac in fractions.items():
+        if src not in totals:
+            continue
+        n, k = totals[src], kept.get(src, 0)
+        expect = frac * n
+        tol = 4 * (n * frac * (1 - frac)) ** 0.5 + 1  # 4σ + slack
+        assert abs(k - expect) <= tol, (src, k, expect, tol)
+    # determinism: same seed → same counts
+    kept2 = {r.source: r.n_kept for r in fn(spark, sf).collect()}
+    assert kept == kept2
