@@ -134,3 +134,79 @@ def test_sessionize_stream_matches_batch_sessions(spark, events_dir):
         gv = sorted(got[got.user_id == uid]["session_value"])
         bv = sorted(batch[batch.user_id == uid]["session_value"])
         assert gv == pytest.approx(bv)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Watermark semantics, not just windowing: once a window's state
+    is EVICTED (end of the micro-batch in which the watermark passed
+    its end), a later-arriving event for that window is dropped — not
+    merged, not re-emitted. Nuance pinned here: eviction happens at
+    batch END, so a late row arriving in the SAME batch that finalizes
+    its window still merges; the drop is guaranteed from the next batch
+    on. Three files replayed one per micro-batch (maxFilesPerTrigger=1).
+    """
+    import glob
+    import shutil
+    import time
+
+    from hpat_jl_spark.streaming.sources import stream_events
+    from hpat_jl_spark.streaming.windows import tumbling_counts
+
+    d = tmp_path / "late_events"
+    d.mkdir()
+
+    def ns(hour, minute):
+        base = 1704100000 * 1_000_000_000  # fixed epoch base
+        return base + (hour * 3600 + minute * 60) * 1_000_000_000
+
+    def write(name, rows):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        src = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.copy(src, d / f"{name}.parquet")
+        time.sleep(1.1)  # distinct mtimes keep file order deterministic
+
+    # batch 0: three on-time events in hour H plus one at H+3 that will
+    # push the watermark (1h) past H's window end
+    write(
+        "a-one",
+        [
+            (1, ns(0, 5), 1, "view", 1.0, "{}"),
+            (2, ns(0, 20), 1, "view", 1.0, "{}"),
+            (3, ns(0, 40), 1, "view", 1.0, "{}"),
+            (4, ns(3, 0), 1, "view", 1.0, "{}"),
+        ],
+    )
+    # batch 1: fresh event — H's window is emitted and its state
+    # evicted at this batch's end
+    write("b-two", [(6, ns(4, 0), 1, "view", 1.0, "{}")])
+    # batch 2: a LATE event back in hour H (evicted) must be dropped;
+    # a far-future event finalizes every remaining window
+    write(
+        "c-three",
+        [
+            (5, ns(0, 30), 1, "view", 99.0, "{}"),
+            (7, ns(9, 0), 1, "view", 1.0, "{}"),
+        ],
+    )
+
+    stream = stream_events(spark, str(d), max_files_per_trigger=1)
+    out = tumbling_counts(stream, window="1 hour", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("late_test").collect()
+    first = min(r.start for r in rows)
+    h0 = [r for r in rows if r.start == first]
+    # the finalized hour-H window holds ONLY the 3 on-time events; the
+    # late 99.0-value event was dropped
+    assert len(h0) == 1 and h0[0].n_events == 3, rows
+    assert abs(h0[0].total_value - 3.0) < 1e-9, rows
