@@ -388,3 +388,42 @@ def stratified_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_chars").alias("chars_kept"),
     )
+
+
+_salted_oracle = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice), 2) AS total_price,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("salted_skew_aggregate", oracle=_salted_oracle, tags=("extended",))
+def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient two-phase aggregation on a deliberately
+    low-cardinality key (l_returnflag: 3 values over all of lineitem —
+    every key is a hot key): groupBy(key, salt) splits each key across
+    32 reducers for the heavy partial pass, then a 3×32-row final merge.
+    The oracle is the plain GROUP BY — salting must be semantically
+    invisible."""
+    from hpat_jl_spark.operators.skew import salted_aggregate
+
+    li = load_table(spark, "lineitem", sf_dir)
+    out = salted_aggregate(
+        li,
+        "l_returnflag",
+        partial_aggs=[
+            ("s", F.sum("l_extendedprice")),
+            ("c", F.count(F.lit(1))),
+        ],
+        final_aggs=[
+            ("total_price_raw", F.sum("s")),
+            ("n_items", F.sum("c")),
+        ],
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("total_price_raw", 2).alias("total_price"),
+        "n_items",
+    )
