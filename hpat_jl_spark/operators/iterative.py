@@ -76,3 +76,67 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 15,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """Power-iteration PageRank over an edge list. Returns
+    (vertex, rank), ranks summing to ~|V|.
+
+    Per iteration: contributions = rank/out_degree flow along edges,
+    one shuffle on dst; dangling vertices (no out-edges) keep their
+    base share via the damping term. Ranks localCheckpoint every
+    iteration (the convergence delta is an action anyway — same
+    rationale as connected_components); out-degrees are computed once
+    and cached. Stops when max |Δrank| < tol.
+    """
+    e = edges.select(F.col(src).alias("esrc"), F.col(dst).alias("edst"))
+    e = e.localCheckpoint(eager=True)
+    verts = (
+        e.select(F.col("esrc").alias("vertex"))
+        .union(e.select(F.col("edst").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    degs = e.groupBy(F.col("esrc").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    ).localCheckpoint(eager=True)
+    ranks = verts.withColumn("rank", F.lit(1.0))
+    for _ in range(max_iter):
+        contribs = (
+            e.join(ranks, e.esrc == ranks.vertex)
+            .join(degs, "vertex")
+            .select(
+                F.col("edst").alias("vertex"),
+                (F.col("rank") / F.col("out_deg")).alias("contrib"),
+            )
+            .groupBy("vertex")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        new_ranks = (
+            verts.join(contribs, "vertex", "left")
+            .select(
+                "vertex",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            new_ranks.alias("n")
+            .join(ranks.alias("o"), "vertex")
+            .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
+            .collect()[0].d
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+    return ranks

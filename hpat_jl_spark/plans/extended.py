@@ -427,3 +427,28 @@ def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_price_raw", 2).alias("total_price"),
         "n_items",
     )
+
+
+@register("pagerank_trade_graph", oracle=None, tags=("extended",))
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier→customer trade graph (distinct
+    (l_suppkey, o_custkey) pairs from lineitem⋈orders): power iteration
+    with per-iteration checkpointed lineage — the reference's
+    checkpointed-loop entry point (SURVEY §2.10 / entry point C) on a
+    data-derived graph. Rows-only driver check (iterative float
+    fixpoint has no SQL twin); golden-graph semantics pinned in
+    tests/test_examples_iterative.py."""
+    from hpat_jl_spark.operators.iterative import pagerank
+
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 1_000_000).alias("dst"),  # disjoint id spaces
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, max_iter=10)
+    return ranks.select("vertex", F.round("rank", 4).alias("rank"))

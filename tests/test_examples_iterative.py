@@ -57,3 +57,18 @@ def test_connected_components(spark):
     )
     out = {r.vertex: r.component for r in connected_components(edges).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_pagerank_golden_graphs(spark):
+    """Cycle → uniform ranks; star → center dominates, leaves equal."""
+    from hpat_jl_spark.operators.iterative import pagerank
+
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    r = {x.vertex: x.rank for x in pagerank(cyc).collect()}
+    assert all(abs(v - 1.0) < 1e-4 for v in r.values())
+
+    star = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    r2 = {x.vertex: x.rank for x in pagerank(star).collect()}
+    assert r2[0] > 1.5 and abs(r2[1] - r2[2]) < 1e-6 and abs(r2[2] - r2[3]) < 1e-6
