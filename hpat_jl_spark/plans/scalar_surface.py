@@ -228,3 +228,24 @@ def sql_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hpat_jl_spark.api import sql as run_sql
 
     return run_sql(spark, _SQL_NATION_REVENUE, sf_dir)
+
+
+@register("monte_carlo_pi", oracle=None, tags=("scalar",))
+def monte_carlo_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship benchmark (README.md:88-105 claims
+    ">1000× faster than Spark" for MPI-compiled sampling): π by
+    rejection sampling, expressed as range → two seeded rand columns →
+    filter → count. Whole-stage codegen evaluates the entire pipeline
+    in one fused loop per partition — no Python, no materialized
+    sample table; the per-partition LCG state is the only memory.
+    Seeded → deterministic; rows-only driver check (no DuckDB PRNG
+    twin); value asserted ≈ π in tests."""
+    n = 1_000_000
+    samples = spark.range(n).select(
+        (F.rand(seed=1) * 2 - 1).alias("x"), (F.rand(seed=2) * 2 - 1).alias("y")
+    )
+    inside = samples.filter(F.col("x") ** 2 + F.col("y") ** 2 <= 1.0)
+    return inside.agg(
+        (F.lit(4.0) * F.count(F.lit(1)) / F.lit(float(n))).alias("pi_estimate"),
+        F.count(F.lit(1)).alias("n_inside"),
+    )

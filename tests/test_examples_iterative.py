@@ -72,3 +72,11 @@ def test_pagerank_golden_graphs(spark):
     )
     r2 = {x.vertex: x.rank for x in pagerank(star).collect()}
     assert r2[0] > 1.5 and abs(r2[1] - r2[2]) < 1e-6 and abs(r2[2] - r2[3]) < 1e-6
+
+
+def test_monte_carlo_pi_query(spark):
+    from hpat_jl_spark import registry
+
+    registry.load_all_plans()
+    r = registry.REGISTRY["monte_carlo_pi"].fn(spark, "unused").collect()[0]
+    assert abs(r.pi_estimate - 3.14159) < 0.01
