@@ -294,10 +294,18 @@ def knn_lsh(
     vec_col: str = "embedding",
     num_planes: int = 8,
     dim: int = 64,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: only same-LSH-bucket pairs are scored. The
     bucket equi-join replaces the cross join — this is the 100 TB path
-    (shuffle keyed on bucket, candidates meet only in their bucket)."""
+    (shuffle keyed on bucket, candidates meet only in their bucket).
+
+    ``multi_probe`` > 0 additionally probes every bucket within that
+    Hamming distance of the query's bucket (1 → num_planes extra
+    buckets per query via single-bit flips) — the standard multi-probe
+    LSH recall/cost dial: candidates stay put, only the tiny
+    (query, bucket) probe table fans out, so recall rises without
+    re-hashing or extra candidate shuffles."""
     from pyspark.sql import Window
 
     qb = lsh_buckets(
@@ -322,9 +330,21 @@ def knn_lsh(
     for r in q_rows:
         v = np.array(list(r.q_vec), dtype=np.float64)
         qnorm[int(r.query_id)] = v / np.linalg.norm(v)
+    probe_pairs = set()
+    for r in q_rows:
+        b = int(r.lsh_bucket)
+        probe_pairs.add((int(r.query_id), b))
+        if multi_probe >= 1:
+            for bit in range(num_planes):
+                probe_pairs.add((int(r.query_id), b ^ (1 << bit)))
+        if multi_probe >= 2:
+            for b1 in range(num_planes):
+                for b2 in range(b1 + 1, num_planes):
+                    probe_pairs.add(
+                        (int(r.query_id), b ^ (1 << b1) ^ (1 << b2))
+                    )
     probe = queries.sparkSession.createDataFrame(
-        [(int(r.query_id), int(r.lsh_bucket)) for r in q_rows],
-        "query_id long, lsh_bucket long",
+        sorted(probe_pairs), "query_id long, lsh_bucket long"
     )
 
     def score_kernel(batches):

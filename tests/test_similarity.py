@@ -119,3 +119,27 @@ def test_ivf_index_persists_and_prunes(spark, tmp_path):
     mem = knn_ivf(queries, emb, k=3, n_centroids=8, n_probe=3, seed=7)
     want = {(r.query_id, r.rank): r.neighbor_id for r in mem.collect()}
     assert got == want and len(got) == 12
+
+
+def test_multiprobe_lsh_improves_recall(spark):
+    """Multi-probe (Hamming-1 bucket flips) must retrieve a superset of
+    single-probe results and lift recall vs the exact baseline on the
+    fixture embeddings."""
+    from pyspark.sql import functions as F
+
+    from hpat_jl_spark.tables import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    queries = emb.filter(F.col("vec_id") < 6)
+
+    def pairs(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    exact = pairs(S.knn_bruteforce(queries, emb, k=5))
+    single = pairs(S.knn_lsh(queries, emb, k=5, num_planes=4))
+    multi = pairs(S.knn_lsh(queries, emb, k=5, num_planes=4, multi_probe=1))
+    # every single-probe candidate bucket is also probed under multi
+    r_single = len(single & exact) / len(exact)
+    r_multi = len(multi & exact) / len(exact)
+    assert r_multi >= r_single
+    assert r_multi >= 0.5  # 4 planes + 1-bit probes on near-isotropic data
