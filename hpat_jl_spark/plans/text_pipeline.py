@@ -364,3 +364,47 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine by md5 of the reassembled window."""
     docs = load_table(spark, "documents", sf_dir)
     return X.chunk_documents(docs, chunk_size=50, stride=25)
+
+
+@register("quality_model_filter", oracle=None, tags=("text", "ml"))
+def quality_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-in-the-loop quality gate: train a logistic-regression
+    classifier on weak heuristic labels (quality_score threshold), then
+    score the WHOLE corpus with the model and report per-source keep
+    rates — the pattern modern corpus pipelines use to generalize a
+    hand-tuned heuristic (train on cheap labels, filter with the model).
+
+    Scale shape: feature extraction is pure Column math at scan time;
+    training iterates L-BFGS over treeAggregate gradients (the
+    reference's gemm+allreduce loop, DAAL-free); inference is one
+    map-stage UDF-free vector dot via the fitted model's transform.
+    Rows-only driver check (L-BFGS float fixpoint has no SQL twin);
+    model-recovers-its-teacher accuracy asserted in tests/test_ml.py."""
+    from pyspark.ml.classification import LogisticRegression as MLLogReg
+
+    from hpat_jl_spark.ml.kernels import assemble_features
+
+    docs = load_table(spark, "documents", sf_dir)
+    feats = docs.select(
+        "doc_id",
+        "source",
+        X.stopword_ratio("text").alias("f_stop"),
+        X.punct_ratio("text").alias("f_punct"),
+        (F.least(X.token_count("text").cast("double") / 100.0, F.lit(1.0))).alias(
+            "f_len"
+        ),
+        (X.quality_score("text") > 0.55).cast("double").alias("label"),
+    )
+    assembled = assemble_features(feats, ["f_stop", "f_punct", "f_len"])
+    model = MLLogReg(
+        featuresCol="features", labelCol="label", maxIter=50
+    ).fit(assembled)
+    scored = model.transform(assembled)
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("prediction").cast("long")).alias("n_kept"),
+            F.round(F.avg("prediction"), 4).alias("keep_rate"),
+        )
+    )

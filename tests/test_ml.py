@@ -72,3 +72,34 @@ def test_logistic_regression_separates(spark):
     # decision boundary sits between 4 and 5
     boundary = -intercept / coefs[0]
     assert 4.0 < boundary < 5.0
+
+
+def test_quality_model_recovers_teacher(spark):
+    """The logistic model trained on heuristic labels must reproduce
+    its teacher's decisions on the training corpus (>=85% agreement —
+    the boundary is a linear function of the features, so the linear
+    model should fit it well)."""
+    from pyspark.ml.classification import LogisticRegression as MLLogReg
+    from pyspark.sql import functions as F
+
+    from hpat_jl_spark.functions import text as X
+    from hpat_jl_spark.ml.kernels import assemble_features
+    from hpat_jl_spark.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.01")
+    feats = docs.select(
+        X.stopword_ratio("text").alias("f_stop"),
+        X.punct_ratio("text").alias("f_punct"),
+        F.least(X.token_count("text").cast("double") / 100.0, F.lit(1.0)).alias(
+            "f_len"
+        ),
+        (X.quality_score("text") > 0.55).cast("double").alias("label"),
+    )
+    assembled = assemble_features(feats, ["f_stop", "f_punct", "f_len"])
+    model = MLLogReg(featuresCol="features", labelCol="label", maxIter=50).fit(
+        assembled
+    )
+    scored = model.transform(assembled)
+    agree = scored.filter(F.col("prediction") == F.col("label")).count()
+    total = scored.count()
+    assert agree / total >= 0.85, (agree, total)
