@@ -48,3 +48,46 @@ def coalesce_small(df: DataFrame, n: int = 1) -> DataFrame:
     the inverse of the reference's rebalance (which equalized chunks —
     unnecessary in Spark, tasks tolerate uneven input)."""
     return df.coalesce(n)
+
+
+def zorder_sort(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+) -> DataFrame:
+    """Sort by a Z-order (Morton) curve over ``cols`` — the multi-
+    dimensional clustering layout: after writing the sorted frame to
+    Parquet, BOTH columns' min/max footer ranges are narrow per file,
+    so selective filters on EITHER column prune files (a single-column
+    sort only prunes its own column).
+
+    Each column is rank-normalized to [0, 2^bits) via ntile (so skewed
+    distributions still spread across the curve), then bit-interleaved
+    into one long — all JVM expressions (shiftleft/bitwise or), no UDF.
+    At 100 TB this is the write-side layout step before handing data to
+    any range-pruning reader."""
+    from pyspark.sql import Window
+
+    n_buckets = 1 << bits
+    ranked = df
+    rank_cols = []
+    for c in cols:
+        rc = f"__r_{c}"
+        ranked = ranked.withColumn(
+            rc, F.ntile(n_buckets).over(Window.orderBy(c)) - 1
+        )
+        rank_cols.append(rc)
+    # interleave: bit b of column i lands at position b*len(cols)+i
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, rc in enumerate(rank_cols):
+            bit = F.shiftright(F.col(rc), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(
+                F.shiftleft(bit.cast("long"), b * len(cols) + i)
+            )
+    return (
+        ranked.withColumn("__z", z)
+        .repartitionByRange(df.sparkSession.sparkContext.defaultParallelism, "__z")
+        .sortWithinPartitions("__z")
+        .drop(*rank_cols, "__z")
+    )

@@ -65,3 +65,38 @@ def test_distributed_gram_matrix(spark):
     )
     gram = mat.computeGramianMatrix().toArray()
     np.testing.assert_allclose(gram, X.T @ X, rtol=1e-8)
+
+
+def test_zorder_narrows_both_columns_file_ranges(spark, tmp_path):
+    """Z-order layout: after writing the Z-sorted frame, per-file
+    min/max ranges must be narrow for BOTH dimensions (vs the full
+    domain), so filters on either column prune files. A single-column
+    sort can't do this for the second column."""
+    import numpy as np
+
+    from hpat_jl_spark.operators.partitioning import zorder_sort
+
+    rng = np.random.default_rng(11)
+    rows = [(float(x), float(y)) for x, y in rng.uniform(0, 1000, (20000, 2))]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = str(tmp_path / "zordered")
+    zorder_sort(df, ["x", "y"], bits=10).write.mode("overwrite").parquet(out)
+
+    import glob
+
+    import pyarrow.parquet as pq
+
+    spans_x, spans_y = [], []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.read_metadata(f)
+        lo_x = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+        hi_x = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+        lo_y = min(md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups))
+        hi_y = max(md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups))
+        spans_x.append(hi_x - lo_x)
+        spans_y.append(hi_y - lo_y)
+    assert len(spans_x) >= 2
+    # each file covers a sub-square of the domain: mean span well under
+    # the full 1000-range on BOTH axes
+    assert sum(spans_x) / len(spans_x) < 700, spans_x
+    assert sum(spans_y) / len(spans_y) < 700, spans_y
