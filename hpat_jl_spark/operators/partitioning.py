@@ -53,7 +53,7 @@ def coalesce_small(df: DataFrame, n: int = 1) -> DataFrame:
 def zorder_sort(
     df: DataFrame,
     cols: list[str],
-    bits: int = 16,
+    bits: int = 10,
 ) -> DataFrame:
     """Sort by a Z-order (Morton) curve over ``cols`` — the multi-
     dimensional clustering layout: after writing the sorted frame to
@@ -61,30 +61,38 @@ def zorder_sort(
     so selective filters on EITHER column prune files (a single-column
     sort only prunes its own column).
 
-    Each column is rank-normalized to [0, 2^bits) via ntile (so skewed
-    distributions still spread across the curve), then bit-interleaved
-    into one long — all JVM expressions (shiftleft/bitwise or), no UDF.
-    At 100 TB this is the write-side layout step before handing data to
-    any range-pruning reader."""
-    from pyspark.sql import Window
+    Each column is rank-normalized to [0, 2^bits) using approxQuantile
+    boundaries + Bucketizer — a SAMPLED sketch plus a map-side bin
+    lookup, never a global sort of the raw data (an ntile/percent_rank
+    formulation would funnel every row through one task). The ranks are
+    bit-interleaved into one long with JVM shift/or expressions (no
+    UDF); the only ordered operation is the final range repartition by
+    the Morton key, which is exactly the write-side clustering shuffle.
+    At 100 TB this is the layout step before handing data to any
+    range-pruning reader."""
+    from pyspark.ml.feature import Bucketizer
 
     n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
     ranked = df
     rank_cols = []
     for c in cols:
+        splits = df.stat.approxQuantile(c, probs, 1.0 / (4 * n_buckets))
+        # dedupe + guard: approx boundaries can repeat on skewed data
+        uniq = sorted(set(splits))
+        all_splits = [float("-inf")] + uniq + [float("inf")]
         rc = f"__r_{c}"
-        ranked = ranked.withColumn(
-            rc, F.ntile(n_buckets).over(Window.orderBy(c)) - 1
-        )
+        ranked = Bucketizer(
+            splits=all_splits, inputCol=c, outputCol=rc, handleInvalid="keep"
+        ).transform(ranked)
+        ranked = ranked.withColumn(rc, F.col(rc).cast("int"))
         rank_cols.append(rc)
-    # interleave: bit b of column i lands at position b*len(cols)+i
+    eff_bits = bits
     z = F.lit(0).cast("long")
-    for b in range(bits):
+    for b in range(eff_bits):
         for i, rc in enumerate(rank_cols):
             bit = F.shiftright(F.col(rc), b).bitwiseAND(F.lit(1))
-            z = z.bitwiseOR(
-                F.shiftleft(bit.cast("long"), b * len(cols) + i)
-            )
+            z = z.bitwiseOR(F.shiftleft(bit.cast("long"), b * len(cols) + i))
     return (
         ranked.withColumn("__z", z)
         .repartitionByRange(df.sparkSession.sparkContext.defaultParallelism, "__z")
