@@ -54,6 +54,7 @@ def zorder_sort(
     df: DataFrame,
     cols: list[str],
     bits: int = 10,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Sort by a Z-order (Morton) curve over ``cols`` — the multi-
     dimensional clustering layout: after writing the sorted frame to
@@ -93,9 +94,10 @@ def zorder_sort(
         for i, rc in enumerate(rank_cols):
             bit = F.shiftright(F.col(rc), b).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit.cast("long"), b * len(cols) + i))
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     return (
         ranked.withColumn("__z", z)
-        .repartitionByRange(df.sparkSession.sparkContext.defaultParallelism, "__z")
+        .repartitionByRange(n_parts, "__z")
         .sortWithinPartitions("__z")
         .drop(*rank_cols, "__z")
     )

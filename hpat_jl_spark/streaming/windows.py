@@ -117,3 +117,38 @@ def sessionize_stream(
             "session_value",
         )
     )
+
+
+def stream_to_warehouse(
+    windowed_agg: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Write a windowed streaming aggregate to a partitioned Parquet
+    "warehouse" via foreachBatch with DYNAMIC partition overwrite:
+    each micro-batch (update mode) rewrites exactly the window
+    partitions it touches, so a retried batch overwrites its own
+    output instead of appending duplicates — idempotent
+    files-as-warehouse delivery without a transactional table format.
+
+    Expects ``windowed_agg`` to carry a ``start`` column (window
+    start); partitions are its date+hour. Returns the started query.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            batch_df.withColumn("win_hour", F.date_format("start", "yyyy-MM-dd-HH"))
+            .write.mode("overwrite")
+            .partitionBy("win_hour")
+            .parquet(out_dir)
+        )
+
+    return (
+        windowed_agg.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

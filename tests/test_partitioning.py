@@ -68,35 +68,49 @@ def test_distributed_gram_matrix(spark):
 
 
 def test_zorder_narrows_both_columns_file_ranges(spark, tmp_path):
-    """Z-order layout: after writing the Z-sorted frame, per-file
-    min/max ranges must be narrow for BOTH dimensions (vs the full
-    domain), so filters on either column prune files. A single-column
-    sort can't do this for the second column."""
+    """Z-order layout: per-file min/max ranges narrow on BOTH
+    dimensions — measured against the single-column-sort baseline,
+    which clusters its own column but leaves the other at full span."""
+    import glob
+
     import numpy as np
+    import pyarrow.parquet as pq
 
     from hpat_jl_spark.operators.partitioning import zorder_sort
 
     rng = np.random.default_rng(11)
     rows = [(float(x), float(y)) for x, y in rng.uniform(0, 1000, (20000, 2))]
     df = spark.createDataFrame(rows, "x double, y double")
-    out = str(tmp_path / "zordered")
-    zorder_sort(df, ["x", "y"], bits=10).write.mode("overwrite").parquet(out)
 
-    import glob
+    def file_spans(path):
+        sx, sy = [], []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.read_metadata(f)
+            stats = [
+                (md.row_group(i).column(j).statistics)
+                for i in range(md.num_row_groups)
+                for j in (0, 1)
+            ]
+            xs = [s for k, s in enumerate(stats) if k % 2 == 0]
+            ys = [s for k, s in enumerate(stats) if k % 2 == 1]
+            sx.append(max(s.max for s in xs) - min(s.min for s in xs))
+            sy.append(max(s.max for s in ys) - min(s.min for s in ys))
+        return sum(sx) / len(sx), sum(sy) / len(sy)
 
-    import pyarrow.parquet as pq
+    z_out = str(tmp_path / "zordered")
+    zorder_sort(df, ["x", "y"], bits=10, num_partitions=16).write.mode(
+        "overwrite"
+    ).parquet(z_out)
+    zx, zy = file_spans(z_out)
 
-    spans_x, spans_y = [], []
-    for f in glob.glob(f"{out}/part-*.parquet"):
-        md = pq.read_metadata(f)
-        lo_x = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
-        hi_x = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
-        lo_y = min(md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups))
-        hi_y = max(md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups))
-        spans_x.append(hi_x - lo_x)
-        spans_y.append(hi_y - lo_y)
-    assert len(spans_x) >= 2
-    # each file covers a sub-square of the domain: mean span well under
-    # the full 1000-range on BOTH axes
-    assert sum(spans_x) / len(spans_x) < 700, spans_x
-    assert sum(spans_y) / len(spans_y) < 700, spans_y
+    x_out = str(tmp_path / "xsorted")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.mode(
+        "overwrite"
+    ).parquet(x_out)
+    bx, by = file_spans(x_out)
+
+    # x-sort baseline: tight on x, full-domain on y
+    assert bx < 150 and by > 800
+    # z-order: meaningfully tight on BOTH axes (16 curve chunks over a
+    # 1000x1000 domain -> sub-rectangles)
+    assert zx < 0.6 * by and zy < 0.6 * by, (zx, zy, by)

@@ -210,3 +210,42 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # late 99.0-value event was dropped
     assert len(h0) == 1 and h0[0].n_events == 3, rows
     assert abs(h0[0].total_value - 3.0) < 1e-9, rows
+
+
+def test_warehouse_sink_idempotent_overwrite(spark, tmp_path):
+    """foreachBatch + dynamic partition overwrite: replaying the same
+    micro-batch (a retry) rewrites its window partitions in place —
+    the warehouse holds ONE copy of each window, and unrelated
+    partitions survive."""
+    import shutil
+
+    from hpat_jl_spark.streaming.sources import stream_events
+    from hpat_jl_spark.streaming.windows import stream_to_warehouse, tumbling_counts
+
+    src = tmp_path / "wh_events"
+    src.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet", src / "part-000.parquet"
+    )
+    out = str(tmp_path / "warehouse")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = stream_events(spark, str(src))
+    q = stream_to_warehouse(tumbling_counts(stream), out, ckpt)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out)
+    n_first = first.count()
+    total_first = first.agg(F.sum("n_events")).collect()[0][0]
+    assert total_first == 1000  # every fixture event accounted once
+
+    # simulate a RETRY of the same data: fresh checkpoint, same source,
+    # same output dir — dynamic overwrite must leave one copy, not two
+    q2 = stream_to_warehouse(
+        tumbling_counts(stream_events(spark, str(src))),
+        out,
+        str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    again = spark.read.parquet(out)
+    assert again.count() == n_first
+    assert again.agg(F.sum("n_events")).collect()[0][0] == total_first
