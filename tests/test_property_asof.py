@@ -91,3 +91,38 @@ def test_asof_matches_pandas_merge_asof(spark, left_rows, right_rows):
         assert got[lid] == pytest.approx(expected_px) if expected_px is not None else got[lid] is None, (
             f"lid={lid}: got {got[lid]}, expected {expected_px}"
         )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),
+        min_size=1,
+        max_size=60,
+    ),
+    chunks=st.integers(2, 9),
+)
+def test_cumsum_chunked_property(spark, vals, chunks):
+    """cumsum_chunked must equal the single-window global cumsum for
+    arbitrary value/NULL sequences and any chunk count — including
+    NULL-prefix rows (stay NULL) and all-NULL chunks."""
+    from hpat_jl_spark.operators.windowed import cumsum, cumsum_chunked
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i long, v double")
+    want = {r.i: r.c for r in cumsum(df, "v", "i", "c").collect()}
+    got = {
+        r.i: r.c
+        for r in cumsum_chunked(df, "v", "i", "c", num_chunks=chunks).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        a, b = got[k], want[k]
+        if a is None or b is None:
+            assert a is None and b is None, (k, a, b)
+        else:
+            assert abs(a - b) < 1e-9, (k, a, b)
