@@ -249,3 +249,41 @@ def monte_carlo_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(4.0) * F.count(F.lit(1)) / F.lit(float(n))).alias("pi_estimate"),
         F.count(F.lit(1)).alias("n_inside"),
     )
+
+
+_from_json_oracle = """
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_total,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_max
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+GROUP BY event_type
+"""
+
+
+@register("json_struct_agg", oracle=_from_json_oracle, tags=("scalar",))
+def json_struct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured JSON parse (from_json with a declared schema — one
+    parse per row, reused by every downstream reference, unlike
+    repeated get_json_object path extraction) feeding a filter +
+    aggregate; the JsonToStructs expression runs inside codegen and
+    the filter on the parsed field still prunes before the shuffle."""
+    from pyspark.sql import types as T
+
+    events = load_table(spark, "events", sf_dir)
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = events.select(
+        "event_type", F.from_json("props", schema).alias("p")
+    ).select("event_type", F.col("p.k").alias("k"))
+    return (
+        parsed.filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("k_total"),
+            F.max("k").alias("k_max"),
+        )
+    )
