@@ -180,6 +180,58 @@ def lsh_buckets(
     return df.withColumn("lsh_bucket", bucket_udf(F.col(vec_col)))
 
 
+def _fit_coarse_quantizer(
+    candidates: DataFrame,
+    vec_col: str,
+    n_centroids: int,
+    seed: int,
+    max_iter: int,
+    fit_sample: float | None,
+):
+    """Deterministic coarse-quantizer fit: collect a (sampled) vector
+    subset to the driver and run k-means++ + Lloyd in numpy. A
+    sample-fit quantizer is the standard IVF practice at any scale
+    (FAISS trains on ~100k sampled vectors); doing it driver-side with
+    a fixed RNG makes the cells BIT-REPRODUCIBLE across runs — the
+    distributed ML fit varies in the last ulp with aggregation order,
+    which flips boundary assignments and makes ANN results flicker
+    between identical runs (caught by scripts/determinism_sweep.py)."""
+    import numpy as np
+
+    # keyword args required: sample(0.25, seed=s) binds 0.25 to
+    # withReplacement and the compat shim silently DROPS the seed,
+    # making every action draw a fresh sample (caught by
+    # scripts/determinism_sweep.py)
+    src = (
+        candidates.sample(fraction=fit_sample, seed=seed)
+        if fit_sample
+        else candidates
+    )
+    X = np.array(
+        [list(r[0]) for r in src.select(vec_col).collect()], dtype=np.float64
+    )
+    rng = np.random.default_rng(seed)
+    cents = [X[int(rng.integers(len(X)))]]
+    for _ in range(n_centroids - 1):
+        C = np.array(cents)
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).min(axis=1)
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        cents.append(X[int(rng.choice(len(X), p=probs))])
+    C = np.array(cents)
+    for _ in range(max_iter):
+        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+        newC = np.array(
+            [
+                X[assign == j].mean(0) if (assign == j).any() else C[j]
+                for j in range(n_centroids)
+            ]
+        )
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return C
+
+
 def knn_ivf(
     queries: DataFrame,
     candidates: DataFrame,
@@ -204,25 +256,10 @@ def knn_ivf(
     prune at the storage layer. Recall/cost dial = n_probe/n_centroids.
     """
     import numpy as np
-    from pyspark.ml.clustering import KMeans as MLKMeans
-    from pyspark.ml.functions import array_to_vector
 
-    fit_src = (
-        candidates.sample(fit_sample, seed=seed) if fit_sample else candidates
+    cents = _fit_coarse_quantizer(
+        candidates, vec_col, n_centroids, seed, max_iter, fit_sample
     )
-    # coalesce the fit input: KMeans iterations are treeAggregate jobs
-    # whose per-partition overhead dwarfs the math on a coarse-quantizer
-    # sample; a handful of partitions is plenty
-    feats = fit_src.select(
-        id_col, vec_col, array_to_vector(F.col(vec_col)).alias("__fv")
-    ).coalesce(4)
-    # few Lloyd iterations suffice for a coarse quantizer — cells need
-    # to be balanced, not converged
-    model = MLKMeans(
-        k=n_centroids, maxIter=max_iter, seed=seed, featuresCol="__fv",
-        predictionCol="__cell",
-    ).fit(feats)
-    cents = np.array([c for c in model.clusterCenters()], dtype=np.float64)
 
     def assign_kernel(batches):
         for pdf in batches:
@@ -398,20 +435,10 @@ def build_ivf_index(
     an in-memory probe and an on-disk probe return identical results
     for the same (seed, n_centroids)."""
     import numpy as np
-    from pyspark.ml.clustering import KMeans as MLKMeans
-    from pyspark.ml.functions import array_to_vector
 
-    fit_src = (
-        candidates.sample(fit_sample, seed=seed) if fit_sample else candidates
+    cents = _fit_coarse_quantizer(
+        candidates, vec_col, n_centroids, seed, max_iter, fit_sample
     )
-    feats = fit_src.select(
-        array_to_vector(F.col(vec_col)).alias("__fv")
-    ).coalesce(4)
-    model = MLKMeans(
-        k=n_centroids, maxIter=max_iter, seed=seed, featuresCol="__fv",
-        predictionCol="__cell",
-    ).fit(feats)
-    cents = np.array([c for c in model.clusterCenters()], dtype=np.float64)
 
     def assign_kernel(batches):
         for pdf in batches:
