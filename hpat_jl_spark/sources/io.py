@@ -76,3 +76,31 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     interchange with text-pipeline tooling; Parquet remains the
     performance path (JSON re-parses every value on read)."""
     df.write.mode(mode).json(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into files of
+    ~``target_file_bytes`` (returns the file count written). The
+    standard lake-maintenance pass — streaming sinks and fine-grained
+    partitioning accumulate KB-sized files whose per-file open/footer
+    cost dominates scans; compaction restores scan bandwidth.
+
+    Sizing: file count = ceil(total_bytes / target); the rewrite is one
+    read + round-robin repartition + write (no shuffle key — row order
+    within the dataset is not semantic for a lake table; use
+    zorder_sort first when range-pruning layout matters)."""
+    import math
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    summary = fs.getContentSummary(jvm_path)
+    total = summary.getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files

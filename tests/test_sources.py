@@ -57,3 +57,19 @@ def test_json_roundtrip(spark, tmp_path):
     a = sorted(tuple(r) for r in cust.collect())
     b = sorted(tuple(r) for r in back.collect())
     assert a == b
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from hpat_jl_spark.sources.io import compact_parquet
+
+    li = load_table(spark, "lineitem", SF)
+    fragmented = str(tmp_path / "fragmented")
+    li.repartition(40).write.parquet(fragmented)  # 40 tiny files
+    compacted = str(tmp_path / "compacted")
+    n = compact_parquet(spark, fragmented, compacted, target_file_bytes=1 << 30)
+    assert n == 1
+    import glob
+
+    files = glob.glob(f"{compacted}/part-*.parquet")
+    assert len(files) == 1
+    assert spark.read.parquet(compacted).count() == li.count()
