@@ -136,3 +136,65 @@ def table_vcat(*tables: DataFrame) -> DataFrame:
     for t in tables[1:]:
         out = out.unionByName(t)
     return out
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: list[str],
+    ts_col: str = "effective_ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) merge: apply an update
+    snapshot to a versioned dimension. ``dim`` rows carry
+    [key, attrs..., valid_from, valid_to] with NULL valid_to = current;
+    ``updates`` carry [key, attrs..., ts_col].
+
+    Per key: an update with identical attrs is a no-op; a changed
+    update CLOSES the current row (valid_to = update ts) and OPENS a
+    new one; an unseen key inserts its first version. History rows pass
+    through untouched.
+
+    Plan shape: one full-outer join of current rows vs updates on the
+    key (historical rows never shuffle — they're unioned back as-is),
+    then row construction via conditional projection; no window, no
+    per-key loop. At 100 TB both sides hash-partition on the key and
+    the union is append-only — the same shape a MERGE INTO compiles to
+    on transactional lakehouses, minus the transaction log."""
+    from functools import reduce
+
+    hist = dim.filter(F.col(valid_to).isNotNull())
+    cur = dim.filter(F.col(valid_to).isNull())
+    u = updates.select(
+        F.col(key).alias("__uk"),
+        *[F.col(a).alias(f"__u_{a}") for a in attrs],
+        F.col(ts_col).alias("__uts"),
+    )
+    j = cur.join(u, cur[key] == F.col("__uk"), "full_outer")
+    same = reduce(
+        lambda acc, a: acc & F.col(a).eqNullSafe(F.col(f"__u_{a}")),
+        attrs,
+        F.lit(True),
+    )
+    no_update = F.col("__uk").isNull()
+    is_new_key = F.col(key).isNull()
+    changed = ~no_update & ~is_new_key & ~same
+
+    # surviving current rows: untouched or unchanged-by-update
+    keep_cur = j.filter(~is_new_key & (no_update | same)).select(
+        key, *attrs, valid_from, valid_to
+    )
+    closed = j.filter(changed).select(
+        key, *attrs, valid_from, F.col("__uts").alias(valid_to)
+    )
+    opened = j.filter(changed | is_new_key).select(
+        F.col("__uk").alias(key),
+        *[F.col(f"__u_{a}").alias(a) for a in attrs],
+        F.col("__uts").alias(valid_from),
+        F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
+    )
+    return hist.select(key, *attrs, valid_from, valid_to).unionByName(
+        keep_cur
+    ).unionByName(closed).unionByName(opened)

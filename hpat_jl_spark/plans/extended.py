@@ -452,3 +452,49 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, max_iter=10)
     return ranks.select("vertex", F.round("rank", 4).alias("rank"))
+
+
+_scd2_oracle = """
+WITH dim AS (SELECT c_custkey AS cust, c_mktsegment AS seg,
+                    0::BIGINT AS valid_from, NULL::BIGINT AS valid_to
+             FROM customer),
+upd AS (SELECT c_custkey AS cust,
+               CASE WHEN c_acctbal > 8000 THEN 'PREMIUM'
+                    ELSE c_mktsegment END AS seg,
+               100::BIGINT AS ts
+        FROM customer WHERE c_acctbal > 5000),
+changed AS (SELECT d.cust, d.seg AS old_seg, u.seg AS new_seg, u.ts
+            FROM dim d JOIN upd u USING (cust) WHERE d.seg <> u.seg)
+SELECT cust, seg, valid_from, valid_to
+FROM dim WHERE cust NOT IN (SELECT cust FROM changed)
+UNION ALL SELECT cust, old_seg, 0::BIGINT, ts FROM changed
+UNION ALL SELECT cust, new_seg, ts, NULL::BIGINT FROM changed
+"""
+
+
+@register("scd2_customer_segments", oracle=_scd2_oracle, tags=("extended",))
+def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge on the customer dimension:
+    rich customers (acctbal > 8000) move to a PREMIUM segment at t=100
+    (closing their current version and opening a new one); mid-balance
+    updates are identical snapshots (no-op path); everyone else
+    survives untouched. One full-outer join on the key — the MERGE INTO
+    shape without a transaction log. Golden unit test covers history
+    passthrough and new-key inserts the fixture can't express."""
+    from hpat_jl_spark.operators.relational import scd2_merge
+
+    customer = load_table(spark, "customer", sf_dir)
+    dim = customer.select(
+        F.col("c_custkey").alias("cust"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    updates = customer.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("cust"),
+        F.when(F.col("c_acctbal") > 8000, F.lit("PREMIUM"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        F.lit(100).cast("long").alias("effective_ts"),
+    )
+    return scd2_merge(dim, updates, "cust", ["seg"], "effective_ts")

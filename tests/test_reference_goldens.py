@@ -187,3 +187,37 @@ def test_length_unique_golden(spark):
     )
     got = {r.cid: (r.frequency, r.most_recent, r.amount) for r in out.collect()}
     assert got == {1: (2, 37600, 128.2), 2: (2, 36000, 53.5)}
+
+
+def test_scd2_merge_golden(spark):
+    """SCD2 merge golden: unchanged keys keep their open row, changed
+    keys get closed+reopened, new keys insert, history passes through."""
+    from hpat_jl_spark.operators.relational import scd2_merge
+
+    dim = spark.createDataFrame(
+        [
+            (1, "gold", 100, None),   # current, will change -> close+open
+            (1, "silver", 50, 100),   # history, untouched
+            (2, "bronze", 100, None), # current, update identical -> no-op
+            (3, "gold", 100, None),   # current, no update -> survives
+        ],
+        "cust long, tier string, valid_from long, valid_to long",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "platinum", 200),
+            (2, "bronze", 200),
+            (4, "silver", 200),       # new key
+        ],
+        "cust long, tier string, effective_ts long",
+    )
+    out = scd2_merge(dim, updates, "cust", ["tier"], "effective_ts")
+    rows = {(r.cust, r.tier, r.valid_from, r.valid_to) for r in out.collect()}
+    assert rows == {
+        (1, "silver", 50, 100),        # history untouched
+        (1, "gold", 100, 200),         # closed at update ts
+        (1, "platinum", 200, None),    # new open version
+        (2, "bronze", 100, None),      # identical update: no-op
+        (3, "gold", 100, None),        # no update: survives
+        (4, "silver", 200, None),      # new key first version
+    }
