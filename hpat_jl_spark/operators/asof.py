@@ -131,3 +131,53 @@ def banded_range_join(
         .filter(cond)
         .drop("__band")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: float,
+    extra_cond: Column | None = None,
+) -> DataFrame:
+    """All (left, right) pairs whose [start, end] intervals OVERLAP —
+    without a cross join. Each interval explodes into the fixed-width
+    buckets it spans; overlapping intervals necessarily share at least
+    one bucket, so the candidate set is an equi-join on bucket id,
+    deduplicated and verified with the exact overlap predicate.
+
+    Scale: the shuffle key is the bucket id; work scales with
+    Σ interval_span/bucket_width per row, so pick bucket_width near the
+    TYPICAL interval length (too small → replication blow-up for long
+    intervals; too large → fat buckets → near-cross-join within a
+    bucket). A long-interval outlier is the skew hazard — clamp or
+    split outliers upstream. ``extra_cond`` (e.g. different-user) is
+    applied before dedup to cut the pair stream early."""
+    lb = left.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_start) / bucket_width),
+                F.floor(F.col(left_end) / bucket_width),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_start) / bucket_width),
+                F.floor(F.col(right_end) / bucket_width),
+            )
+        ),
+    )
+    pairs = lb.join(rb, "__bkt").filter(
+        (F.col(left_start) <= F.col(right_end))
+        & (F.col(right_start) <= F.col(left_end))
+    )
+    if extra_cond is not None:
+        pairs = pairs.filter(extra_cond)
+    return pairs.drop("__bkt").dropDuplicates()

@@ -288,3 +288,77 @@ def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "day",
         (F.floor(F.col("ewma") * 10000) / 10000.0).alias("ewma"),
     )
+
+
+_overlap_oracle = """
+WITH ev AS (SELECT user_id, ts FROM events WHERE user_id < 12),
+lagd AS (SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+         FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (SELECT user_id, ts,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+         FROM lagd),
+bounds AS (SELECT user_id, sid, min(ts) AS s, max(ts) AS e
+           FROM sess GROUP BY 1, 2)
+SELECT a.user_id AS ua, b.user_id AS ub, count(*)::BIGINT AS n_overlaps
+FROM bounds a JOIN bounds b
+  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+GROUP BY 1, 2
+"""
+
+
+@register("session_overlap_pairs", oracle=_overlap_oracle, tags=("temporal",))
+def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrency analysis: count overlapping session pairs between
+    every pair of users — sessionize (30-min gaps) then an interval
+    OVERLAP join. The overlap join explodes each session into the
+    1-hour buckets it spans and equi-joins on bucket id (operators/
+    asof.interval_overlap_join) — overlapping intervals always share a
+    bucket, so the candidate stream is bucket-local, never the
+    sessions×sessions cross product the oracle's theta join spells."""
+    from pyspark.sql import Window
+
+    from hpat_jl_spark.operators.asof import interval_overlap_join
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 12)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    brk = F.when(
+        prev.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 1800),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("brk", brk).withColumn(
+        "sid",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    bounds = sess.groupBy("user_id", "sid").agg(
+        F.unix_timestamp(F.min("ts")).cast("double").alias("s"),
+        F.unix_timestamp(F.max("ts")).cast("double").alias("e"),
+    )
+    left = bounds.select(
+        F.col("user_id").alias("ua"),
+        F.col("sid").alias("sid_a"),
+        F.col("s").alias("s_a"),
+        F.col("e").alias("e_a"),
+    )
+    right = bounds.select(
+        F.col("user_id").alias("ub"),
+        F.col("sid").alias("sid_b"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+    )
+    pairs = interval_overlap_join(
+        left,
+        right,
+        "s_a",
+        "e_a",
+        "s_b",
+        "e_b",
+        bucket_width=3600.0,
+        extra_cond=F.col("ua") < F.col("ub"),
+    )
+    return pairs.groupBy("ua", "ub").agg(F.count(F.lit(1)).alias("n_overlaps"))
