@@ -143,9 +143,11 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependency that makes this harder than three independent counts.
 
     Plan shape: each step is filter → per-user min-timestamp aggregate →
-    join to the previous step's frontier. All three shuffles hash on
-    user_id, so AQE reuses one exchange layout; the per-step frontiers
-    shrink monotonically (step N+1 joins only step-N survivors)."""
+    join to the previous step's frontier. Every shuffle hashes on
+    user_id (no cross-key repartitioning anywhere in the chain), and
+    the per-step frontiers shrink monotonically — step N+1 joins only
+    step-N survivors, so at scale the dominant cost is the first
+    step's scan, not the chain."""
     ev = load_table(spark, "events", sf_dir)
 
     def step_after(prev: DataFrame, etype: str, t_prev: str, t_out: str) -> DataFrame:
