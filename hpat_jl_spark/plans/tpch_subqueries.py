@@ -186,12 +186,15 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly later — an EXISTS + NOT EXISTS pair over the same fact
     table.
 
-    Decorrelated plan (one shuffle on orderkey, no self-join storms):
-    per (order, supplier) take max shipdate; per order compute the
-    top-two distinct supplier maxima via window functions; a line
-    qualifies iff its shipdate >= the max over OTHER suppliers and the
-    order has >1 supplier. The two EXISTS become arithmetic over
-    per-order stats instead of two more shuffles of lineitem."""
+    Decorrelated plan: per (order, supplier) take max shipdate; per
+    order compute the top-two distinct supplier maxima via window
+    functions; a line qualifies iff its shipdate >= the max over OTHER
+    suppliers and the order has >1 supplier. All shuffles hash on
+    orderkey(+suppkey) — the EXISTS/NOT-EXISTS pair becomes window
+    arithmetic over the tiny per-(order,supplier) aggregate instead of
+    two additional full self-joins of lineitem (the naive plan scans
+    and shuffles the fact table three times; this one aggregates it
+    once and re-joins only the line-match step)."""
     li = load_table(spark, "lineitem", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
     supplier = load_table(spark, "supplier", sf_dir)
