@@ -364,3 +364,70 @@ def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra_cond=F.col("ua") < F.col("ub"),
     )
     return pairs.groupBy("ua", "ub").agg(F.count(F.lit(1)).alias("n_overlaps"))
+
+
+_ts_sim_oracle = """
+WITH span AS (SELECT date_trunc('day', min(ts)) AS d0,
+                     date_trunc('day', max(ts)) AS d1 FROM events),
+grid AS (
+  SELECT u.user_id, unnest(generate_series(d0, d1, INTERVAL '1 day')) AS day
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 20) u, span),
+obs AS (SELECT user_id, date_trunc('day', ts) AS day,
+               round(sum(value), 2) AS x
+        FROM events WHERE user_id < 20 GROUP BY 1, 2),
+filled AS (SELECT g.user_id, g.day, coalesce(o.x, 0.0) AS x
+           FROM grid g LEFT JOIN obs o
+             ON g.user_id = o.user_id AND g.day = o.day),
+vec AS (SELECT user_id, array_agg(x ORDER BY day) AS v
+        FROM filled GROUP BY user_id)
+SELECT a.user_id AS ua, b.user_id AS ub,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+FROM vec a JOIN vec b ON a.user_id < b.user_id
+"""
+
+
+@register("timeseries_similarity", oracle=_ts_sim_oracle, tags=("temporal", "similarity"))
+def timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search: each user's activity becomes a
+    fixed-length daily vector (global span, zero-filled gaps) and every
+    user pair gets a cosine similarity — the distributed shape of
+    behavioral-similarity search. Vector assembly is
+    aggregate-then-sort (array_sort of (day, x) structs — no window,
+    one shuffle per user); the pair scoring reuses the JVM-side
+    sequential-fold cosine from the similarity module, so both engines
+    traverse identical component orders and the scores align at 4 dp.
+    Pair blow-up is bounded by the analyzed-user filter; at corpus
+    scale the pair stage becomes an LSH/IVF candidate join exactly like
+    document near-dup."""
+    from hpat_jl_spark.functions.similarity import cosine
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 20)
+    span = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    days = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))).alias(
+            "day"
+        )
+    )
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(days))
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("x"))
+    filled = grid.join(obs, ["user_id", "day"], "left").select(
+        "user_id", "day", F.coalesce(F.col("x"), F.lit(0.0)).alias("x")
+    )
+    vec = filled.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda s: s.x,
+        ).alias("v")
+    )
+    a = vec.select(F.col("user_id").alias("ua"), F.col("v").alias("va"))
+    b = vec.select(F.col("user_id").alias("ub"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("ua") < F.col("ub"))
+    return pairs.select(
+        "ua", "ub", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim")
+    )
