@@ -21,6 +21,8 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",
+    "q9_product_type_profit",
+    "q21_waiting_supplier",
     "q26",
     "q05",
     "q25",
