@@ -241,3 +241,35 @@ def supplier_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("revenue"), 2).alias("lo"),
         F.round(F.max("revenue"), 2).alias("hi"),
     )
+
+
+_cumsum_global_oracle = """
+SELECT l_orderkey, l_linenumber,
+       round(sum(l_quantity) OVER (
+         ORDER BY l_orderkey * 100 + l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+FROM lineitem
+"""
+
+
+@register("cumsum_global_chunked", oracle=_cumsum_global_oracle, tags=("windowed",))
+def cumsum_global_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL prefix sum over the whole fact table — the reference's
+    MPI_Exscan cumsum (src/cgen-hpat-pattern-match.jl:433-459) at its
+    actual scale shape: range-partition on the order key, local prefix
+    per chunk, exclusive scan of the tiny per-chunk totals, broadcast
+    offset add (operators/windowed.cumsum_chunked) — no task ever sees
+    more than one chunk. The oracle is the single-window formulation
+    the chunked plan must equal exactly; quantities are integral
+    doubles so the sums are order-exact."""
+    from hpat_jl_spark.operators.windowed import cumsum_chunked
+
+    li = load_table(spark, "lineitem", sf_dir).withColumn(
+        "__ord", F.col("l_orderkey") * 100 + F.col("l_linenumber")
+    )
+    out = cumsum_chunked(li, "l_quantity", "__ord", "running_qty", num_chunks=64)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("running_qty", 2).alias("running_qty"),
+    )
