@@ -408,3 +408,33 @@ def quality_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("prediction"), 4).alias("keep_rate"),
         )
     )
+
+
+_det_sample_oracle = """
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR) || ':s1')) AS rn
+  FROM documents)
+SELECT source, doc_id, n_chars FROM ranked WHERE rn <= 5
+"""
+
+
+@register("deterministic_sample_per_source", oracle=_det_sample_oracle, tags=("text",))
+def deterministic_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed per-stratum sampling: keep the 5 docs per
+    source with the smallest md5(doc_id || salt) — a hash-priority
+    reservoir that is reproducible across engines, runs, re-shards and
+    cluster sizes (sampleBy's seeded Bernoulli is partition-dependent;
+    this is data-dependent only). Change the salt to draw an
+    independent sample. The per-group top-k compiles to the windowed
+    rank-limit — partial per partition, never a global sort."""
+    from hpat_jl_spark.operators.windowed import top_k_per_group
+
+    docs = load_table(spark, "documents", sf_dir)
+    prioritized = docs.withColumn(
+        "__pri", F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":s1")))
+    )
+    return top_k_per_group(prioritized, "source", [F.col("__pri")], 5).select(
+        "source", "doc_id", "n_chars"
+    )

@@ -73,3 +73,13 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     files = glob.glob(f"{compacted}/part-*.parquet")
     assert len(files) == 1
     assert spark.read.parquet(compacted).count() == li.count()
+
+
+def test_load_table_bad_dir_raises_with_path(spark):
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from hpat_jl_spark.tables import load_table
+
+    with pytest.raises(AnalysisException, match="no/such/dir"):
+        load_table(spark, "lineitem", "/no/such/dir").count()
