@@ -287,3 +287,37 @@ def json_struct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+_map_funcs_oracle = """
+SELECT user_id, event_type, n
+FROM (SELECT user_id, event_type, count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2)
+WHERE n >= 8
+"""
+
+
+@register("map_functions_surface", oracle=_map_funcs_oracle, tags=("scalar",))
+def map_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (absent in the reference — its type system has
+    no containers at all, SURVEY §1.2): per-user counts become a
+    map<event_type, n> via map_from_entries, frequent entries are kept
+    with map_filter (a codegen'd higher-order map lambda), and the map
+    explodes back to rows. The oracle states the equivalent relational
+    result — the map round-trip must be lossless."""
+    ev = load_table(spark, "events", sf_dir)
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    as_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("counts")
+    )
+    frequent = as_map.select(
+        "user_id",
+        F.map_filter("counts", lambda k, v: v >= 8).alias("frequent"),
+    )
+    return frequent.select(
+        "user_id", F.explode("frequent").alias("event_type", "n")
+    )
