@@ -347,3 +347,71 @@ def neardup_clusters(
         "doc_id",
         F.coalesce(F.col("component"), F.col("doc_id")).alias("canonical_id"),
     )
+
+
+def prefix_filter_jaccard(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (the ppjoin
+    blocking scheme): a pair with token-set Jaccard ≥ t must share at
+    least one token among each side's first |d| − ⌈t·|d|⌉ + 1 tokens
+    when every document orders its tokens rare-first. Unlike MinHash
+    LSH this has NO false negatives — the prefix join only prunes pairs
+    that provably cannot reach the threshold.
+
+    Plan: global token frequencies (one hash agg) broadcast back; each
+    doc sorts its tokens by (freq, token) locally — an array_sort over
+    structs, no global rank window — takes the prefix slice, and
+    explodes ONLY prefix tokens into the candidate equi-join. Exact
+    Jaccard then verifies candidates on the full token arrays. At
+    corpus scale the candidate volume is bounded by prefix length
+    (shrinking as t grows); the rare-first order keeps hot tokens out
+    of prefixes, which is what makes the token join skew-safe."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens(text_col)).alias("w"),
+    )
+    tok_rows = toks.select("id", F.explode("w").alias("tok"))
+    freq = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    ranked = (
+        tok_rows.join(F.broadcast(freq), "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tf", "tok"))),
+                lambda s: s.tok,
+            ).alias("sorted_w")
+        )
+    )
+    size = F.size("sorted_w")
+    prefix_len = size - F.ceil(F.lit(threshold) * size).cast("int") + 1
+    with_prefix = ranked.select(
+        "id",
+        "sorted_w",
+        F.slice("sorted_w", F.lit(1), prefix_len).alias("prefix"),
+    )
+    cand = (
+        with_prefix.select("id", F.col("sorted_w").alias("wa"), F.explode("prefix").alias("tok"))
+        .alias("a")
+        .join(
+            with_prefix.select(
+                F.col("id").alias("id_b"),
+                F.col("sorted_w").alias("wb"),
+                F.explode("prefix").alias("tok"),
+            ).alias("b"),
+            (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("id_b")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("id_b").alias("doc_b"), "wa", "wb")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("wa", "wb"))
+    union = F.size(F.array_union("wa", "wb"))
+    jac = inter.cast("double") / union
+    return cand.select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)

@@ -438,3 +438,28 @@ def deterministic_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFra
     return top_k_per_group(prioritized, "source", [F.col("__pri")], 5).select(
         "source", "doc_id", "n_chars"
     )
+
+
+_prefix_jaccard_oracle = """
+WITH toks AS (SELECT doc_id,
+                     list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS w
+              FROM documents WHERE doc_id < 300)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.w, b.w))::DOUBLE
+             / len(list_distinct(a.w || b.w)), 4) AS jaccard
+FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.w, b.w))::DOUBLE
+      / len(list_distinct(a.w || b.w)) >= 0.3
+"""
+
+
+@register("prefix_filter_similarity", oracle=_prefix_jaccard_oracle, tags=("dedup",))
+def prefix_filter_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (ppjoin blocking:
+    rare-first token order, prefix-token candidate join, exact verify)
+    — zero false negatives by construction, so the result must equal
+    the oracle's brute-force all-pairs Jaccard exactly. The LSH family
+    (dedup_minhash) trades that guarantee for candidate volume; this
+    keeps it while still never materializing the cross product."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 300)
+    return D.prefix_filter_jaccard(docs, threshold=0.3)

@@ -116,3 +116,23 @@ def test_minhash_estimates_calibrated(spark):
     for pair, exact in expected.items():
         assert pair in got, f"pair {pair} (exact J={exact:.2f}) not retrieved"
         assert abs(got[pair] - exact) <= 0.3, (pair, got[pair], exact)
+
+
+def test_prefix_filter_exactness(spark, planted):
+    """Prefix filtering must find EXACTLY the pairs brute-force Jaccard
+    finds — no false negatives (the guarantee LSH gives up)."""
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.prefix_filter_jaccard(planted, threshold=0.4).collect()
+    }
+    toks = {
+        r.doc_id: set(r.text.split()) for r in planted.collect()
+    }
+    ids = sorted(toks)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            j = len(toks[a] & toks[b]) / len(toks[a] | toks[b])
+            if round(j, 4) >= 0.4:
+                want[(a, b)] = round(j, 4)
+    assert got == want and want  # non-empty: planted dups must appear
