@@ -146,3 +146,22 @@ def sql(spark: SparkSession, query: str, sf_dir: str | None = None) -> DataFrame
     if sf_dir is not None:
         register_views(spark, sf_dir)
     return spark.sql(query)
+
+
+def stencil(t: DataFrame, value: str, order_by: str) -> DataFrame:
+    """`stencil(x->(x[-1]+2x[0]+x[1])/4, t[:col])` (reference
+    src/capture-api.jl:111-144) — 3-point smoothing with boundary
+    pass-through; DataFrames are unordered so the ordering column is
+    explicit (SURVEY §7)."""
+    from hpat_jl_spark.operators.windowed import stencil_3pt
+
+    return stencil_3pt(t, value, order_by)
+
+
+def cumsum(t: DataFrame, value: str, order_by: str) -> DataFrame:
+    """`cumsum(t[:col])` (reference dist_cumsum!, src/distributed-pass
+    .jl:1213-1215) — running sum in explicit order; see
+    operators/windowed.cumsum_chunked for the global-scale path."""
+    from hpat_jl_spark.operators.windowed import cumsum as _cumsum
+
+    return _cumsum(t, value, order_by)

@@ -59,3 +59,20 @@ def test_data_source_missing_column_errors(spark):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "nope" in str(e)
+
+
+def test_facade_stencil_and_cumsum(spark):
+    """Reference ordered-operator surface through the facade: golden
+    values from the reference's stencil/cumsum tests
+    (test/stencil_test1.jl boundary pass-through; cumsum monotone)."""
+    from hpat_jl_spark import api
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1.2, 2.0, 3.0, 2.5, 1.9])],
+        "i long, v double",
+    )
+    sm = {r.i: r.stencil for r in api.stencil(df, "v", "i").collect()}
+    assert sm[0] == 1.2 and sm[4] == 1.9  # boundaries pass through
+    assert abs(sm[1] - (1.2 + 2 * 2.0 + 3.0) / 4.0) < 1e-9
+    cs = {r.i: r.cumsum for r in api.cumsum(df, "v", "i").collect()}
+    assert abs(cs[4] - 10.6) < 1e-9

@@ -249,3 +249,28 @@ def test_warehouse_sink_idempotent_overwrite(spark, tmp_path):
     again = spark.read.parquet(out)
     assert again.count() == n_first
     assert again.agg(F.sum("n_events")).collect()[0][0] == total_first
+
+
+def test_sliding_counts_overlap_factor(spark, tmp_path):
+    """Sliding windows: every event lands in exactly window/slide
+    windows (1h/15min → 4), so the sliding total is 4× the event count."""
+    import shutil
+
+    from hpat_jl_spark.streaming.sources import stream_events
+    from hpat_jl_spark.streaming.windows import sliding_counts
+
+    d = tmp_path / "slide_events"
+    d.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "p.parquet")
+    stream = stream_events(spark, str(d))
+    q = (
+        sliding_counts(stream, window="1 hour", slide="15 minutes")
+        .writeStream.format("memory")
+        .queryName("sliding")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    total = sum(r.n_events for r in spark.table("sliding").collect())
+    assert total == 4 * 1000
