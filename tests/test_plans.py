@@ -86,3 +86,16 @@ def test_filter_pushes_through_join(spark):
     )
     plan = _plan(j)
     assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in plan
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """The documented scale twin of exact percentiles: t-digest
+    approx_percentile must land within 1% of the exact rank on the
+    price distribution (accuracy=10000 → error <= 0.01%ile * N)."""
+    df = load_table(spark, "lineitem", SF)
+    row = df.selectExpr(
+        "percentile(l_extendedprice, array(0.5, 0.95)) AS exact",
+        "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000) AS approx",
+    ).collect()[0]
+    for e, a in zip(row.exact, row.approx):
+        assert abs(a - e) / e < 0.01, (e, a)
