@@ -498,3 +498,86 @@ def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(100).cast("long").alias("effective_ts"),
     )
     return scd2_merge(dim, updates, "cust", ["seg"], "effective_ts")
+
+
+_profile_oracle = """
+SELECT 'o_totalprice' AS col, count(*)::BIGINT AS n,
+       round(avg(o_totalprice), 4) AS mean,
+       round(stddev_samp(o_totalprice), 4) AS std,
+       round(min(o_totalprice), 2) AS min_v,
+       round(max(o_totalprice), 2) AS max_v,
+       count(*) FILTER (o_totalprice IS NULL)::BIGINT AS n_null
+FROM orders
+UNION ALL
+SELECT 'c_acctbal', count(*)::BIGINT, round(avg(c_acctbal), 4),
+       round(stddev_samp(c_acctbal), 4), round(min(c_acctbal), 2),
+       round(max(c_acctbal), 2),
+       count(*) FILTER (c_acctbal IS NULL)::BIGINT
+FROM customer
+"""
+
+
+@register("profile_numeric_columns", oracle=_profile_oracle, tags=("extended",))
+def profile_numeric_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling (the pre-training audit step): per-column
+    count/mean/std/min/max/null-count as one partial+final aggregate
+    per table — each profile row costs one scan regardless of how many
+    statistics it carries, because every aggregate folds map-side."""
+    def prof(df: DataFrame, col: str) -> DataFrame:
+        return df.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(col), 4).alias("mean"),
+            F.round(F.stddev_samp(col), 4).alias("std"),
+            F.round(F.min(col), 2).alias("min_v"),
+            F.round(F.max(col), 2).alias("max_v"),
+            F.count(F.when(F.col(col).isNull(), 1)).alias("n_null"),
+        )
+
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    return prof(orders, "o_totalprice").unionByName(prof(customer, "c_acctbal"))
+
+
+_anomaly_oracle = """
+WITH daily AS (SELECT date_trunc('day', ts) AS day, round(sum(value), 2) AS x
+               FROM events GROUP BY 1),
+stats AS (SELECT day, x,
+                 avg(x) OVER w AS mu,
+                 stddev_samp(x) OVER w AS sigma,
+                 count(*) OVER w AS n_win
+          FROM daily
+          WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+SELECT day, x, round(mu, 4) AS mu,
+       round((x - mu) / sigma, 4) AS z
+FROM stats
+WHERE n_win = 7 AND sigma > 0 AND abs((x - mu) / sigma) > 1.5
+"""
+
+
+@register("daily_anomalies", oracle=_anomaly_oracle, tags=("temporal", "extended"))
+def daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each day's total against the
+    mean/std of the PRECEDING 7 days (trailing frame excludes the
+    current row — no self-contamination), flagging |z| > 1.5. One
+    ordered window over the tiny daily aggregate; the raw fact table
+    only feeds the first groupBy."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.round(F.sum("value"), 2).alias("x")
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    stats = daily.select(
+        "day",
+        "x",
+        F.avg("x").over(w).alias("mu"),
+        F.stddev_samp("x").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    )
+    z = (F.col("x") - F.col("mu")) / F.col("sigma")
+    return (
+        stats.filter((F.col("n_win") == 7) & (F.col("sigma") > 0) & (F.abs(z) > 1.5))
+        .select("day", "x", F.round("mu", 4).alias("mu"), F.round(z, 4).alias("z"))
+    )

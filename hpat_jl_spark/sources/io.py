@@ -104,3 +104,21 @@ def compact_parquet(
     df = spark.read.parquet(path)
     df.repartition(n_files).write.mode("overwrite").parquet(out_path)
     return n_files
+
+
+def schema_diff(
+    spark: SparkSession, path_a: str, path_b: str
+) -> dict[str, list[str]]:
+    """Schema drift detection between two parquet snapshots: returns
+    {'added': [...], 'removed': [...], 'retyped': ['col: a -> b']}.
+    Reads only footers (no data scan) — the guard a scheduled ingest
+    runs before appending a new drop to a 100 TB table."""
+    sa = {f.name: f.dataType.simpleString() for f in spark.read.parquet(path_a).schema}
+    sb = {f.name: f.dataType.simpleString() for f in spark.read.parquet(path_b).schema}
+    return {
+        "added": sorted(set(sb) - set(sa)),
+        "removed": sorted(set(sa) - set(sb)),
+        "retyped": sorted(
+            f"{c}: {sa[c]} -> {sb[c]}" for c in set(sa) & set(sb) if sa[c] != sb[c]
+        ),
+    }

@@ -83,3 +83,22 @@ def test_load_table_bad_dir_raises_with_path(spark):
 
     with pytest.raises(AnalysisException, match="no/such/dir"):
         load_table(spark, "lineitem", "/no/such/dir").count()
+
+
+def test_schema_diff_detects_drift(spark, tmp_path):
+    from hpat_jl_spark.sources.io import schema_diff
+
+    a = str(tmp_path / "snap_a")
+    b = str(tmp_path / "snap_b")
+    df = load_table(spark, "supplier", SF)
+    df.write.parquet(a)
+    (
+        df.drop("s_acctbal")
+        .withColumn("s_region", F.lit("x"))
+        .withColumn("s_nationkey", F.col("s_nationkey").cast("long"))
+        .write.parquet(b)
+    )
+    d = schema_diff(spark, a, b)
+    assert d["added"] == ["s_region"]
+    assert d["removed"] == ["s_acctbal"]
+    assert d["retyped"] == ["s_nationkey: int -> bigint"]
