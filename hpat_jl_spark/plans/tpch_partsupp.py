@@ -95,7 +95,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             supplier.s_nationkey == F.col("n_nationkey"),
         )
     ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
-    eu_ps = ps.join(F.broadcast(eu_supp), ps.ps_suppkey == F.col("s_suppkey"))
+    eu_ps = ps.join(eu_supp, ps.ps_suppkey == F.col("s_suppkey"))
     min_cost = eu_ps.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
         F.min("ps_supplycost").alias("min_cost")
     )
@@ -109,7 +109,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20),
     ).select("p_partkey", "p_name")
     out = best.join(
-        F.broadcast(parts), best.ps_partkey == parts.p_partkey
+        parts, best.ps_partkey == parts.p_partkey
     ).select(
         F.round("s_acctbal", 2).alias("s_acctbal"),
         "s_name",
@@ -150,7 +150,9 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partkey, suppkey) key — a fact⋈derived-fact join. Plan: lineitem
     shuffles once on (partkey, suppkey) to meet ps (which was just
     aggregated on that same key, so AQE can reuse the partitioning),
-    then once on orderkey for orders; part/supplier/nation broadcast."""
+    then once on orderkey for orders. nation carries the only forced
+    broadcast hint; the O(sf) sides (parts5, supplier⋈nation) are left
+    to AQE so the plan survives a 100× scale-up (VERDICT r01)."""
     ps = derived_partsupp(spark, sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
@@ -159,7 +161,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, "part", sf_dir)
 
     parts5 = table_filter(part, F.col("p_name").like("%5%")).select("p_partkey")
-    lp = li.join(F.broadcast(parts5), li.l_partkey == F.col("p_partkey"))
+    lp = li.join(parts5, li.l_partkey == F.col("p_partkey"))
     lps = lp.join(
         ps,
         (lp.l_partkey == ps.ps_partkey) & (lp.l_suppkey == ps.ps_suppkey),
@@ -168,7 +170,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = supplier.join(
         F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
     ).select("s_suppkey", F.col("n_name").alias("nation"))
-    full = lpso.join(F.broadcast(sn), lpso.l_suppkey == sn.s_suppkey)
+    full = lpso.join(sn, lpso.l_suppkey == sn.s_suppkey)
     amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
         "ps_supplycost"
     ) * F.col("l_quantity")
@@ -210,7 +212,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nat), supplier.s_nationkey == nat.n_nationkey
     ).select("s_suppkey")
     natps = ps.join(
-        F.broadcast(nat_supp), ps.ps_suppkey == F.col("s_suppkey")
+        nat_supp, ps.ps_suppkey == F.col("s_suppkey")
     ).select(
         "ps_partkey", (F.col("ps_supplycost") * F.col("ps_qty")).alias("val")
     )
@@ -249,7 +251,7 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = li.select("l_partkey", "l_suppkey").distinct()
     bad_supp = table_filter(supplier, F.col("s_acctbal") < 0).select("s_suppkey")
     good = link.join(
-        F.broadcast(bad_supp), link.l_suppkey == F.col("s_suppkey"), "left_anti"
+        bad_supp, link.l_suppkey == F.col("s_suppkey"), "left_anti"
     )
     parts = table_filter(
         part,
@@ -258,7 +260,7 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 5, 9, 15, 20, 25, 30, 35),
     )
     return (
-        good.join(F.broadcast(parts), good.l_partkey == parts.p_partkey)
+        good.join(parts, good.l_partkey == parts.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -312,7 +314,7 @@ def q20_surplus_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts3 = table_filter(part, F.col("p_name").like("%3%")).select("p_partkey")
     dominant = (
         shipped.join(tot, shipped.l_partkey == F.col("t_partkey"))
-        .join(F.broadcast(parts3), shipped.l_partkey == F.col("p_partkey"))
+        .join(parts3, shipped.l_partkey == F.col("p_partkey"))
         .filter(F.col("qty") > 0.5 * F.col("total_qty"))
         .select("l_suppkey")
     )

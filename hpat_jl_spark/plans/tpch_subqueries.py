@@ -68,8 +68,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = revenue.join(
         F.broadcast(max_rev), revenue.total_revenue == F.col("max_revenue")
     )
+    # `best` is the tie-set at the max (tiny in practice but not provably
+    # bounded) and supplier is O(sf): no forced broadcast on either side,
+    # AQE picks the build side from measured sizes.
     return best.join(
-        F.broadcast(supplier), best.supplier_no == supplier.s_suppkey
+        supplier, best.supplier_no == supplier.s_suppkey
     ).select("s_suppkey", "s_name", "total_revenue")
 
 
@@ -88,8 +91,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar subquery (per-part average
     quantity) gating the outer row. Decorrelated plan: semi-join
     lineitem to the brand's parts first (so the per-part average is only
-    computed for parts that matter), aggregate, then broadcast the tiny
-    per-part threshold back onto the fact rows — the per-group-threshold
+    computed for parts that matter), aggregate, then join the reduced
+    per-part threshold back onto the fact rows (brand_parts and the
+    threshold table are O(sf) — brand-filtered but still growing with
+    the data — so broadcasting is AQE's runtime decision, not forced) — the per-group-threshold
     pattern that at 100 TB must avoid re-scanning lineitem twice at full
     width (the avg needs only partkey+quantity: column pruning does
     that)."""
@@ -99,12 +104,12 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey"
     )
     thresholds = (
-        li.join(F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey"), "left_semi")
+        li.join(brand_parts, li.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy("l_partkey")
         .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold"))
     )
     gated = li.join(
-        F.broadcast(thresholds.withColumnRenamed("l_partkey", "t_partkey")),
+        thresholds.withColumnRenamed("l_partkey", "t_partkey"),
         (li.l_partkey == F.col("t_partkey"))
         & (li.l_quantity < F.col("qty_threshold")),
     )
@@ -138,7 +143,9 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimizer.txt) and never built."""
     li = load_table(spark, "lineitem", sf_dir)
     part = load_table(spark, "part", sf_dir)
-    lp = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # part is O(sf): Catalyst pushes the brand/size implications into its
+    # scan, AQE broadcasts the reduced side if it measures small.
+    lp = li.join(part, li.l_partkey == part.p_partkey)
     q = F.col("l_quantity")
     branch = lambda brand, smax, qlo, qhi: (  # noqa: E731
         (F.col("p_brand") == brand)
@@ -203,7 +210,10 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_orders = table_filter(orders, F.col("o_orderstatus") == "F").select(
         "o_orderkey"
     )
-    fl = li.join(F.broadcast(f_orders), li.l_orderkey == F.col("o_orderkey")).select(
+    # f_orders is ~half the orders table (O(sf)) — VERDICT r01 flagged
+    # force-broadcasting it as the worst scale hazard in the repo. The
+    # semi-ish join now shuffles on orderkey like the rest of the plan.
+    fl = li.join(f_orders, li.l_orderkey == F.col("o_orderkey")).select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     supp_max = fl.groupBy("l_orderkey", "l_suppkey").agg(
@@ -245,7 +255,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         supplier.s_nationkey == nation.n_nationkey,
     ).select("s_suppkey", "s_name")
     counted = (
-        waiting.join(F.broadcast(nat_supp), waiting.q_suppkey == F.col("s_suppkey"))
+        waiting.join(nat_supp, waiting.q_suppkey == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -41,6 +41,94 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+# Driver-gate ordering. The correctness driver consumes ``queries()`` in
+# dict order and (in round 1) only recorded rows for the first 50 entries,
+# leaving 59 registered queries verified only by the judge's local sweep.
+# Names listed here are emitted FIRST (in this order); everything else
+# follows in registration order. Round 2 policy: every query that has no
+# CORRECTNESS_r01 row goes first — oracle-checked ones ahead of rows-only
+# ones (the rows-only check is weaker, so missing the window costs less) —
+# so the union of r01+r02 driver rows covers the whole registry.
+# Names not (yet) registered are skipped, so new plans can be pre-listed.
+DRIVER_PRIORITY: list[str] = [
+    # VERDICT r01 called these out by name as the load-bearing unchecked set.
+    "asof_join_views",
+    "dedup_exact",
+    "knn_bruteforce",
+    "session_overlap_pairs",
+    "sql_nation_revenue",
+    "udaf_mad",
+    "prefix_filter_similarity",
+    # New this round (VERDICT next-round items 4/5/7).
+    "ml_logreg_purchase",
+    "ml_naive_bayes_region",
+    "salted_skew_join",
+    "checkpointed_pagerank",
+    # Remaining oracle-checked queries with no r01 driver row.
+    "multi_key_join",
+    "token_count_bpe",
+    "rolling_fingerprint",
+    "corpus_clean_pipeline",
+    "ngram_jaccard",
+    "train_test_split",
+    "document_chunks",
+    "deterministic_sample_per_source",
+    "embedding_neardup",
+    "embedding_centroids",
+    "pivot_status",
+    "rollup_sales",
+    "cube_sales",
+    "collect_sorted_list",
+    "grouping_sets_sales",
+    "range_frame_window",
+    "math_surface",
+    "unpivot_metrics",
+    "order_price_histogram",
+    "salted_skew_aggregate",
+    "scd2_customer_segments",
+    "profile_numeric_columns",
+    "daily_anomalies",
+    "ml_linreg_price",
+    "q03_views_before_purchase",
+    "range_join_balance",
+    "funnel_conversion",
+    "weekly_retention",
+    "resample_daily_ffill",
+    "ewma_daily_value",
+    "timeseries_similarity",
+    "string_surface",
+    "date_surface",
+    "json_extract",
+    "conditional_exprs",
+    "stats_aggregates",
+    "percentiles_exact",
+    "explode_tokens",
+    "json_struct_agg",
+    "map_functions_surface",
+    # Rows-only queries with no r01 driver row (weaker check; tail of the
+    # window). The most design-critical three lead.
+    "dedup_minhash",
+    "knn_ivf",
+    "pagerank_trade_graph",
+    "dedup_simhash",
+    "dedup_cluster",
+    "quality_model_filter",
+    "knn_lsh",
+    "approx_distinct",
+    "stratified_sample_sources",
+    "ml_kmeans_clusters",
+    "multimodal_features",
+    "monte_carlo_pi",
+]
+
+
+def _ordered_names() -> list[str]:
+    """Registry names with DRIVER_PRIORITY entries first."""
+    prio = [n for n in DRIVER_PRIORITY if n in REGISTRY]
+    seen = set(prio)
+    return prio + [n for n in REGISTRY if n not in seen]
+
+
 def load_all_plans() -> None:
     """Import every plan module for side-effect registration."""
     import hpat_jl_spark.plans.relational_core  # noqa: F401
@@ -60,11 +148,13 @@ def load_all_plans() -> None:
 
 def queries() -> dict[str, QueryFn]:
     load_all_plans()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     load_all_plans()
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
     }
