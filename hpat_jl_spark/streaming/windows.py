@@ -123,25 +123,43 @@ def stream_to_warehouse(
     windowed_agg: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
+    key_cols: tuple[str, ...] = ("event_type",),
 ):
     """Write a windowed streaming aggregate to a partitioned Parquet
-    "warehouse" via foreachBatch with DYNAMIC partition overwrite:
-    each micro-batch (update mode) rewrites exactly the window
-    partitions it touches, so a retried batch overwrites its own
-    output instead of appending duplicates — idempotent
-    files-as-warehouse delivery without a transactional table format.
+    "warehouse" via foreachBatch with DYNAMIC partition overwrite.
 
-    Expects ``windowed_agg`` to carry a ``start`` column (window
-    start); partitions are its date+hour. Returns the started query.
+    Correctness invariant (ADVICE r01): in update mode a micro-batch
+    emits ONLY the groups whose aggregate changed, so the overwrite
+    granularity must be exactly one group, never a coarser bucket. If
+    partitions were keyed by hour alone, a batch updating one group
+    would silently delete every sibling group already written into that
+    hour. Partitions are therefore the EXACT window start
+    (``win_part``, second granularity — distinct sliding/short windows
+    inside one hour land in distinct partitions) crossed with the full
+    non-window grouping key ``key_cols``; each partition holds exactly
+    one aggregate row, and dynamic overwrite becomes per-group upsert.
+    A retried batch rewrites the same partitions in place — idempotent
+    delivery without a transactional table format.
+
+    One-partition-per-group is the files-as-warehouse tradeoff: fine
+    for windowed aggregates (cardinality = windows × key values); a
+    high-cardinality key wants a transactional format with MERGE plus
+    periodic compaction (operators/maintenance.compact_parquet)
+    instead.
+
+    Expects ``windowed_agg`` to carry a ``start`` column (window start)
+    and every column in ``key_cols``. Returns the started query.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
-            batch_df.withColumn("win_hour", F.date_format("start", "yyyy-MM-dd-HH"))
+            batch_df.withColumn(
+                "win_part", F.date_format("start", "yyyy-MM-dd-HH-mm-ss")
+            )
             .write.mode("overwrite")
-            .partitionBy("win_hour")
+            .partitionBy("win_part", *key_cols)
             .parquet(out_dir)
         )
 

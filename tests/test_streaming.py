@@ -251,6 +251,69 @@ def test_warehouse_sink_idempotent_overwrite(spark, tmp_path):
     assert again.agg(F.sum("n_events")).collect()[0][0] == total_first
 
 
+def test_warehouse_sink_multibatch_preserves_sibling_keys(spark, tmp_path):
+    """ADVICE r01 regression: with maxFilesPerTrigger=1, a later
+    micro-batch that updates only ONE group key inside a window must not
+    delete the other keys' rows already written for that window. The old
+    hour-grained partitioning overwrote the whole hour partition with
+    the updated key only; partitioning by (exact window, group key)
+    makes dynamic overwrite a per-group upsert."""
+    import glob
+    import shutil
+    import time
+
+    from hpat_jl_spark.streaming.sources import stream_events
+    from hpat_jl_spark.streaming.windows import stream_to_warehouse, tumbling_counts
+
+    d = tmp_path / "wh_multi"
+    d.mkdir()
+
+    def ns(hour, minute):
+        base = 1704100000 * 1_000_000_000
+        return base + (hour * 3600 + minute * 60) * 1_000_000_000
+
+    def write(name, rows):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        src = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.copy(src, d / f"{name}.parquet")
+        time.sleep(1.1)  # distinct mtimes keep file order deterministic
+
+    # batch 0: one view + one purchase in hour H → both keys written
+    write(
+        "a-first",
+        [
+            (1, ns(0, 5), 1, "view", 1.0, "{}"),
+            (2, ns(0, 10), 1, "purchase", 5.0, "{}"),
+        ],
+    )
+    # batch 1: another view in hour H → updates ONLY the view key
+    write("b-second", [(3, ns(0, 20), 1, "view", 2.0, "{}")])
+
+    stream = stream_events(spark, str(d), max_files_per_trigger=1)
+    q = stream_to_warehouse(
+        tumbling_counts(stream, window="1 hour", watermark="4 hours"),
+        str(tmp_path / "wh_out"),
+        str(tmp_path / "wh_ckpt"),
+    )
+    q.awaitTermination(120)
+
+    rows = {
+        r.event_type: r
+        for r in spark.read.parquet(str(tmp_path / "wh_out")).collect()
+    }
+    # the purchase row written in batch 0 must survive batch 1's update
+    assert set(rows) == {"view", "purchase"}, rows
+    assert rows["purchase"].n_events == 1
+    assert abs(rows["purchase"].total_value - 5.0) < 1e-9
+    # and the view row reflects the batch-1 update, exactly once
+    assert rows["view"].n_events == 2
+    assert abs(rows["view"].total_value - 3.0) < 1e-9
+
+
 def test_sliding_counts_overlap_factor(spark, tmp_path):
     """Sliding windows: every event lands in exactly window/slide
     windows (1h/15min → 4), so the sliding total is 4× the event count."""
