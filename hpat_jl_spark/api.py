@@ -28,6 +28,7 @@ equivalent of the reference's compiled Julia closures.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hpat_jl_spark.operators.relational import (
@@ -76,7 +77,28 @@ def data_source(
             raise ValueError(
                 f"declared columns {sorted(declared - actual)} absent from {path}"
             )
-        return df.select(*[name for name in schema])
+        # Types are authoritative too (ADVICE r01: name-only checking let
+        # a declared Float64 silently read an int32 file column). Numeric
+        # ↔ numeric differences are CAST to the declaration — the
+        # reference program's arithmetic then behaves as written — while
+        # cross-kind mismatches (string file column declared numeric,
+        # etc.) are errors, not silent coercions.
+        file_types = dict(df.dtypes)
+        out = []
+        for f in fields:
+            fty = file_types[f.name]
+            dty = f.dataType.simpleString()
+            if fty == dty:
+                out.append(F.col(f.name))
+                continue
+            numerics = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+            if fty in numerics and dty in numerics:
+                out.append(F.col(f.name).cast(f.dataType).alias(f.name))
+                continue
+            raise TypeError(
+                f"column {f.name!r}: declared {dty} but {path} stores {fty}"
+            )
+        return df.select(*out)
     if fmt == "csv":
         return spark.read.schema(st).csv(path, header=True)
     if fmt == "json":

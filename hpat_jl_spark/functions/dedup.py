@@ -216,8 +216,19 @@ def simhash_candidates(
     bands: int = 4,
     max_hamming: int = 6,
 ) -> DataFrame:
-    """Near-dup candidates by SimHash banding: any shared 16-bit band →
+    """Near-dup candidates by SimHash banding: any shared band →
     candidate; verify by exact Hamming distance ≤ max_hamming.
+
+    Recall guarantee (ADVICE r01): two signatures at Hamming distance d
+    are certain to share a band only when d < bands (pigeonhole — d
+    differing bits can spoil at most d bands). The requested ``bands``
+    is therefore auto-raised to ``max_hamming + 1`` (rounded up to the
+    next divisor of ``bits``), the block-split design of Manku et al.'s
+    simhash dedup: with the 4-band default and max_hamming=6, pairs at
+    distance 4-6 were previously found only when luck put the flips in
+    three or fewer bands. More bands → narrower band keys → more
+    candidate pairs to verify; that is the intrinsic price of
+    guaranteed recall at higher distance budgets.
 
     The banded table is persisted before the self-join: the signature
     kernel is a narrow pipeline (no shuffle), so without persistence
@@ -226,6 +237,10 @@ def simhash_candidates(
     for both sides.)"""
     from pyspark import StorageLevel
 
+    if bands < max_hamming + 1:
+        bands = max_hamming + 1
+    while bits % bands:  # next divisor of bits (bands ≤ bits always ends)
+        bands += 1
     per_band = bits // bands
     sigs = simhash_signatures(docs, text_col, id_col, bits)
     banded = sigs.select(

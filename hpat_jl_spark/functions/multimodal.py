@@ -21,9 +21,9 @@ partition of large blobs doesn't materialize at once.
 from __future__ import annotations
 
 import binascii
-import math
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -69,13 +69,13 @@ def attach_fake_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _byte_entropy(b: bytes) -> float:
+    # np.bincount over the raw buffer: ~50× faster than a per-byte dict
+    # loop on large payloads (VERDICT r01), identical values.
     if not b:
         return 0.0
-    counts: dict[int, int] = {}
-    for x in b:
-        counts[x] = counts.get(x, 0) + 1
-    n = len(b)
-    return -sum((c / n) * math.log2(c / n) for c in counts.values())
+    counts = np.bincount(np.frombuffer(b, dtype=np.uint8), minlength=256)
+    p = counts[counts > 0] / len(b)
+    return float(-(p * np.log2(p)).sum())
 
 
 def extract_features(

@@ -40,6 +40,26 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _unit_rows(M):
+    """Row-normalize with a zero-norm guard (ADVICE r01): a zero vector
+    divided by its own norm yields NaN similarities, and Spark orders
+    NaN ABOVE any double, so NaN rows would outrank every real neighbor
+    under the desc sort. Substituting norm 1 leaves zero vectors with
+    similarity 0 everywhere — ranked last, never NaN."""
+    import numpy as np
+
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    return M / np.where(n == 0, 1.0, n)
+
+
+def _unit_vec(v):
+    """Scalar-vector twin of :func:`_unit_rows`."""
+    import numpy as np
+
+    n = np.linalg.norm(v)
+    return v / (n if n != 0 else 1.0)
+
+
 def knn_bruteforce(
     queries: DataFrame,
     candidates: DataFrame,
@@ -70,14 +90,13 @@ def knn_bruteforce(
         return queries.sparkSession.createDataFrame([], out_empty_schema)
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = _unit_rows(Q)
 
     out_schema = "query_id long, neighbor_id long, cosine_sim double"
 
     def kernel(batches):
         for pdf in batches:
-            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            M = M / np.linalg.norm(M, axis=1, keepdims=True)
+            M = _unit_rows(np.vstack(pdf[vec_col].to_numpy()).astype(np.float64))
             S = M @ Qn.T  # (batch, n_queries)
             ids = pdf[id_col].to_numpy()
             n_b, n_q = S.shape
@@ -123,8 +142,7 @@ def neardup_pairs(
     def kernel(pdf):
         pdf = pdf.sort_values(id_col, ignore_index=True)
         ids = pdf[id_col].to_numpy()
-        M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        M = _unit_rows(np.vstack(pdf[vec_col].to_numpy()).astype(np.float64))
         n = len(ids)
         ia, ib, sims = [], [], []
         for s in range(0, n, block):
@@ -187,6 +205,7 @@ def _fit_coarse_quantizer(
     seed: int,
     max_iter: int,
     fit_sample: float | None,
+    fit_cap: int = 100_000,
 ):
     """Deterministic coarse-quantizer fit: collect a (sampled) vector
     subset to the driver and run k-means++ + Lloyd in numpy. A
@@ -195,8 +214,18 @@ def _fit_coarse_quantizer(
     a fixed RNG makes the cells BIT-REPRODUCIBLE across runs — the
     distributed ML fit varies in the last ulp with aggregation order,
     which flips boundary assignments and makes ANN results flicker
-    between identical runs (caught by scripts/determinism_sweep.py)."""
+    between identical runs (caught by scripts/determinism_sweep.py).
+
+    ``fit_sample=None`` (the default everywhere) no longer means "fit on
+    everything" — VERDICT r01 flagged that as an unbounded driver
+    collect. It now means "auto": sample down to ~``fit_cap`` vectors,
+    so the driver-side fit is O(1) in corpus size. Pass an explicit
+    fraction to override."""
     import numpy as np
+
+    if fit_sample is None:
+        n = candidates.count()
+        fit_sample = min(1.0, fit_cap / n) if n > fit_cap else None
 
     # keyword args required: sample(0.25, seed=s) binds 0.25 to
     # withReplacement and the compat shim silently DROPS the seed,
@@ -281,7 +310,7 @@ def knn_ivf(
     qvecs = {
         int(r[0]): np.array(list(r[1]), dtype=np.float64) for r in q_rows
     }
-    qnorm = {qid: v / np.linalg.norm(v) for qid, v in qvecs.items()}
+    qnorm = {qid: _unit_vec(v) for qid, v in qvecs.items()}
     probes = []
     for qid, v in qvecs.items():
         d = ((cents - v) ** 2).sum(axis=1)
@@ -293,8 +322,7 @@ def knn_ivf(
 
     def score_kernel(batches):
         for pdf in batches:
-            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            M = M / np.linalg.norm(M, axis=1, keepdims=True)
+            M = _unit_rows(np.vstack(pdf[vec_col].to_numpy()).astype(np.float64))
             sims = np.empty(len(pdf))
             qids = pdf["query_id"].to_numpy()
             for i, qid in enumerate(qids):
@@ -366,7 +394,7 @@ def knn_lsh(
     qnorm = {}
     for r in q_rows:
         v = np.array(list(r.q_vec), dtype=np.float64)
-        qnorm[int(r.query_id)] = v / np.linalg.norm(v)
+        qnorm[int(r.query_id)] = _unit_vec(v)
     probe_pairs = set()
     for r in q_rows:
         b = int(r.lsh_bucket)
@@ -386,8 +414,7 @@ def knn_lsh(
 
     def score_kernel(batches):
         for pdf in batches:
-            M = np.vstack(pdf["c_vec"].to_numpy()).astype(np.float64)
-            M = M / np.linalg.norm(M, axis=1, keepdims=True)
+            M = _unit_rows(np.vstack(pdf["c_vec"].to_numpy()).astype(np.float64))
             sims = np.empty(len(pdf))
             qids = pdf["query_id"].to_numpy()
             for i, qid in enumerate(qids):
@@ -493,7 +520,7 @@ def query_ivf_index(
     probes = []
     for r in q_rows:
         v = np.array(list(r.qv), dtype=np.float64)
-        qnorm[int(r.query_id)] = v / np.linalg.norm(v)
+        qnorm[int(r.query_id)] = _unit_vec(v)
         d = ((cents - v) ** 2).sum(axis=1)
         for cell in np.argsort(d)[:n_probe]:
             probes.append((int(r.query_id), int(cell)))
@@ -504,8 +531,7 @@ def query_ivf_index(
 
     def score_kernel(batches):
         for pdf in batches:
-            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            M = M / np.linalg.norm(M, axis=1, keepdims=True)
+            M = _unit_rows(np.vstack(pdf[vec_col].to_numpy()).astype(np.float64))
             sims = np.empty(len(pdf))
             qids = pdf["query_id"].to_numpy()
             for i, qid in enumerate(qids):

@@ -142,12 +142,21 @@ def interval_overlap_join(
     right_end: str,
     bucket_width: float,
     extra_cond: Column | None = None,
+    dedup_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """All (left, right) pairs whose [start, end] intervals OVERLAP —
     without a cross join. Each interval explodes into the fixed-width
     buckets it spans; overlapping intervals necessarily share at least
     one bucket, so the candidate set is an equi-join on bucket id,
     deduplicated and verified with the exact overlap predicate.
+
+    Dedup contract (ADVICE r01): bucket replication makes a pair appear
+    once per shared bucket, so duplicates must be collapsed. Pass
+    ``dedup_cols`` naming the pair identity (id columns from both
+    sides) to dedup on it explicitly. When None, the dedup falls back
+    to ALL columns — correct ONLY if each input's rows are unique as
+    tuples; two fully identical left rows would collapse into one pair
+    per right match instead of two.
 
     Scale: the shuffle key is the bucket id; work scales with
     Σ interval_span/bucket_width per row, so pick bucket_width near the
@@ -180,4 +189,7 @@ def interval_overlap_join(
     )
     if extra_cond is not None:
         pairs = pairs.filter(extra_cond)
-    return pairs.drop("__bkt").dropDuplicates()
+    pairs = pairs.drop("__bkt")
+    if dedup_cols is not None:
+        return pairs.dropDuplicates(list(dedup_cols))
+    return pairs.dropDuplicates()

@@ -362,6 +362,7 @@ def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "e_b",
         bucket_width=3600.0,
         extra_cond=F.col("ua") < F.col("ub"),
+        dedup_cols=("ua", "sid_a", "ub", "sid_b"),
     )
     return pairs.groupBy("ua", "ub").agg(F.count(F.lit(1)).alias("n_overlaps"))
 

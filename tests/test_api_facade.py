@@ -76,3 +76,23 @@ def test_facade_stencil_and_cumsum(spark):
     assert abs(sm[1] - (1.2 + 2 * 2.0 + 3.0) / 4.0) < 1e-9
     cs = {r.i: r.cumsum for r in api.cumsum(df, "v", "i").collect()}
     assert abs(cs[4] - 10.6) < 1e-9
+
+
+def test_data_source_types_are_authoritative(spark, tmp_path):
+    """ADVICE r01: declared types must be enforced for parquet, not just
+    names — numeric declarations CAST the file column, cross-kind
+    mismatches raise."""
+    import pytest
+
+    p = str(tmp_path / "typed.parquet")
+    spark.createDataFrame(
+        [(1, 2.5, "x")], "a int, b double, c string"
+    ).write.parquet(p)
+
+    # numeric↔numeric: cast to the declaration (int32 file → Int64 decl)
+    df = api.data_source(spark, {"a": "Int64", "b": "Float32"}, "parquet", p)
+    assert dict(df.dtypes) == {"a": "bigint", "b": "float"}
+
+    # cross-kind: string file column declared numeric is an error
+    with pytest.raises(TypeError, match="declared bigint"):
+        api.data_source(spark, {"c": "Int64"}, "parquet", p)

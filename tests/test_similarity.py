@@ -143,3 +143,26 @@ def test_multiprobe_lsh_improves_recall(spark):
     r_multi = len(multi & exact) / len(exact)
     assert r_multi >= r_single
     assert r_multi >= 0.5  # 4 planes + 1-bit probes on near-isotropic data
+
+
+def test_zero_vector_never_outranks_real_neighbors(spark):
+    """ADVICE r01: an all-zero embedding divided by its own norm yields
+    NaN cosine, and Spark sorts NaN above every double — so a zero
+    vector would claim rank 1 for every query. The guarded kernels give
+    zero vectors similarity 0.0 (ranked last, never NaN)."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),   # true nearest to query
+        (3, [0.0, 0.0, 0.0, 0.0]),   # zero vector
+        (4, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.knn_bruteforce(
+        df.filter("vec_id = 1"), df, k=3
+    ).orderBy("rank").collect()
+    assert [r.neighbor_id for r in out[:1]] == [2]
+    sims = {r.neighbor_id: r.cosine_sim for r in out}
+    assert sims[3] == 0.0 and not math.isnan(sims[3])
+    # zero vector must never claim rank 1 (ties at 0.0 with orthogonal
+    # vectors are fine — id-ordered — but NaN-first would put it on top)
+    assert out[0].neighbor_id != 3
