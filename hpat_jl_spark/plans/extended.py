@@ -581,3 +581,74 @@ def daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.filter((F.col("n_win") == 7) & (F.col("sigma") > 0) & (F.abs(z) > 1.5))
         .select("day", "x", F.round("mu", 4).alias("mu"), F.round(z, 4).alias("z"))
     )
+
+
+_salted_join_oracle = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register("salted_skew_join", oracle=_salted_join_oracle, tags=("extended",))
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient replicated join (operators/skew.salted_join) as a
+    registered query (VERDICT r01 #7 — the salted JOIN had tests but no
+    driver row, unlike salted_aggregate): lineitem joined to supplier
+    with the fact side salted into 16 buckets and the dimension
+    replicated 16×, so one hot suppkey spreads over 16 reducers. The
+    oracle is the plain equi-join — salting must be semantically
+    invisible. The per-nation rollup keeps the output bounded."""
+    from hpat_jl_spark.operators.skew import salted_join
+
+    li = load_table(spark, "lineitem", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    supp = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "n_name")
+    joined = salted_join(li, supp, "l_suppkey", "s_suppkey", salt_buckets=16)
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register("checkpointed_pagerank", oracle=None, tags=("extended", "iterative"))
+def checkpointed_pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's checkpoint/restart loop (reference
+    src/HPAT.jl:246-275, src/checkpoint.jl:100-231) as a registered
+    query: PageRank over the supplier→customer trade graph driven by
+    operators/iterative.checkpointed_loop — rank state snapshots to
+    durable storage mid-loop, and a rerun after a driver kill resumes
+    from the last snapshot instead of iteration 0 (pinned by
+    tests/test_checkpoint_restart.py). The snapshot dir is cleared
+    first so each invocation is a fresh, deterministic run. Rows-only:
+    same iterative-fixpoint reasoning as pagerank_trade_graph."""
+    import shutil
+    import tempfile
+
+    from hpat_jl_spark.operators.iterative import checkpointed_pagerank
+
+    ckpt = f"{tempfile.gettempdir()}/hpat_jl_spark_ckpt_pagerank"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = checkpointed_pagerank(edges, ckpt, max_iter=10, snapshot_every=3)
+    return ranks.select("vertex", F.round("rank", 4).alias("rank"))

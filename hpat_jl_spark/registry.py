@@ -61,7 +61,7 @@ DRIVER_PRIORITY: list[str] = [
     "prefix_filter_similarity",
     # New this round (VERDICT next-round items 4/5/7).
     "ml_logreg_purchase",
-    "ml_naive_bayes_region",
+    "ml_naive_bayes_lang",
     "salted_skew_join",
     "checkpointed_pagerank",
     # Remaining oracle-checked queries with no r01 driver row.
