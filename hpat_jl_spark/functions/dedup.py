@@ -214,21 +214,27 @@ def simhash_candidates(
     id_col: str = "doc_id",
     bits: int = 64,
     bands: int = 4,
-    max_hamming: int = 6,
+    max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup candidates by SimHash banding: any shared band →
     candidate; verify by exact Hamming distance ≤ max_hamming.
 
     Recall guarantee (ADVICE r01): two signatures at Hamming distance d
     are certain to share a band only when d < bands (pigeonhole — d
-    differing bits can spoil at most d bands). The requested ``bands``
-    is therefore auto-raised to ``max_hamming + 1`` (rounded up to the
-    next divisor of ``bits``), the block-split design of Manku et al.'s
-    simhash dedup: with the 4-band default and max_hamming=6, pairs at
-    distance 4-6 were previously found only when luck put the flips in
-    three or fewer bands. More bands → narrower band keys → more
-    candidate pairs to verify; that is the intrinsic price of
-    guaranteed recall at higher distance budgets.
+    differing bits can spoil at most d bands), so ``max_hamming >=
+    bands`` is rejected rather than silently under-recalling (the old
+    4-band/max_hamming=6 defaults found distance-4-6 pairs only when
+    luck put the flips in ≤3 bands). The default budget is therefore
+    bands-1 = 3, the standard simhash near-dup radius (Manku et al.
+    use k=3 for 64-bit web dedup).
+
+    Raising the budget requires raising ``bands`` — and paying for it:
+    band keys narrow from bits/bands, so candidate pairs grow roughly
+    ×2^(width_old - width_new) per band. Measured on the sf0.1
+    documents table: bands 4→8 (16→8-bit keys) inflated the
+    dedup_simhash query from 5.3 s to 85 s. The cost is intrinsic
+    (Manku's design pays it via permuted sorted tables); choose the
+    smallest budget the corpus needs.
 
     The banded table is persisted before the self-join: the signature
     kernel is a narrow pipeline (no shuffle), so without persistence
@@ -237,10 +243,16 @@ def simhash_candidates(
     for both sides.)"""
     from pyspark import StorageLevel
 
-    if bands < max_hamming + 1:
-        bands = max_hamming + 1
-    while bits % bands:  # next divisor of bits (bands ≤ bits always ends)
-        bands += 1
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} cannot be guaranteed by "
+            f"bands={bands}: banding only finds all pairs at Hamming "
+            f"distance < bands (pigeonhole). Raise bands to at least "
+            f"{max_hamming + 1} (a divisor of bits={bits}) or lower "
+            f"max_hamming to {bands - 1}."
+        )
+    if bits % bands:
+        raise ValueError(f"bands={bands} must divide bits={bits}")
     per_band = bits // bands
     sigs = simhash_signatures(docs, text_col, id_col, bits)
     banded = sigs.select(

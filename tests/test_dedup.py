@@ -38,12 +38,21 @@ def test_minhash_finds_planted_dups(planted):
 
 
 def test_simhash_finds_planted_dups(planted):
+    # the 1-word edit lands at Hamming distance 4, so the d<=6 budget
+    # needs >= 7 bands for guaranteed recall (pigeonhole); 8 divides 64
     pairs = {
         (r.id_a, r.id_b): r.hamming
-        for r in D.simhash_candidates(planted).collect()
+        for r in D.simhash_candidates(planted, bands=8, max_hamming=6).collect()
     }
     assert pairs.get((3, 100)) == 0  # identical signature
     assert (5, 101) in pairs  # near dup within hamming budget
+
+
+def test_simhash_rejects_unguaranteed_budget(planted):
+    """ADVICE r01: max_hamming >= bands silently missed pairs at
+    distance bands..max_hamming — now an explicit error."""
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.simhash_candidates(planted, bands=4, max_hamming=6)
 
 
 def test_exact_dedup_planted(planted):
