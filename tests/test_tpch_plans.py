@@ -66,3 +66,45 @@ def test_q13_left_join_preserves_all_customers(spark):
     # join must preserve every customer: sum(custdist) == |customer|
     total = sum(r.custdist for r in out.collect())
     assert total == load_table(spark, "customer", SF).count()
+
+
+def test_no_forced_broadcast_of_osf_tables(spark):
+    """VERDICT r01 regression: forced F.broadcast hints are reserved for
+    provably-bounded inputs (nation/region derivations, 1-row
+    aggregates). O(sf) sides — customer, supplier, part, filtered
+    orders — must carry NO hint, so AQE sizes them at runtime instead
+    of pinning a driver-OOM plan at sf100. The analyzed logical plan
+    records every hint as UnresolvedHint/ResolvedHint; we cap the count
+    per query at the number of bounded-dimension hints the plan
+    legitimately keeps."""
+    from hpat_jl_spark import registry
+
+    registry.load_all_plans()
+    # query -> max allowed broadcast hints (the bounded ones)
+    budgets = {
+        "q5_local_supplier_volume": 2,   # region filter + asia_nations
+        "q7_volume_shipping": 2,         # nation in two roles
+        "q8_market_share": 3,            # region filter + europe_keys + nation
+        "q10_returned_items": 1,         # nation
+        "q14_promo_revenue": 0,
+        "q15_top_supplier": 1,           # 1-row max aggregate
+        "q17_small_quantity_revenue": 0,
+        "q19_disjunctive_predicates": 0,
+        "q21_waiting_supplier": 1,       # nation filter
+        # NOTE: a hinted subtree reused on both sides of a self-join
+        # appears twice in the analyzed plan, so budgets count hint
+        # NODES, not distinct hints.
+        "q2_min_cost_supplier": 4,       # nested region+nation hints ×2 sides
+        "q9_product_type_profit": 1,     # nation
+        "q11_important_stock": 3,        # nation ×2 natps sides + threshold
+        "q16_supplier_count": 0,
+        "q20_surplus_suppliers": 1,      # nation filter
+    }
+    for name, budget in budgets.items():
+        df = registry.REGISTRY[name].fn(spark, SF)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        hints = analyzed.count("Hint")
+        assert hints <= budget, (
+            f"{name}: {hints} broadcast hints in logical plan "
+            f"(budget {budget}) — did an O(sf) hint creep back in?"
+        )
