@@ -389,14 +389,18 @@ def prefix_filter_jaccard(
     LSH this has NO false negatives — the prefix join only prunes pairs
     that provably cannot reach the threshold.
 
-    Plan: global token frequencies (one hash agg) broadcast back; each
-    doc sorts its tokens by (freq, token) locally — an array_sort over
-    structs, no global rank window — takes the prefix slice, and
-    explodes ONLY prefix tokens into the candidate equi-join. Exact
-    Jaccard then verifies candidates on the full token arrays. At
-    corpus scale the candidate volume is bounded by prefix length
-    (shrinking as t grows); the rare-first order keeps hot tokens out
-    of prefixes, which is what makes the token join skew-safe."""
+    Plan: global token frequencies (one hash agg) joined back on token
+    — NOT force-broadcast: the vocabulary grows with the corpus (a
+    100 TB crawl has 10⁸+ distinct tokens), so the hint is left to AQE,
+    which still broadcasts while the vocab measures small but falls
+    back to a shuffle join keyed on token at scale. Each doc then sorts
+    its tokens by (freq, token) locally — an array_sort over structs,
+    no global rank window — takes the prefix slice, and explodes ONLY
+    prefix tokens into the candidate equi-join. Exact Jaccard then
+    verifies candidates on the full token arrays. At corpus scale the
+    candidate volume is bounded by prefix length (shrinking as t
+    grows); the rare-first order keeps hot tokens out of prefixes,
+    which is what makes the token join skew-safe."""
     from pyspark.sql.types import ArrayType, StringType
 
     toks = docs.select(
@@ -406,7 +410,7 @@ def prefix_filter_jaccard(
     tok_rows = toks.select("id", F.explode("w").alias("tok"))
     freq = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
     ranked = (
-        tok_rows.join(F.broadcast(freq), "tok")
+        tok_rows.join(freq, "tok")
         .groupBy("id")
         .agg(
             F.transform(

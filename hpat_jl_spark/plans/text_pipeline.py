@@ -463,3 +463,68 @@ def prefix_filter_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps it while still never materializing the cross product."""
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 300)
     return D.prefix_filter_jaccard(docs, threshold=0.3)
+
+
+_repetition_oracle = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         array_to_string(t[i:i+4], ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(t) - 4)) AS s(i)
+  WHERE len(t) >= 5
+), per_doc AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_grams,
+         count(DISTINCT gram)::BIGINT AS n_distinct
+  FROM grams GROUP BY doc_id
+)
+SELECT doc_id, n_grams,
+       round((n_grams - n_distinct) / n_grams::DOUBLE, 6) AS dup_gram_frac
+FROM per_doc
+"""
+
+
+@register("repetition_quality", oracle=_repetition_oracle, tags=("text",))
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signal (Rae et al. 2021 §A1.1:
+    documents whose duplicate-5-gram fraction is high are boilerplate /
+    spam): per document, the fraction of word 5-grams that are repeats
+    of an earlier 5-gram in the same document.
+
+    Plan: tokens → 5-grams entirely JVM-side (transform over a
+    sequence of slice offsets — a single-arg lambda, see the
+    F.transform two-arg trap in CLAUDE.md), then ONE explode +
+    groupBy(doc_id) counting total vs approx-free exact distinct
+    grams. The gram stream shuffles keyed on doc_id only (no global
+    vocabulary state), so the op scales linearly with corpus size —
+    the shape a 100 TB quality-filter pass needs. Docs shorter than 5
+    tokens are excluded (no 5-grams → no signal), matching the oracle's
+    WHERE len(t) >= 5."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    ).filter(F.size("t") >= 5)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 5),
+                lambda i: F.array_join(F.slice("t", i + 1, 5), " "),
+            )
+        ).alias("gram"),
+    )
+    per_doc = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("gram").alias("n_distinct"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        F.round(
+            (F.col("n_grams") - F.col("n_distinct"))
+            / F.col("n_grams").cast("double"),
+            6,
+        ).alias("dup_gram_frac"),
+    )

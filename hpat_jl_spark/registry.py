@@ -64,6 +64,7 @@ DRIVER_PRIORITY: list[str] = [
     "ml_naive_bayes_lang",
     "salted_skew_join",
     "checkpointed_pagerank",
+    "repetition_quality",
     # Remaining oracle-checked queries with no r01 driver row.
     "multi_key_join",
     "token_count_bpe",
