@@ -78,6 +78,48 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC source — the other splittable columnar lake format (stripe
+    boundaries play the row-group role; predicate pushdown and column
+    pruning work identically to parquet). Supported so a user whose
+    warehouse is Hive/ORC can feed this engine without a conversion
+    pass."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Raw line source (one string column ``value``) — the closest
+    Spark twin of the reference's TXT byte-range reader (reference
+    src/cgen-hpat-pattern-match.jl:895-1046: MPI byte-range read +
+    newline realignment via neighbor exchange; Spark's TextInputFormat
+    does the same split-boundary line handling per task). The entry
+    point for ingesting raw crawl/text dumps into the documents
+    pipeline."""
+    return spark.read.text(path)
+
+
+def write_text_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Line sink: df must have exactly one string column."""
+    df.write.mode(mode).text(path)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
