@@ -528,3 +528,60 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_gram_frac"),
     )
+
+
+_top_ngram_oracle = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         array_to_string(t[i:i+1], ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS s(i)
+  WHERE len(t) >= 2
+), counted AS (
+  SELECT doc_id, n_tokens, gram, count(*) AS c
+  FROM grams GROUP BY 1, 2, 3
+)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+       round(max(c) * 2.0 / n_tokens, 6) AS top_bigram_frac
+FROM counted GROUP BY doc_id, n_tokens
+"""
+
+
+@register("top_ngram_fraction", oracle=_top_ngram_oracle, tags=("text",))
+def top_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second Gopher repetition signal (Rae et al. 2021 §A1.1:
+    documents dominated by one repeated n-gram are templated spam): per
+    document, the fraction of tokens covered by the single most
+    frequent word 2-gram (occurrences × 2 / n_tokens; token-based
+    variant of the paper's character fraction, documented here so the
+    oracle pins the exact definition).
+
+    Plan: 2-grams JVM-side, one explode, then groupBy(doc, gram) →
+    groupBy(doc) max — two shuffles both keyed on doc_id (the second
+    input is already tiny: one row per distinct gram). The max is
+    tie-independent, so the output is deterministic without naming
+    which gram won."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    ).filter(F.size("t") >= 2)
+    grams = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.array_join(F.slice("t", i + 1, 2), " "),
+            )
+        ).alias("gram"),
+    )
+    counted = grams.groupBy("doc_id", "n_tokens", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return counted.groupBy("doc_id", "n_tokens").agg(
+        F.round(F.max("c") * 2.0 / F.col("n_tokens"), 6).alias(
+            "top_bigram_frac"
+        )
+    )

@@ -65,6 +65,7 @@ DRIVER_PRIORITY: list[str] = [
     "salted_skew_join",
     "checkpointed_pagerank",
     "repetition_quality",
+    "top_ngram_fraction",
     # Remaining oracle-checked queries with no r01 driver row.
     "multi_key_join",
     "token_count_bpe",
