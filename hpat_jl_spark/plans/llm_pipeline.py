@@ -1,0 +1,296 @@
+"""LLM training-data pipeline queries the reference never had but a
+100 TB corpus build needs: benchmark decontamination, PII scrubbing,
+vocabulary heavy hitters, TF-IDF term weighting and an inverted index.
+All plans are pure built-in-function compositions (zero Python in the
+hot path) and every one is DuckDB-oracle-checked.
+
+These extend the SURVEY.md extension layer (BASELINE.json north star)
+the same way plans/text_pipeline.py does; the reference analogue is its
+generic filter/join/aggregate surface (SURVEY §2.2-2.4) composed into
+corpus-preparation shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hpat_jl_spark.registry import register
+from hpat_jl_spark.tables import load_table
+
+
+def _word_grams(df: DataFrame, n: int) -> DataFrame:
+    """(doc_id, gram) word n-grams, JVM-side (transform over slice
+    offsets — single-arg lambda only, see the F.transform two-arg trap
+    in CLAUDE.md). Docs shorter than n tokens yield no grams."""
+    toks = df.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    ).filter(F.size("t") >= n)
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - n),
+                lambda i: F.array_join(F.slice("t", i + 1, n), " "),
+            )
+        ).alias("gram"),
+    )
+
+
+_decontaminate_oracle = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(t) - 3)) AS s(i)
+  WHERE len(t) >= 4
+), eval_grams AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0
+)
+SELECT g.doc_id, count(*)::BIGINT AS n_shared_grams
+FROM grams g JOIN eval_grams e USING (gram)
+WHERE g.doc_id % 10 <> 0
+GROUP BY g.doc_id
+"""
+
+
+@register("benchmark_decontaminate", oracle=_decontaminate_oracle, tags=("text", "dedup"))
+def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / Llama pretraining
+    hygiene): flag training documents that share any word n-gram with a
+    held-out evaluation set, so eval answers can't leak into training.
+    Production uses 13-grams; the fixture docs are ~30-token word soup,
+    so n=4 keeps the overlap signal non-degenerate (75/450 docs at
+    sf0.01). Eval set = doc_id % 10 == 0 stands in for the benchmark.
+
+    Plan: one gram build (explode, deduped per doc), split into
+    train/eval sides by a pushed-down filter, equi-join on the gram
+    string, count shared grams per train doc. The eval side of a real
+    decontamination pass is a FIXED-size benchmark (thousands of docs,
+    not O(corpus)), so AQE will broadcast it; no forced hint here
+    because in this fixture it is O(sf) (broadcast-hint policy,
+    README). Shuffle volume is bounded by the gram stream — the same
+    linear shape as dedup_exact."""
+    grams = _word_grams(load_table(spark, "documents", sf_dir), 4).distinct()
+    train = grams.filter(F.col("doc_id") % 10 != 0)
+    eval_grams = grams.filter(F.col("doc_id") % 10 == 0).select("gram").distinct()
+    return (
+        train.join(eval_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+_pii_scrub_oracle = f"""
+WITH synth AS (
+  SELECT doc_id,
+         text
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 2 = 0
+                   THEN ' call +1-555-' || lpad(doc_id::VARCHAR, 4, '0')
+                   ELSE '' END AS raw
+  FROM documents
+)
+SELECT doc_id,
+       (len(regexp_extract_all(raw, '{_EMAIL_RE}'))
+        + len(regexp_extract_all(raw, '{_PHONE_RE}')))::BIGINT AS n_redactions,
+       md5(regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM synth
+"""
+
+
+@register("pii_scrub", oracle=_pii_scrub_oracle, tags=("text",))
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails + phone numbers), the compliance
+    gate every training-corpus build runs before tokenization. The
+    fixture text contains no PII, so the query deterministically
+    injects synthetic PII (same CASE logic in the oracle) to make the
+    hash check pin real scrub behavior — planted-PII semantics are
+    additionally tested in tests/test_llm_pipeline.py.
+
+    Plan: single scan, two regexp_replace + two regexp_extract_all per
+    row, all JVM regex (no Python); output is per-doc redaction count
+    plus an md5 of the scrubbed text so the oracle compares full
+    content without hashing megabytes through the driver. Regexes stay
+    in the Java∩RE2 common subset so both engines match identically.
+    Scales as a pure map — no shuffle at all."""
+    docs = load_table(spark, "documents", sf_dir)
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(" call +1-555-"), F.lpad(F.col("doc_id").cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    # regexp_extract_all: idx=0 explicitly — group-free patterns throw on
+    # the default idx=1 (CLAUDE.md trap).
+    n_red = F.size(F.regexp_extract_all(raw, F.lit(_EMAIL_RE), 0)) + F.size(
+        F.regexp_extract_all(raw, F.lit(_PHONE_RE), 0)
+    )
+    return docs.select(
+        "doc_id",
+        n_red.cast("bigint").alias("n_redactions"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+_heavy_hitters_oracle = """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+)
+SELECT token, count(*)::BIGINT AS cnt
+FROM toks GROUP BY token
+ORDER BY cnt DESC, token LIMIT 20
+"""
+
+
+@register("heavy_hitters", oracle=_heavy_hitters_oracle, tags=("text",))
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters: the top-20 most frequent tokens —
+    the exact version of the frequent-items pass a vocab builder or
+    stopword-list miner runs. Tiebreak on the token string keeps the
+    LIMIT deterministic (CLAUDE.md invariant).
+
+    Plan: explode → hash-agg (partial map-side combine collapses the
+    token stream to |vocab| rows per partition before the shuffle) →
+    TakeOrderedAndProject. At 100 TB the shuffle carries only
+    |vocab| × partitions rows, and top-k never materializes a global
+    sort. For long-tail vocabularies where even that is too wide, the
+    scale escape hatch is approx_count_unique-style sketching — kept
+    exact here because the oracle is exact."""
+    docs = load_table(spark, "documents", sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    return (
+        docs.repartition(par)
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(20)
+    )
+
+
+_tfidf_oracle = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(n.n_docs / df.df::DOUBLE), 6) AS tfidf,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * ln(n.n_docs / df.df::DOUBLE) DESC,
+                                     tf.term) AS rn
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term AS top_term, tfidf FROM scored WHERE rn = 1
+"""
+
+
+@register("tfidf_top_terms", oracle=_tfidf_oracle, tags=("text",))
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document most-distinctive term by TF-IDF — the classic
+    relevance weight (Salton & Buckley 1988), used in corpus builds
+    for topic balancing and near-duplicate triage.
+
+    Plan: ONE tokenization feeds both aggregates: per-(doc,term) tf
+    and per-term document frequency; doc count is a 1-row aggregate
+    (broadcast by AQE — provably bounded, within the hint policy).
+    The df table is |vocab|-sized — small relative to the corpus, AQE
+    decides whether to broadcast. Final per-doc argmax is a
+    row_number window partitioned by doc_id with a lexicographic
+    tiebreaker for determinism. Three shuffles total (tf, df, window)
+    — each keyed and linear; nothing quadratic, no Python."""
+    docs = load_table(spark, "documents", sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(par)
+        .select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf_raw",
+            F.col("tf") * F.log(F.col("n_docs") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_raw"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("term").alias("top_term"),
+            F.round("tfidf_raw", 6).alias("tfidf"),
+        )
+    )
+
+
+_inverted_index_oracle = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), posting AS (
+  SELECT token, count(*) AS df,
+         string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+  FROM toks GROUP BY token
+)
+SELECT token, df::BIGINT AS df, postings FROM posting WHERE df <= 100
+"""
+
+
+@register("inverted_index", oracle=_inverted_index_oracle, tags=("text",))
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build (token → sorted doc-id posting list) for
+    the selective tail of the vocabulary (df ≤ 100) — the retrieval /
+    attribution side of a corpus store. Head terms are excluded the
+    way real indexes stop-list them: their posting lists are O(corpus)
+    rows and belong in the heavy_hitters aggregate instead, so no
+    single reducer key ever receives an unbounded list (skew guard).
+
+    Plan: tokenize → per-doc distinct (map-side partial dedup) → one
+    groupBy(token) with collect_list, sorted numerically THEN
+    serialized (sorting the string list would order '10' < '9'). The
+    df ≤ 100 cap bounds every aggregation buffer; the serialized
+    posting string keeps the oracle hash exact."""
+    docs = load_table(spark, "documents", sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(par)
+        .select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .distinct()
+    )
+    posting = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")),
+                lambda d: d.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    return posting.filter(F.col("df") <= 100).select("token", "df", "postings")

@@ -1,0 +1,141 @@
+"""Planted-data semantics for the LLM-pipeline plans
+(plans/llm_pipeline.py). The sf0.01 oracle sweep checks these against
+DuckDB on the fixtures; here the behaviors are pinned on constructed
+inputs where the right answer is known by hand.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hpat_jl_spark.plans.llm_pipeline import (
+    _EMAIL_RE,
+    _PHONE_RE,
+    _word_grams,
+)
+from hpat_jl_spark.registry import REGISTRY
+from hpat_jl_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_word_grams_planted(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c"), (3, "x")], ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_id, r.gram)
+        for r in _word_grams(df, 4).collect()
+    }
+    assert got == {(1, "a b c d"), (1, "b c d e")}  # doc 2/3 too short
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    # doc 10 is "eval" (doc_id % 10 == 0); doc 11 shares one 4-gram with
+    # it, doc 12 shares none.
+    df = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),
+            (11, "zz alpha beta gamma delta yy"),
+            (12, "one two three four five six"),
+        ],
+        ["doc_id", "text"],
+    )
+    grams = _word_grams(df, 4).distinct()
+    train = grams.filter(F.col("doc_id") % 10 != 0)
+    ev = grams.filter(F.col("doc_id") % 10 == 0).select("gram").distinct()
+    out = {
+        r.doc_id: r.n
+        for r in train.join(ev, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert out == {11: 1}
+
+
+def test_pii_regexes_scrub_planted_pii(spark):
+    df = spark.createDataFrame(
+        [("mail me at jane.doe+x@sub.example.org or call +1-555-0199 now",)],
+        ["raw"],
+    )
+    row = df.select(
+        F.regexp_replace(
+            F.regexp_replace("raw", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("scrubbed"),
+        (
+            F.size(F.regexp_extract_all("raw", F.lit(_EMAIL_RE), 0))
+            + F.size(F.regexp_extract_all("raw", F.lit(_PHONE_RE), 0))
+        ).alias("n"),
+    ).first()
+    assert row.scrubbed == "mail me at <EMAIL> or call <PHONE> now"
+    assert row.n == 2
+
+
+def test_pii_scrub_counts_follow_injection_rule(spark):
+    # doc_id % 6 == 0 → email+phone; % 3 == 0 only → email; % 2 == 0
+    # only → phone; else none.
+    out = REGISTRY["pii_scrub"].fn(spark, SF_SMOKE)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        want = (1 if r.doc_id % 3 == 0 else 0) + (1 if r.doc_id % 2 == 0 else 0)
+        assert r.n_redactions == want, r
+
+
+def test_tfidf_ubiquitous_term_scores_zero(spark):
+    # A term present in EVERY doc has idf = ln(1) = 0; the top term must
+    # be a distinguishing one.
+    df = spark.createDataFrame(
+        [(1, "the cat the"), (2, "the dog")], ["doc_id", "text"]
+    )
+    toks = df.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = df.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = tf.join(dfreq, "term").crossJoin(n).withColumn(
+        "tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df").cast("double"))
+    )
+    got = {(r.doc_id, r.term): round(r.tfidf, 6) for r in scored.collect()}
+    assert got[(1, "the")] == 0.0 and got[(2, "the")] == 0.0
+    assert got[(1, "cat")] > 0 and got[(2, "dog")] > 0
+
+
+def test_inverted_index_postings_sorted_numerically(spark):
+    # doc ids 9 and 10 share a token: a string sort would yield "10,9".
+    df = spark.createDataFrame(
+        [(9, "rare common"), (10, "rare common"), (2, "common")],
+        ["doc_id", "text"],
+    )
+    toks = df.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    ).distinct()
+    posting = toks.groupBy("token").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")), lambda d: d.cast("string")
+            ),
+            ",",
+        ).alias("postings")
+    )
+    got = {r.token: r.postings for r in posting.collect()}
+    assert got["rare"] == "9,10"
+    assert got["common"] == "2,9,10"
+
+
+def test_heavy_hitters_deterministic_top(spark):
+    out1 = [tuple(r) for r in REGISTRY["heavy_hitters"].fn(spark, SF_SMOKE).collect()]
+    out2 = [tuple(r) for r in REGISTRY["heavy_hitters"].fn(spark, SF_SMOKE).collect()]
+    assert out1 == out2
+    assert len(out1) <= 20
+    counts = [c for _, c in out1]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_decontaminate_runs_on_fixture(spark):
+    out = REGISTRY["benchmark_decontaminate"].fn(spark, SF_SMOKE)
+    rows = out.collect()
+    # every flagged doc is a train doc with a positive overlap count
+    for r in rows:
+        assert r.doc_id % 10 != 0 and r.n_shared_grams >= 1
