@@ -337,3 +337,96 @@ def test_sliding_counts_overlap_factor(spark, tmp_path):
     q.awaitTermination(120)
     total = sum(r.n_events for r in spark.table("sliding").collect())
     assert total == 4 * 1000
+
+
+def test_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark contract (streaming/dedup.py):
+    duplicates on the key within the delay collapse even when their
+    event TIMESTAMPS differ (retries/replays), and a duplicate
+    re-arriving after its key's state was evicted is re-emitted — the
+    explicit price of bounded state. Three files, one per micro-batch.
+    """
+    import glob
+    import shutil
+    import time
+
+    from hpat_jl_spark.streaming.dedup import dedup_within_watermark
+    from hpat_jl_spark.streaming.sources import stream_events
+
+    d = tmp_path / "dedup_events"
+    d.mkdir()
+
+    def ns(hour, minute):
+        base = 1704100000 * 1_000_000_000
+        return base + (hour * 3600 + minute * 60) * 1_000_000_000
+
+    def write(name, rows):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        src = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.copy(src, d / f"{name}.parquet")
+        time.sleep(1.1)
+
+    # b0: first sight of key 1 (state expires at 0:05 + 1h = 1:05)
+    write("a-one", [(1, ns(0, 5), 1, "view", 1.0, "{}"), (9, ns(0, 10), 1, "view", 1.0, "{}")])
+    # b1: duplicate of key 1 at a DIFFERENT ts while state is live →
+    # dropped; key 2 at 2:30 advances the watermark to 1:30 at batch
+    # end, evicting key 1's state
+    write("b-two", [(1, ns(0, 30), 1, "view", 2.0, "{}"), (2, ns(2, 30), 1, "view", 1.0, "{}")])
+    # b2: filler — state eviction COMMITS at this batch's end (the
+    # same batch-END nuance test_watermark_drops_late_rows pins)
+    write("c-three", [(3, ns(2, 10), 1, "view", 1.0, "{}")])
+    # b3: key 1 again at 2:00 (> watermark 1:30, so not late) AFTER
+    # eviction → re-emitted
+    write("d-four", [(1, ns(2, 0), 1, "view", 3.0, "{}")])
+
+    stream = stream_events(spark, str(d), max_files_per_trigger=1)
+    deduped = dedup_within_watermark(stream, ["event_id"], delay="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("dedup_wm").collect()
+    per_key = {}
+    for r in rows:
+        per_key[r.event_id] = per_key.get(r.event_id, 0) + 1
+    assert per_key[9] == 1 and per_key[2] == 1 and per_key[3] == 1
+    # within-delay duplicate collapsed; post-eviction duplicate re-emitted
+    assert per_key[1] == 2, rows
+    emitted_values = sorted(r.value for r in rows if r.event_id == 1)
+    assert emitted_values == [1.0, 3.0], rows
+
+
+def test_dedup_within_watermark_doubled_source_matches_batch(spark, tmp_path):
+    """Doubled source (exact duplicate file) through the bounded-state
+    dedup equals the batch distinct count — duplicates land within the
+    delay, so no re-emits."""
+    import shutil
+
+    from hpat_jl_spark.streaming.dedup import dedup_within_watermark
+    from hpat_jl_spark.streaming.sources import stream_events
+
+    d = tmp_path / "doubled"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{SF}/events.parquet", d / "b.parquet")
+    stream = stream_events(spark, str(d))
+    deduped = dedup_within_watermark(stream, ["event_id"], delay="2 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_wm_double")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_wm_double").count()
+    want = load_table(spark, "events", SF).select("event_id").distinct().count()
+    assert got == want
