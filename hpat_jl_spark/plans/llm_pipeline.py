@@ -294,3 +294,129 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("postings"),
     )
     return posting.filter(F.col("df") <= 100).select("token", "df", "postings")
+
+
+_tokenize_oracle = """
+WITH toks AS (
+  SELECT doc_id, i AS pos, t[i] AS token
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+       unnest(generate_series(1, len(t))) AS s(i)
+), vocab AS (
+  SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) - 1 AS tok_id
+  FROM toks GROUP BY token
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_tokens,
+       string_agg(v.tok_id::VARCHAR, ',' ORDER BY t.pos) AS token_ids
+FROM toks t JOIN vocab v USING (token)
+GROUP BY doc_id
+"""
+
+
+@register("tokenize_to_ids", oracle=_tokenize_oracle, tags=("text",))
+def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus → training-tensor encoding: build a frequency-ranked
+    vocabulary (id 0 = most frequent token, ties broken
+    lexicographically) and re-emit every document as its token-id
+    sequence — the step that turns a cleaned corpus into model input.
+
+    Plan: ONE tokenization (posexplode) feeds both the vocab aggregate
+    and the encode join. The vocab rank is a global row_number — fine
+    because the vocab table is |V| rows (bounded: real pipelines cap it
+    at 32k-200k entries, at which point the encode join side is
+    provably bounded and broadcast-able; left unhinted here since this
+    fixture vocab is uncapped, AQE broadcasts it anyway). Sequence
+    order is restored with sort_array over (pos, id) structs — the
+    shuffle carries (doc_id, pos, tok_id) triples only, linear in
+    corpus token count."""
+    docs = load_table(spark, "documents", sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(par)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "token"),
+        )
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "token",
+            (
+                F.row_number().over(Window.orderBy(F.desc("cnt"), "token")) - 1
+            ).alias("tok_id"),
+        )
+    )
+    return (
+        toks.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok_id"))
+                    ),
+                    lambda s: s.tok_id.cast("string"),
+                ),
+                ",",
+            ).alias("token_ids"),
+        )
+    )
+
+
+_packing_oracle = """
+WITH n AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS tok_before
+  FROM n
+)
+SELECT doc_id, source, n_tokens::BIGINT AS n_tokens,
+       (COALESCE(tok_before, 0) // 512)::BIGINT AS pack_id,
+       (COALESCE(tok_before, 0) % 512)::BIGINT AS pack_offset
+FROM packed
+"""
+
+
+@register("sequence_packing", oracle=_packing_oracle, tags=("text",))
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-length (512-token)
+    training sequences by contiguous fill in deterministic (source,
+    doc_id) order — the pass that batches a tokenized corpus into
+    constant-shape training rows. Contiguous packing (not bin-packing
+    first-fit) is the standard distributed choice because it is a pure
+    prefix-sum: deterministic under any partitioning, no sequential
+    bin state.
+
+    Plan: exclusive running token count per source (window frame ends
+    at 1 PRECEDING) → integer div/mod by the context length. One
+    shuffle keyed on source. If one source outgrows a single sort run
+    at 100 TB, the same prefix sum chunks by the cumsum_global_chunked
+    two-pass (operators/windowed.cumsum_chunked) — offsets per chunk
+    are Exscan'd exactly like the reference's MPI cumsum."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    packed = n.withColumn("tok_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(F.col("tok_before") / 512).cast("bigint").alias("pack_id"),
+        (F.col("tok_before") % 512).cast("bigint").alias("pack_offset"),
+    )

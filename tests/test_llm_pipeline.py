@@ -139,3 +139,59 @@ def test_decontaminate_runs_on_fixture(spark):
     # every flagged doc is a train doc with a positive overlap count
     for r in rows:
         assert r.doc_id % 10 != 0 and r.n_shared_grams >= 1
+
+
+def test_tokenize_to_ids_planted_vocab_rank(spark, tmp_path):
+    # "b" appears 3×, "a" 2×, "c" 1× → ids b=0, a=1, c=2
+    docs = spark.createDataFrame(
+        [(1, "a b b"), (2, "b a c")], ["doc_id", "text"]
+    )
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "token",
+            (F.row_number().over(Window.orderBy(F.desc("cnt"), "token")) - 1).alias(
+                "tok_id"
+            ),
+        )
+    )
+    out = {
+        r.doc_id: r.ids
+        for r in toks.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok_id"))),
+                    lambda s: s.tok_id.cast("string"),
+                ),
+                ",",
+            ).alias("ids")
+        )
+        .collect()
+    }
+    assert out == {1: "1,0,0", 2: "0,1,2"}
+
+
+def test_sequence_packing_crosses_boundary(spark):
+    from hpat_jl_spark.plans.llm_pipeline import sequence_packing  # noqa: F401
+    from hpat_jl_spark.registry import REGISTRY as R
+
+    out = R["sequence_packing"].fn(spark, SF_SMOKE).collect()
+    assert out
+    # reconstruct per-source contiguity: offsets restart at each pack
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: r.doc_id)
+        run = 0
+        for r in rows:
+            assert r.pack_id == run // 512 and r.pack_offset == run % 512, r
+            run += r.n_tokens
