@@ -420,3 +420,47 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("tok_before") / 512).cast("bigint").alias("pack_id"),
         (F.col("tok_before") % 512).cast("bigint").alias("pack_offset"),
     )
+
+
+_domain_mix_oracle = """
+WITH n AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (SELECT sum(n_tokens) AS t FROM n)
+SELECT source, n_docs::BIGINT AS n_docs, n_tokens::BIGINT AS n_tokens,
+       round(n_tokens / t, 6) AS token_share,
+       round(pow(n_tokens / t, 0.7)
+             / sum(pow(n_tokens / t, 0.7)) OVER (), 6) AS mix_weight
+FROM n CROSS JOIN tot
+"""
+
+
+@register("domain_mix_report", oracle=_domain_mix_oracle, tags=("text",))
+def domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing report: per-source document/token counts, corpus
+    token share, and a temperature-scaled sampling weight
+    (share^0.7, renormalized — the multinomial temperature sampling of
+    GPT-3/XLM-R that up-weights small domains) — the table a corpus
+    build publishes to decide epochs-per-source.
+
+    Plan: ONE scan → per-source hash agg (the only data-sized
+    shuffle); the share/weight normalizations are windows over the
+    AGGREGATED per-source rows — bounded by the number of domains, the
+    same safe unpartitioned-window-on-aggregates pattern as
+    supplier_revenue_quartiles, never on raw docs."""
+    docs = load_table(spark, "documents", sf_dir)
+    n = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    weight = F.pow(share, 0.7) / F.sum(F.pow(share, 0.7)).over(w)
+    return n.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(weight, 6).alias("mix_weight"),
+    )

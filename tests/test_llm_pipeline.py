@@ -195,3 +195,16 @@ def test_sequence_packing_crosses_boundary(spark):
         for r in rows:
             assert r.pack_id == run // 512 and r.pack_offset == run % 512, r
             run += r.n_tokens
+
+
+def test_domain_mix_weights_normalized_and_upweighted(spark):
+    from hpat_jl_spark.registry import REGISTRY as R
+
+    rows = R["domain_mix_report"].fn(spark, SF_SMOKE).collect()
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-3
+    # temperature < 1 up-weights small sources: weight/share ratio is
+    # monotonically decreasing in share
+    by_share = sorted(rows, key=lambda r: r.token_share)
+    ratios = [r.mix_weight / r.token_share for r in by_share if r.token_share > 0]
+    assert all(a >= b - 1e-9 for a, b in zip(ratios, ratios[1:]))
