@@ -208,3 +208,55 @@ def test_domain_mix_weights_normalized_and_upweighted(spark):
     by_share = sorted(rows, key=lambda r: r.token_share)
     ratios = [r.mix_weight / r.token_share for r in by_share if r.token_share > 0]
     assert all(a >= b - 1e-9 for a, b in zip(ratios, ratios[1:]))
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from(["s0", "s1"]), st.integers(1, 700)),
+        min_size=1,
+        max_size=40,
+    ),
+    context=st.sampled_from([128, 512]),
+)
+def test_sequence_packing_matches_sequential_reference(spark, docs, context):
+    """The window prefix-sum formulation equals the obvious sequential
+    packer on arbitrary (source, n_tokens) inputs — including docs
+    longer than the context length (they still get a deterministic
+    (pack, offset) slot; the chunker downstream splits them)."""
+    from pyspark.sql import Window
+
+    rows = [(i, src, n) for i, (src, n) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    got = {
+        r.doc_id: (r.pack_id, r.pack_offset)
+        for r in df.withColumn(
+            "tok_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .select(
+            "doc_id",
+            F.floor(F.col("tok_before") / context).cast("bigint").alias("pack_id"),
+            (F.col("tok_before") % context).cast("bigint").alias("pack_offset"),
+        )
+        .collect()
+    }
+    # sequential reference
+    want, run = {}, {}
+    for i, (src, n) in enumerate(rows_iter := [(s, n) for _, s, n in rows]):
+        before = run.get(src, 0)
+        want[i] = (before // context, before % context)
+        run[src] = before + n
+    assert got == want
