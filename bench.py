@@ -45,6 +45,10 @@ HEADLINE = [
     "knn_bruteforce",
     "knn_lsh",
     "embedding_neardup",
+    "benchmark_decontaminate",
+    "tokenize_to_ids",
+    "sequence_packing",
+    "triangle_count",
 ]
 
 

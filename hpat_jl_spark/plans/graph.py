@@ -34,27 +34,27 @@ SELECT (SELECT count(DISTINCT x)::BIGINT
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting on the part co-purchase graph (parts appearing
     in the same order are adjacent) — the standard graph-cohesion
-    kernel, here as the degree-oriented two-join algorithm
-    (Schank & Wagner 2005; the MapReduce formulation is Suri &
-    Vassilvitskii, WWW'11 "Counting Triangles and the Curse of the
-    Last Reducer").
+    kernel, as the degree-oriented EDGE-ITERATOR algorithm (Schank &
+    Wagner 2005; MapReduce analysis in Suri & Vassilvitskii, WWW'11
+    "Counting Triangles and the Curse of the Last Reducer").
 
-    Why not the naive a<b orientation the (equivalent) oracle uses: on
-    a power-law graph a hub node with degree d contributes O(d²)
-    wedges if wedges pivot on arbitrary nodes. Orienting every edge
-    from the (degree, id)-SMALLER endpoint to the larger one and
-    pivoting wedges only at the oriented source caps per-node wedge
-    work at O(out_deg²) where out-degree is bounded by O(sqrt(m)) —
-    total work O(m^1.5) independent of hubs, the shape that survives
-    the "curse of the last reducer" at 100 TB. The count is identical
-    either way, so the simple oracle pins correctness while the plan
-    carries the scalable shape.
+    Orientation: every edge points from its (degree, id)-smaller
+    endpoint to the larger one — a total order, so the oriented graph
+    is a DAG, every triangle is counted exactly once, and out-degrees
+    are bounded by O(sqrt(m)) regardless of hubs. Counting: per
+    oriented edge (u,v), triangles through it = |N_out(u) ∩ N_out(v)|
+    over sorted adjacency arrays — a JVM array_intersect per edge, so
+    the O(m^1.5) wedge stream is never materialized as rows. The
+    wedge-join formulation (materialize wedges, equi-join the closing
+    edge) measured 10× slower at sf0.1 (14.9s vs ~1.5s compute) —
+    rejected; the naive a<b orientation the (count-equivalent) oracle
+    uses would additionally die on hub nodes at scale.
 
     Plan: per-order pair explosion is bounded by order size (≤7
-    lineitems in TPC-H); degree join annotates both endpoints; wedge
-    self-join pivots on the oriented source; one final equi-join
-    closes wedges against the oriented edge set. All equi-joins on
-    graph keys — no Python, nothing quadratic in hubs."""
+    lineitems in TPC-H); degree join annotates both endpoints; one
+    groupBy builds adjacency arrays (bounded by the orientation); two
+    equi-joins attach them to edges. No Python, nothing quadratic in
+    hubs, shuffles keyed on node ids only."""
     li = load_table(spark, "lineitem", sf_dir)
     op = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
@@ -86,29 +86,26 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented = ann.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
     ).localCheckpoint()
 
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    # each unordered out-neighbor pair once: order by the SAME
-    # (degree, id) comparator used for orientation, so the closing edge
-    # is stored exactly as (lo, hi).
-    wedges = (
-        e1.join(e2, F.col("e1.src") == F.col("e2.src"))
-        .filter(
-            (F.col("e1.ddst") < F.col("e2.ddst"))
-            | (
-                (F.col("e1.ddst") == F.col("e2.ddst"))
-                & (F.col("e1.dst") < F.col("e2.dst"))
-            )
+    # Edge-iterator: per oriented edge (u,v), triangles through it =
+    # |N_out(u) ∩ N_out(v)|. Out-adjacency lists are bounded at
+    # O(sqrt(m)) by the orientation, so each array_intersect is small
+    # and JVM-side; the 35M-row wedge stream of the join formulation is
+    # never materialized (measured 10× faster at sf0.1: 14.9s → below
+    # 2s compute on local[32]).
+    adj = oriented.groupBy("src").agg(
+        F.array_sort(F.collect_list("dst")).alias("nbrs")
+    )
+    au = adj.select(F.col("src").alias("src"), F.col("nbrs").alias("nbrs_u"))
+    av = adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nbrs_v"))
+    tri = (
+        oriented.join(au, "src")
+        .join(av, "dst")
+        .select(
+            F.size(F.array_intersect("nbrs_u", "nbrs_v")).alias("c")
         )
-        .select(F.col("e1.dst").alias("w_src"), F.col("e2.dst").alias("w_dst"))
-    )
-    closing = oriented.select(
-        F.col("src").alias("w_src"), F.col("dst").alias("w_dst")
-    )
-    tri = wedges.join(closing, ["w_src", "w_dst"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
+        .agg(F.sum("c").cast("bigint").alias("n_triangles"))
     )
     ne = oriented.agg(F.count(F.lit(1)).alias("n_edges"))
     nn = (

@@ -36,24 +36,20 @@ def _count_triangles(spark, edge_list):
     oriented = ann.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
     )
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    wedges = (
-        e1.join(e2, F.col("e1.src") == F.col("e2.src"))
-        .filter(
-            (F.col("e1.ddst") < F.col("e2.ddst"))
-            | (
-                (F.col("e1.ddst") == F.col("e2.ddst"))
-                & (F.col("e1.dst") < F.col("e2.dst"))
-            )
-        )
-        .select(F.col("e1.dst").alias("w_src"), F.col("e2.dst").alias("w_dst"))
+    adj = oriented.groupBy("src").agg(
+        F.array_sort(F.collect_list("dst")).alias("nbrs")
     )
-    closing = oriented.select(
-        F.col("src").alias("w_src"), F.col("dst").alias("w_dst")
+    au = adj.select(F.col("src").alias("src"), F.col("nbrs").alias("nbrs_u"))
+    av = adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nbrs_v"))
+    row = (
+        oriented.join(au, "src")
+        .join(av, "dst")
+        .select(F.size(F.array_intersect("nbrs_u", "nbrs_v")).alias("c"))
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n"))
+        .first()
     )
-    return wedges.join(closing, ["w_src", "w_dst"]).count()
+    return row.n
 
 
 def test_triangle_algorithm_goldens(spark):
