@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""End-to-end training-corpus preparation — the composition a 100 TB
+corpus build runs nightly, here as one lazy DataFrame pipeline over the
+documents fixture:
+
+    quality gate  →  exact dedup  →  benchmark decontamination
+      →  tokenize to ids  →  pack into fixed-length sequences
+
+Every stage is the same engine kernel the registered queries check
+one-by-one against DuckDB (plans/text_pipeline.py,
+plans/llm_pipeline.py); this example pins that they COMPOSE — filters
+stay pushed down through the whole chain and nothing materializes
+between stages.
+
+    python examples/corpus_prep.py [sf_dir] [context_len]
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hpat_jl_spark.functions import text as X
+from hpat_jl_spark.plans.llm_pipeline import _word_grams
+from hpat_jl_spark.tables import load_table
+
+
+def prepare_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    context_len: int = 512,
+    min_quality: float = 0.5,
+    decontam_ngram: int = 4,
+) -> DataFrame:
+    """documents → (doc_id, source, pack_id, pack_offset, n_tokens,
+    token_ids) for the clean, deduplicated, decontaminated survivors."""
+    docs = load_table(spark, "documents", sf_dir)
+
+    # 1. quality gate (JVM heuristics, one scan)
+    gated = docs.filter(X.quality_score("text") >= min_quality)
+
+    # 2. exact dedup: canonical doc per normalized-text fingerprint
+    #    (content-addressed min-id keeps it deterministic)
+    w_fp = Window.partitionBy(F.md5(X.normalize_text("text"))).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w_fp))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    # 3. decontamination: drop docs sharing any n-gram with the eval
+    #    slice (doc_id % 10 == 0 stands in for the benchmark set)
+    grams = _word_grams(deduped, decontam_ngram).distinct()
+    eval_grams = grams.filter(F.col("doc_id") % 10 == 0).select("gram").distinct()
+    dirty = (
+        grams.filter(F.col("doc_id") % 10 != 0)
+        .join(eval_grams, "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = deduped.filter(F.col("doc_id") % 10 != 0).join(
+        dirty, "doc_id", "left_anti"
+    )
+
+    # 4. tokenize to ids over the SURVIVING corpus's vocabulary
+    toks = clean.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "token"),
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "token",
+            (F.row_number().over(Window.orderBy(F.desc("cnt"), "token")) - 1).alias(
+                "tok_id"
+            ),
+        )
+    )
+    encoded = (
+        toks.join(vocab, "token")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok_id"))),
+                    lambda s: s.tok_id.cast("string"),
+                ),
+                ",",
+            ).alias("token_ids"),
+        )
+    )
+
+    # 5. pack into fixed-length training sequences (exclusive prefix sum)
+    w_pack = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = encoded.withColumn(
+        "tok_before", F.coalesce(F.sum("n_tokens").over(w_pack), F.lit(0))
+    )
+    return packed.select(
+        "doc_id",
+        "source",
+        F.floor(F.col("tok_before") / context_len).cast("bigint").alias("pack_id"),
+        (F.col("tok_before") % context_len).cast("bigint").alias("pack_offset"),
+        "n_tokens",
+        "token_ids",
+    )
+
+
+def main() -> None:
+    from hpat_jl_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    ctx = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    spark = get_spark(app_name="corpus-prep")
+    out = prepare_corpus(spark, sf_dir, context_len=ctx)
+    n = out.count()
+    packs = out.agg(F.countDistinct("source", "pack_id")).first()[0]
+    print(f"prepared {n} documents into {packs} packs of {ctx} tokens")
+    out.orderBy("source", "doc_id").show(5, truncate=60)
+
+
+if __name__ == "__main__":
+    main()

@@ -80,3 +80,25 @@ def test_monte_carlo_pi_query(spark):
     registry.load_all_plans()
     r = registry.REGISTRY["monte_carlo_pi"].fn(spark, "unused").collect()[0]
     assert abs(r.pi_estimate - 3.14159) < 0.01
+
+
+def test_corpus_prep_example(spark):
+    """The end-to-end corpus pipeline composes: survivors are clean
+    (no eval docs, no dupes), encodings non-empty, packing contiguous
+    per source."""
+    from examples.corpus_prep import prepare_corpus
+
+    out = prepare_corpus(spark, "/root/testdata/sf0.001", context_len=256)
+    rows = out.collect()
+    assert rows
+    assert all(r.doc_id % 10 != 0 for r in rows)  # eval slice excluded
+    assert all(r.n_tokens == len(r.token_ids.split(",")) for r in rows)
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src_rows in by_src.values():
+        src_rows.sort(key=lambda r: r.doc_id)
+        run = 0
+        for r in src_rows:
+            assert (r.pack_id, r.pack_offset) == (run // 256, run % 256)
+            run += r.n_tokens
