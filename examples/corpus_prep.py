@@ -34,15 +34,25 @@ def prepare_corpus(
     spark: SparkSession,
     sf_dir: str,
     context_len: int = 512,
-    min_quality: float = 0.5,
+    min_quality: float | None = 0.5,
     decontam_ngram: int = 4,
 ) -> DataFrame:
     """documents → (doc_id, source, pack_id, pack_offset, n_tokens,
-    token_ids) for the clean, deduplicated, decontaminated survivors."""
+    token_ids) for the clean, deduplicated, decontaminated survivors.
+
+    ``min_quality=None`` skips the quality gate — the registered
+    `corpus_prep_pipeline` twin uses that mode so the whole composition
+    is exact integer/string computation with a DuckDB oracle (a float
+    threshold could flip on a last-ulp boundary between engines; the
+    gate itself is oracle-checked separately via text_stats)."""
     docs = load_table(spark, "documents", sf_dir)
 
     # 1. quality gate (JVM heuristics, one scan)
-    gated = docs.filter(X.quality_score("text") >= min_quality)
+    gated = (
+        docs
+        if min_quality is None
+        else docs.filter(X.quality_score("text") >= min_quality)
+    )
 
     # 2. exact dedup: canonical doc per normalized-text fingerprint
     #    (content-addressed min-id keeps it deterministic)

@@ -464,3 +464,72 @@ def domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 6).alias("token_share"),
         F.round(weight, 6).alias("mix_weight"),
     )
+
+
+_corpus_prep_oracle = """
+WITH dedup AS (
+  SELECT doc_id, source, text,
+         row_number() OVER (
+           PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           ORDER BY doc_id) AS rn
+  FROM documents
+), surv0 AS (SELECT doc_id, source, text FROM dedup WHERE rn = 1),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS gram
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM surv0),
+       unnest(generate_series(1, len(t) - 3)) AS s(i)
+  WHERE len(t) >= 4
+), eval_g AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0),
+dirty AS (
+  SELECT DISTINCT g.doc_id FROM grams g JOIN eval_g USING (gram)
+  WHERE g.doc_id % 10 <> 0
+), clean AS (
+  SELECT * FROM surv0
+  WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+), toks AS (
+  SELECT doc_id, source, i AS pos, t[i] AS token
+  FROM (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM clean),
+       unnest(generate_series(1, len(t))) AS s(i)
+), vocab AS (
+  SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) - 1 AS tok_id
+  FROM toks GROUP BY token
+), enc AS (
+  SELECT doc_id, source, count(*) AS n_tokens,
+         string_agg(v.tok_id::VARCHAR, ',' ORDER BY t.pos) AS token_ids
+  FROM toks t JOIN vocab v USING (token) GROUP BY doc_id, source
+), packed AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tok_before
+  FROM enc
+)
+SELECT doc_id, source,
+       (COALESCE(tok_before, 0) // 512)::BIGINT AS pack_id,
+       (COALESCE(tok_before, 0) % 512)::BIGINT AS pack_offset,
+       n_tokens::BIGINT AS n_tokens,
+       token_ids
+FROM packed
+"""
+
+
+@register("corpus_prep_pipeline", oracle=_corpus_prep_oracle, tags=("text", "dedup"))
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP composition: exact dedup → benchmark
+    decontamination → tokenize-to-ids → sequence packing as ONE lazy
+    plan, hash-checked end-to-end against a DuckDB twin of the entire
+    chain — the strongest correctness statement in the repo (the
+    per-stage queries pin each kernel; this pins that they compose
+    without order/null/dedup-tiebreak drift).
+
+    The quality gate from examples/corpus_prep.py is deliberately
+    omitted here: a float threshold could flip on a last-ulp
+    cross-engine boundary, and the gate is already oracle-checked via
+    text_stats. Everything in this chain is integer/string-exact.
+
+    Scale: the same shapes as the component queries — every stage is
+    keyed shuffles linear in the token stream, the vocab window is
+    |V|-bounded, and nothing materializes between stages (Catalyst
+    fuses the chain; filters reach the scan)."""
+    from examples.corpus_prep import prepare_corpus
+
+    return prepare_corpus(spark, sf_dir, context_len=512, min_quality=None)
