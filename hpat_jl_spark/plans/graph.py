@@ -117,3 +117,110 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three 1-row aggregates — crossJoin composes them lazily into one
     # DataFrame (no driver-side collect in the plan itself)
     return nn.crossJoin(ne).crossJoin(tri)
+
+
+_clustering_oracle = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o WHERE a.p < b.p
+), deg AS (
+  SELECT n, count(*) AS d
+  FROM (SELECT u AS n FROM edges UNION ALL SELECT v FROM edges) GROUP BY n
+), tris AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+), pernode AS (
+  SELECT n, count(*) AS n_tri
+  FROM (SELECT a AS n FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris)
+  GROUP BY n
+)
+SELECT d.n AS node, d.d::BIGINT AS degree,
+       COALESCE(p.n_tri, 0)::BIGINT AS n_triangles,
+       round(COALESCE(p.n_tri, 0) * 2.0 / (d.d * (d.d - 1)), 6) AS clustering
+FROM deg d LEFT JOIN pernode p ON d.n = p.n
+WHERE d.d >= 2
+ORDER BY n_triangles DESC, node LIMIT 20
+"""
+
+
+@register("clustering_coefficient", oracle=_clustering_oracle, tags=("graph",))
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (Watts-Strogatz 1998): per node,
+    triangles through it / C(degree, 2) — the per-node companion to
+    triangle_count; top-20 most-triangulated parts with deterministic
+    (n_triangles desc, node) ordering.
+
+    Plan: the same degree-oriented edge-iterator as triangle_count,
+    but the per-edge intersection is EXPLODED so each triangle
+    (u, v, w) attributes one count to all three corners; a union of
+    the three corner streams feeds one hash agg. The explode emits
+    exactly 3 rows per triangle — output-linear, still no wedge
+    materialization; per-node attribution adds one node-keyed shuffle.
+    The id-ordered oracle enumerates each triangle once as a<b<c —
+    count-equivalent to the orientation used here."""
+    li = load_table(spark, "lineitem", sf_dir)
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ann = edges.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ann.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).localCheckpoint()
+    adj = oriented.groupBy("src").agg(
+        F.array_sort(F.collect_list("dst")).alias("nbrs")
+    )
+    au = adj.select(F.col("src").alias("src"), F.col("nbrs").alias("nbrs_u"))
+    av = adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nbrs_v"))
+    closed = (
+        oriented.join(au, "src")
+        .join(av, "dst")
+        .select(
+            "src",
+            "dst",
+            F.explode(F.array_intersect("nbrs_u", "nbrs_v")).alias("w"),
+        )
+    )
+    corners = (
+        closed.select(F.col("src").alias("n"))
+        .unionAll(closed.select(F.col("dst").alias("n")))
+        .unionAll(closed.select(F.col("w").alias("n")))
+    )
+    pernode = corners.groupBy("n").agg(F.count(F.lit(1)).alias("n_tri"))
+    out = (
+        deg.join(pernode, "n", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("n").alias("node"),
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.round(
+                F.coalesce("n_tri", F.lit(0)) * 2.0 / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("clustering"),
+        )
+    )
+    return out.orderBy(F.desc("n_triangles"), "node").limit(20)

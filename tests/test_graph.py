@@ -100,3 +100,16 @@ def test_latest_record_compaction_planted(spark, tmp_path):
         .collect()
     }
     assert out == {1: 12, 2: 20}
+
+
+def test_clustering_coefficient_fixture_bounds(spark):
+    rows = REGISTRY["clustering_coefficient"].fn(spark, SF_SMOKE).collect()
+    assert rows and len(rows) <= 20
+    for r in rows:
+        assert 0.0 <= r.clustering <= 1.0
+        assert r.degree >= 2
+        # n_triangles cannot exceed C(degree, 2)
+        assert r.n_triangles <= r.degree * (r.degree - 1) // 2
+    # deterministic ordering
+    key = [(-r.n_triangles, r.node) for r in rows]
+    assert key == sorted(key)
