@@ -533,3 +533,63 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from examples.corpus_prep import prepare_corpus
 
     return prepare_corpus(spark, sf_dir, context_len=512, min_quality=None)
+
+
+_fuzzy_oracle = """
+SELECT a.c_name AS name_a, b.c_name AS name_b,
+       levenshtein(a.c_name, b.c_name)::BIGINT AS distance
+FROM customer a JOIN customer b
+ON a.c_name < b.c_name
+AND length(a.c_name) = length(b.c_name)
+AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+@register("fuzzy_name_pairs", oracle=_fuzzy_oracle, tags=("dedup",))
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity self-join (fuzzy entity matching): all
+    equal-length name pairs within levenshtein distance 1 — for equal
+    lengths that is exactly one substitution, the typo/OCR-dedup case.
+
+    Plan — FastSS wildcard neighborhoods (Bocek et al. 2007), not
+    PassJoin segment blocking: these names share a constant 9-char
+    prefix, so any prefix/half segment key collapses into ONE bucket
+    and goes quadratic. Instead each name emits len variants with
+    position i replaced by a sentinel; two names share a variant IFF
+    they are hamming-≤1, so every join bucket is a true match group
+    (the wildcard position is encoded by the sentinel's offset, and a
+    hamming-1 pair shares exactly one variant — no dedup needed). The
+    shuffle is len× the input (linear); the levenshtein verify is a
+    belt-and-braces filter over already-exact candidates, never a
+    cross product. The oracle's naive quadratic form is
+    count-equivalent at sf0.01."""
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_name").alias("name")
+    )
+    variants = cust.select(
+        "name",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("name")),
+                lambda i: F.concat(
+                    F.expr("name").substr(F.lit(1), i - 1),
+                    F.lit("\x01"),
+                    F.expr("name").substr(i + 1, F.length("name")),
+                ),
+            )
+        ).alias("variant"),
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    pairs = (
+        a.join(b, "variant")
+        .filter(F.col("a.name") < F.col("b.name"))
+        .select(
+            F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
+        )
+    )
+    return pairs.filter(
+        F.levenshtein("name_a", "name_b") <= 1
+    ).withColumn(
+        "distance", F.levenshtein("name_a", "name_b").cast("bigint")
+    )

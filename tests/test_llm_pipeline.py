@@ -260,3 +260,36 @@ def test_sequence_packing_matches_sequential_reference(spark, docs, context):
         want[i] = (before // context, before % context)
         run[src] = before + n
     assert got == want
+
+
+def test_fuzzy_name_pairs_planted(spark):
+    """FastSS wildcard blocking: exactly the hamming-≤1 equal-length
+    pairs come out — 2-substitution and different-length lookalikes
+    don't (kernel replicated on a planted frame; the fixture path is
+    oracle-checked)."""
+    cust = spark.createDataFrame(
+        [("alpha",), ("alphq",), ("alpXY",), ("alphaz",), ("beta0",), ("beta1",)],
+        ["name"],
+    )
+    variants = cust.select(
+        "name",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("name")),
+                lambda i: F.concat(
+                    F.expr("name").substr(F.lit(1), i - 1),
+                    F.lit("\x01"),
+                    F.expr("name").substr(i + 1, F.length("name")),
+                ),
+            )
+        ).alias("variant"),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    pairs = (
+        a.join(b, "variant")
+        .filter(F.col("a.name") < F.col("b.name"))
+        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 1)
+    )
+    got = {(r.name_a, r.name_b) for r in pairs.collect()}
+    assert got == {("alpha", "alphq"), ("beta0", "beta1")}
