@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Registry-wide physical-plan linter: builds EVERY registered query's
+plan at sf0.001 and fails on scale anti-patterns:
+
+- BatchEvalPython          row-at-a-time Python UDF (CLAUDE.md invariant:
+                           Python only as Arrow-vectorized kernels)
+- CartesianProduct         unbounded cross product
+- BroadcastNestedLoopJoin  cross/theta join — legitimate ONLY for
+                           provably-1-row scalar-aggregate sides, which
+                           must be allow-listed here with a reason
+
+dump_plans.py documents the headline plans in depth; this linter is the
+breadth pass — a new query (or a Catalyst regression after a rewrite)
+that sneaks a cross product or row-Python stage into ANY of the
+registered plans turns the build red.
+
+    python scripts/plan_lint.py            # exit 0 iff clean
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from hpat_jl_spark import registry
+from hpat_jl_spark.session import get_spark
+
+SF = "/root/testdata/sf0.001"
+
+# query → {operator: reason} for allowed occurrences.
+ALLOW: dict[str, dict[str, str]] = {
+    # 1-row scalar-aggregate sides: a cross join against a single-row
+    # aggregate is the standard decorrelated-scalar-subquery shape.
+    "tfidf_top_terms": {"BroadcastNestedLoopJoin": "1-row n_docs aggregate"},
+    "triangle_count": {"BroadcastNestedLoopJoin": "three 1-row aggregates composed"},
+    "q6_forecast_revenue": {"BroadcastNestedLoopJoin": "1-row scalar aggregate"},
+    "q11_important_stock": {"BroadcastNestedLoopJoin": "1-row threshold aggregate"},
+    "q14_promo_revenue": {"BroadcastNestedLoopJoin": "1-row scalar aggregate"},
+    "q15_top_supplier": {"BroadcastNestedLoopJoin": "1-row max-revenue aggregate"},
+    "q17_small_quantity_revenue": {"BroadcastNestedLoopJoin": "1-row scalar aggregate"},
+    "q22_global_sales_opportunity": {"BroadcastNestedLoopJoin": "1-row avg-balance aggregate"},
+    "cumsum_global_chunked": {"BroadcastNestedLoopJoin": "per-chunk offset table, #chunks rows"},
+    "timeseries_similarity": {
+        "BroadcastNestedLoopJoin": "documented capped demo (20 users); scale path is knn_lsh/ivf"
+    },
+    "funnel_conversion": {
+        "BroadcastNestedLoopJoin": "three 1-row step-count aggregates composed"
+    },
+    "resample_daily_ffill": {
+        "BroadcastNestedLoopJoin": "date-grid × keys; output-linear by construction"
+    },
+}
+
+BAD = ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"]
+
+
+def fmt_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def main() -> int:
+    spark = get_spark(app_name="plan-lint", master="local[4]", shuffle_partitions=8)
+    qs = registry.queries()
+    offenders: list[str] = []
+    allowed_hits = 0
+    for name, fn in qs.items():
+        try:
+            plan = fmt_plan(fn(spark, SF))
+        except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
+            offenders.append(f"{name}: PLAN BUILD FAILED: {e!r}")
+            continue
+        for op in BAD:
+            if op in plan:
+                reason = ALLOW.get(name, {}).get(op)
+                if reason:
+                    allowed_hits += 1
+                    print(f"allow {name}: {op} ({reason})", file=sys.stderr)
+                else:
+                    offenders.append(f"{name}: {op}")
+    print(
+        f"linted {len(qs)} plans; {len(offenders)} offenders, "
+        f"{allowed_hits} allow-listed"
+    )
+    for o in offenders:
+        print(f"  FAIL {o}")
+    return 1 if offenders else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
