@@ -49,6 +49,8 @@ HEADLINE = [
     "tokenize_to_ids",
     "sequence_packing",
     "triangle_count",
+    "corpus_prep_pipeline",
+    "fuzzy_name_pairs",
 ]
 
 
