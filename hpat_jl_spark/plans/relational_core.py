@@ -416,3 +416,47 @@ def latest_record_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("latest_totalprice"),
         )
     )
+
+
+@register(
+    "null_safe_join",
+    oracle="""
+WITH keyed AS (
+  SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END AS seg,
+         c_acctbal
+  FROM customer
+), counts AS (
+  SELECT seg, count(*) AS n_customers FROM keyed GROUP BY seg
+), bals AS (
+  SELECT seg, round(avg(c_acctbal), 2) AS avg_balance FROM keyed GROUP BY seg
+)
+SELECT c.seg, c.n_customers::BIGINT AS n_customers, b.avg_balance
+FROM counts c JOIN bals b ON c.seg IS NOT DISTINCT FROM b.seg
+""",
+    tags=("core",),
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the NULL
+    group participates in the join instead of silently dropping — the
+    semantic a standard equi-join gets wrong when the join key is a
+    derived nullable (here: negative-balance customers bucketed as
+    NULL segment). tests/test_null_semantics.py pins the contrast with
+    the null-dropping plain join.
+
+    Plan: two aggregates over one scan joined on eqNullSafe; Catalyst
+    plans it as a regular hash join with a null-safe comparator (NULL
+    hashes like any key) — same single-shuffle shape, no fallback to
+    nested loops."""
+    cust = load_table(spark, "customer", sf_dir)
+    keyed = cust.select(
+        F.when(F.col("c_acctbal") < 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        "c_acctbal",
+    )
+    counts = keyed.groupBy("seg").agg(F.count(F.lit(1)).alias("n_customers"))
+    bals = keyed.groupBy("seg").agg(F.round(F.avg("c_acctbal"), 2).alias("avg_balance"))
+    c, b = counts.alias("c"), bals.alias("b")
+    return c.join(b, F.col("c.seg").eqNullSafe(F.col("b.seg"))).select(
+        F.col("c.seg").alias("seg"), "n_customers", "avg_balance"
+    )

@@ -68,3 +68,15 @@ def test_filter_drops_null_comparisons(spark):
 
     # explicit IS NOT NULL is the ported form of `> typemin(Int32)`
     assert table_filter(t, F.col("v").isNotNull()).count() == 3
+
+
+def test_null_safe_join_keeps_null_group(spark):
+    """eqNullSafe joins the NULL bucket; a plain equi-join drops it."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame([("a", 1), (None, 2)], ["k", "x"])
+    right = spark.createDataFrame([("a", 10), (None, 20)], ["k", "y"])
+    l, r = left.alias("l"), right.alias("r")
+    plain = l.join(r, F.col("l.k") == F.col("r.k")).count()
+    safe = l.join(r, F.col("l.k").eqNullSafe(F.col("r.k"))).count()
+    assert plain == 1 and safe == 2

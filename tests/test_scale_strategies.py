@@ -173,3 +173,53 @@ def test_stratified_sample_proportions(spark):
     # determinism: same seed → same counts
     kept2 = {r.source: r.n_kept for r in fn(spark, sf).collect()}
     assert kept == kept2
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Runtime Bloom-filter pushdown (Spark's runtime row-group
+    filtering for selective SMJ joins): with the optimizer flag on, the
+    selective dim side injects a bloom_filter_agg that pre-filters the
+    fact scan — the 100 TB lever for joins AQE can't broadcast. The
+    application-side size threshold defaults to 10 GB, so local
+    fixtures need it lowered; results must be identical either way."""
+    from pyspark.sql import functions as F
+
+    from hpat_jl_spark.tables import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, "lineitem", "/root/testdata/sf0.001")
+        part = load_table(spark, "part", "/root/testdata/sf0.001").filter(
+            F.col("p_brand") == "Brand#23"
+        )
+        j = li.join(part, li.l_partkey == part.p_partkey).groupBy("p_brand").count()
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "bloom_filter_agg" in plan
+        with_bloom = {tuple(r) for r in j.collect()}
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    li = load_table(spark, "lineitem", "/root/testdata/sf0.001")
+    part = load_table(spark, "part", "/root/testdata/sf0.001").filter(
+        F.col("p_brand") == "Brand#23"
+    )
+    plain = {
+        tuple(r)
+        for r in li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .count()
+        .collect()
+    }
+    assert with_bloom == plain
