@@ -593,3 +593,67 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "distance", F.levenshtein("name_a", "name_b").cast("bigint")
     )
+
+
+_weighted_sample_oracle = """
+WITH w AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         ('0x' || substring(md5('wsample:' || doc_id::VARCHAR), 1, 8))::UBIGINT
+           / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id, source, n_tokens::BIGINT AS n_tokens,
+       round(pow(u, 1.0 / n_tokens), 6) AS priority
+FROM w
+ORDER BY pow(u, 1.0 / n_tokens) DESC, doc_id
+LIMIT 100
+"""
+
+
+@register("weighted_sample_docs", oracle=_weighted_sample_oracle, tags=("text",))
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling without replacement (Efraimidis &
+    Spirakis 2006): keep the top-k documents by priority u^(1/w) with
+    u ~ U(0,1) and w = token count — the exact distributed analogue of
+    sampling proportional to length, used to draw token-budgeted
+    subsets from a corpus.
+
+    The randomness is CONTENT-ADDRESSED, not seeded RNG: u comes from
+    a salted md5 of the doc id (both engines parse the same 8-hex
+    prefix to the same integer), so the sample is identical across
+    engines, re-shards, and retries — the property that makes it
+    oracle-checkable at all, and the property a reproducible corpus
+    build needs. Plan: one scan → map-side priorities →
+    TakeOrderedAndProject; no shuffle except the final top-k merge
+    (ties broken on doc_id; u,priority doubles — last-ulp cross-engine
+    divergence would need two priorities within 1e-15, negligible for
+    hash-uniform values)."""
+    docs = load_table(spark, "documents", sf_dir)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    pri = F.pow(u, 1.0 / n_tok.cast("double"))
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            n_tok.cast("bigint").alias("n_tokens"),
+            pri.alias("pri_raw"),
+        )
+        .orderBy(F.desc("pri_raw"), "doc_id")
+        .limit(100)
+        .select(
+            "doc_id", "source", "n_tokens", F.round("pri_raw", 6).alias("priority")
+        )
+    )

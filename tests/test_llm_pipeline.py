@@ -293,3 +293,25 @@ def test_fuzzy_name_pairs_planted(spark):
     )
     got = {(r.name_a, r.name_b) for r in pairs.collect()}
     assert got == {("alpha", "alphq"), ("beta0", "beta1")}
+
+
+def test_weighted_sample_favors_heavy_docs(spark):
+    """E-S priorities: the length-weighted sample over-represents long
+    docs relative to a uniform draw, and is deterministic."""
+    from hpat_jl_spark.registry import REGISTRY as R
+    from hpat_jl_spark.tables import load_table
+
+    out1 = R["weighted_sample_docs"].fn(spark, SF_SMOKE).collect()
+    out2 = R["weighted_sample_docs"].fn(spark, SF_SMOKE).collect()
+    assert [r.doc_id for r in out1] == [r.doc_id for r in out2]
+    docs = load_table(spark, "documents", SF_SMOKE)
+    mean_all = (
+        docs.select(F.avg(F.size(F.split(F.trim("text"), r"\s+"))).alias("m"))
+        .first()
+        .m
+    )
+    mean_sample = sum(r.n_tokens for r in out1) / len(out1)
+    assert mean_sample > mean_all  # heavier docs over-represented
+    # priorities sorted desc
+    pris = [r.priority for r in out1]
+    assert pris == sorted(pris, reverse=True)
