@@ -5,7 +5,7 @@ set, different physical strategy).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hpat_jl_spark.operators.asof import asof_join, banded_range_join
@@ -431,4 +431,61 @@ def timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, F.col("ua") < F.col("ub"))
     return pairs.select(
         "ua", "ub", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim")
+    )
+
+
+_streaks_oracle = """
+WITH days AS (
+  SELECT DISTINCT user_id, ts::DATE AS day FROM events
+), grp AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS island
+  FROM days
+), streaks AS (
+  SELECT user_id, count(*)::BIGINT AS streak_days,
+         min(day) AS streak_start, max(day) AS streak_end
+  FROM grp GROUP BY user_id, island
+)
+SELECT user_id, streak_days, streak_start, streak_end
+FROM streaks
+ORDER BY streak_days DESC, user_id, streak_start
+LIMIT 20
+"""
+
+
+@register("activity_streaks", oracle=_streaks_oracle, tags=("temporal",))
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's maximal runs of consecutive active
+    days (the canonical streak/uptime/retention primitive; the
+    reference's ordered-window story — SURVEY §2.5 cumsum/stencil —
+    composes into it, reference src/domain-pass.jl gives the 1-D
+    ordered-distribution machinery).
+
+    The classic trick: within a user, day minus row_number(day) is
+    constant exactly along a run of consecutive days, so one
+    user-partitioned window plus one (user, island) hash-agg finds every
+    maximal run — no self-join, no iteration. Plan: distinct
+    (user, day) prunes to at most span×users rows before the window;
+    the window and the aggregate share the user_id shuffle key (the agg
+    is partial-final, so the extra island column costs a map-side
+    combine, not a second full shuffle of raw events). Top-20 longest
+    with (streak_days desc, user_id, streak_start) total order."""
+    events = load_table(spark, "events", sf_dir)
+    days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn(
+        "island", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("streak_days"),
+        F.min("day").alias("streak_start"),
+        F.max("day").alias("streak_end"),
+    )
+    return (
+        streaks.select("user_id", "streak_days", "streak_start", "streak_end")
+        .orderBy(F.desc("streak_days"), "user_id", "streak_start")
+        .limit(20)
     )
