@@ -224,3 +224,73 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.desc("n_triangles"), "node").limit(20)
+
+
+_link_pred_oracle = """
+WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), pdeg AS (
+  SELECT p, count(*) AS dp FROM cp GROUP BY p
+), centers AS (
+  SELECT p, dp FROM pdeg WHERE dp BETWEEN 2 AND 256
+), wedges AS (
+  SELECT a.c AS u, b.c AS v, ctr.dp
+  FROM centers ctr
+  JOIN cp a ON a.p = ctr.p
+  JOIN cp b ON b.p = ctr.p AND a.c < b.c
+)
+SELECT u, v, count(*)::BIGINT AS common_parts,
+       round(sum(1.0 / ln(dp)), 6) AS adamic_adar
+FROM wedges GROUP BY u, v
+ORDER BY adamic_adar DESC, u, v LIMIT 20
+"""
+
+
+@register("link_prediction_customers", oracle=_link_pred_oracle, tags=("graph",))
+def link_prediction_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction / collaborative-filtering similarity on the
+    bipartite customer–part purchase graph: top customer pairs by
+    Adamic-Adar (Adamic & Adar 2003) over shared parts — sum over
+    common parts of 1/ln(part popularity), so rare co-purchases count
+    more than ubiquitous ones. The "users with similar baskets" kernel
+    behind people-also-bought recommendation and audience expansion.
+
+    Plan: one distinct (customer, part) projection feeds both the
+    part-degree aggregate and the wedge join; wedges are generated by
+    two equi-joins on the part key (never a customer×customer cross),
+    so per-part fan-out is C(dp, 2), explicitly bounded by the center
+    filter 2 ≤ dp ≤ 256. The cap is a skew guard AND a signal
+    statement: a part bought by thousands of customers contributes
+    ≤ 1/ln(256) per pair while generating quadratic wedges — at 100 TB
+    those hub centers are exactly the ones to drop (the same hub
+    argument as triangle_count's degree orientation). Shuffles: one on
+    the part key (degree + both wedge-join sides), one on (u, v) for
+    the final partial-final hash agg; TakeOrdered caps driver traffic
+    at 20 rows. Tiebreak (score desc, u, v) is a total order."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    cp = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()  # reused 3× (degree + two wedge sides)
+    )
+    centers = (
+        cp.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("dp"))
+        .filter(F.col("dp").between(2, 256))
+    )
+    a = cp.select(F.col("p"), F.col("c").alias("u"))
+    b = cp.select(F.col("p"), F.col("c").alias("v"))
+    wedges = (
+        centers.join(a, "p")
+        .join(b, "p")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v", "dp")
+    )
+    scored = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("common_parts"),
+        F.round(F.sum(1.0 / F.log("dp")), 6).alias("adamic_adar"),
+    )
+    return scored.orderBy(F.desc("adamic_adar"), "u", "v").limit(20)

@@ -113,3 +113,49 @@ def test_clustering_coefficient_fixture_bounds(spark):
     # deterministic ordering
     key = [(-r.n_triangles, r.node) for r in rows]
     assert key == sorted(key)
+
+
+def test_adamic_adar_planted(spark):
+    """Hand-computed Adamic-Adar on an explicit bipartite graph,
+    mirroring plans/graph.link_prediction_customers after the cp
+    build: part 10 shared by {1,2} (dp=2), part 11 by {1,2,3} (dp=3),
+    part 12 by {3} (dp=1, below center floor), part 13 by everyone
+    (hub, above cap when cap=3 -> excluded)."""
+    import math
+
+    cp = spark.createDataFrame(
+        [(1, 10), (2, 10), (1, 11), (2, 11), (3, 11), (3, 12),
+         (1, 13), (2, 13), (3, 13), (4, 13)],
+        "c long, p long",
+    ).distinct()
+    centers = (
+        cp.groupBy("p").agg(F.count(F.lit(1)).alias("dp"))
+        .filter(F.col("dp").between(2, 3))
+    )
+    a = cp.select("p", F.col("c").alias("u"))
+    b = cp.select("p", F.col("c").alias("v"))
+    scored = (
+        centers.join(a, "p").join(b, "p")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_parts"),
+            F.round(F.sum(1.0 / F.log("dp")), 6).alias("adamic_adar"),
+        )
+    )
+    got = {(r.u, r.v): (r.common_parts, r.adamic_adar) for r in scored.collect()}
+    aa2, aa3 = 1 / math.log(2), 1 / math.log(3)
+    assert got == {
+        (1, 2): (2, round(aa2 + aa3, 6)),  # parts 10 (dp=2) + 11 (dp=3)
+        (1, 3): (1, round(aa3, 6)),        # part 11 only
+        (2, 3): (1, round(aa3, 6)),
+        # customer 4 appears nowhere: its only part is the capped hub
+    }
+
+
+def test_link_prediction_fixture_invariants(spark):
+    rows = REGISTRY["link_prediction_customers"].fn(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r.adamic_adar for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.u < r.v and r.common_parts >= 1 for r in rows)
