@@ -657,3 +657,54 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", "n_tokens", F.round("pri_raw", 6).alias("priority")
         )
     )
+
+
+_unigram_oracle = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+  FROM documents
+), freq AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY t
+), tot AS (
+  SELECT sum(c) AS s FROM freq
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(avg(-ln(c / s)), 5) AS avg_nll
+FROM tok JOIN freq USING (t) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+@register("unigram_logprob_quality", oracle=_unigram_oracle, tags=("text",))
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model surprisal per document: corpus token
+    frequencies define p(t) = c_t / N, each document scores
+    avg(-ln p(t)) over its tokens — the cheapest LM-based quality
+    signal (CCNet's "perplexity filter" shape, Wenzek et al. 2020,
+    with the corpus itself as the model): gibberish and rare-token spam
+    score high, templated boilerplate scores low. Companion to the
+    heuristic quality_score and the trained quality_model_filter.
+
+    Plan: ONE tokenization (explode) feeds both the frequency aggregate
+    and the scoring join — same single-pass sharing as tfidf_top_terms.
+    The frequency table is token-keyed (vocabulary-sized, Zipf-bounded
+    — it grows sublinearly with the corpus, but it is NOT forced
+    broadcast: AQE decides, per the broadcast-hint policy). The corpus
+    total N is a 1-row aggregate composed in lazily via crossJoin.
+    Shuffles: token key (freq + scoring join), then doc_id for the
+    per-doc average; nothing quadratic, no Python."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
+    )
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").cast("double").alias("s"))
+    return (
+        tok.join(freq, "t")
+        .crossJoin(tot)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("s"))), 5).alias("avg_nll"),
+        )
+    )

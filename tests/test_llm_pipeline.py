@@ -315,3 +315,41 @@ def test_weighted_sample_favors_heavy_docs(spark):
     # priorities sorted desc
     pris = [r.priority for r in out1]
     assert pris == sorted(pris, reverse=True)
+
+
+def test_unigram_surprisal_planted(spark):
+    """Hand-computed corpus: tokens a:2 b:1 c:1, N=4 — mirrors
+    plans/llm_pipeline.unigram_logprob_quality's kernel on explicit
+    rows (load_table pins the fixture schema, so the kernel is
+    replicated on a createDataFrame twin)."""
+    import math
+
+    docs = spark.createDataFrame([(1, "a a b"), (2, "c")], ["doc_id", "text"])
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
+    )
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").cast("double").alias("s"))
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_nll)
+        for r in tok.join(freq, "t").crossJoin(tot)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("s"))), 5).alias("avg_nll"),
+        )
+        .collect()
+    }
+    ln = math.log
+    assert got == {
+        1: (3, round((2 * -ln(2 / 4) + -ln(1 / 4)) / 3, 5)),
+        2: (1, round(-ln(1 / 4), 5)),
+    }
+
+
+def test_unigram_surprisal_fixture_bounds(spark):
+    rows = REGISTRY["unigram_logprob_quality"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_tokens >= 1
+        assert r.avg_nll > 0  # -ln p is positive for p < 1
