@@ -556,3 +556,209 @@ def query_ivf_index(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def _kmeans_np(X, k: int, rng, max_iter: int = 20):
+    """Driver-side kmeans++ + Lloyd on a numpy sample (the shared
+    fit kernel for PQ codebooks; deterministic for a fixed rng —
+    same rationale as _fit_coarse_quantizer). Empty clusters keep
+    their previous centroid."""
+    import numpy as np
+
+    k = min(k, len(X))
+    cents = [X[int(rng.integers(len(X)))]]
+    for _ in range(k - 1):
+        C = np.array(cents)
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).min(axis=1)
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        cents.append(X[int(rng.choice(len(X), p=probs))])
+    C = np.array(cents)
+    for _ in range(max_iter):
+        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+        newC = np.array(
+            [
+                X[assign == j].mean(0) if (assign == j).any() else C[j]
+                for j in range(k)
+            ]
+        )
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return C
+
+
+def fit_pq_codebooks(
+    candidates: DataFrame,
+    vec_col: str = "embedding",
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    seed: int = 7,
+    max_iter: int = 20,
+    fit_sample: float | None = None,
+    fit_cap: int = 100_000,
+):
+    """Product-quantization codebooks (Jégou, Douze & Schmid, TPAMI
+    2011): split the UNIT-normalized vector into ``n_subspaces``
+    contiguous blocks and k-means each block independently to
+    ``n_codes`` centroids. Returns an (m, n_codes, d/m) ndarray.
+
+    Fit is driver-side on a row-capped sample (same contract as
+    _fit_coarse_quantizer: FAISS-style ~100k-vector training set, O(1)
+    in corpus size, bit-reproducible for a fixed seed). Normalizing
+    BEFORE splitting makes inner products over codes approximate
+    cosine directly — no per-query norm correction needed."""
+    import numpy as np
+
+    if fit_sample is None:
+        n = candidates.count()
+        fit_sample = min(1.0, fit_cap / n) if n > fit_cap else None
+    src = (
+        candidates.sample(fraction=fit_sample, seed=seed)
+        if fit_sample
+        else candidates
+    )
+    X = np.array(
+        [list(r[0]) for r in src.select(vec_col).collect()], dtype=np.float64
+    )
+    X = _unit_rows(X)
+    d = X.shape[1]
+    if d % n_subspaces:
+        raise ValueError(f"dim {d} not divisible by n_subspaces {n_subspaces}")
+    dsub = d // n_subspaces
+    rng = np.random.default_rng(seed)
+    books = [
+        _kmeans_np(X[:, j * dsub : (j + 1) * dsub], n_codes, rng, max_iter)
+        for j in range(n_subspaces)
+    ]
+    return np.stack(books)
+
+
+def pq_encode(
+    candidates: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to its per-subspace nearest-centroid code — an
+    (id, codes array<int>) table of m small ints per vector. THIS is
+    the 100 TB story: a 64-dim float32 embedding is 256 bytes; its
+    8-subspace code is 8 bytes (32×), so the scored corpus fits where
+    the raw vectors never would, and the scoring scan reads ONLY the
+    code column (column pruning does the rest). One mapInPandas pass,
+    no shuffle; codebooks ship in the closure (m·k·d/m doubles — KB)."""
+    import numpy as np
+
+    C = codebooks  # (m, k, dsub)
+    m, _, dsub = C.shape
+
+    def kernel(batches):
+        for pdf in batches:
+            M = _unit_rows(np.vstack(pdf[vec_col].to_numpy()).astype(np.float64))
+            codes = np.empty((len(M), m), dtype=np.int32)
+            for j in range(m):
+                sub = M[:, j * dsub : (j + 1) * dsub]
+                # (batch, k) squared distances via expansion; argmin code
+                d2 = (
+                    (sub**2).sum(1, keepdims=True)
+                    - 2.0 * sub @ C[j].T
+                    + (C[j] ** 2).sum(1)[None, :]
+                )
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return candidates.select(id_col, vec_col).mapInPandas(
+        kernel, f"{id_col} long, codes array<int>"
+    )
+
+
+def knn_pq(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    fit_sample: float | None = None,
+    rerank: int = 4,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via product quantization with
+    asymmetric distance computation (ADC): the query stays exact, each
+    candidate is looked up through its codes — score ≈ Σ_j
+    LUT[j, code_j] where LUT[j, c] = q_sub_j · codebook[j][c]. Per
+    candidate the work is m table lookups + adds instead of a d-wide
+    dot product, over an m-byte row instead of a 4d-byte one.
+
+    ``rerank`` enables the FAISS refine stage: ADC picks a k·rerank
+    shortlist per query (code-column scan only), then the exact kernel
+    re-scores just the shortlisted vectors — so the final top-k has
+    exact scores and near-exact recall while the corpus-wide pass still
+    reads only codes. ``rerank=0`` returns raw ADC scores.
+
+    Same probe contract as knn_bruteforce (small collected query side);
+    same deterministic output shape (round-6 scores, neighbor-id
+    tiebreak). Composes with IVF (encode per cell) for the full
+    FAISS-style IVF-PQ layout; kept orthogonal here so each mechanism
+    is independently testable."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    books = fit_pq_codebooks(
+        candidates,
+        vec_col=vec_col,
+        n_subspaces=n_subspaces,
+        n_codes=n_codes,
+        seed=seed,
+        fit_sample=fit_sample,
+    )
+    codes = pq_encode(candidates, codebooks=books, id_col=id_col, vec_col=vec_col)
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    out_schema = "query_id long, neighbor_id long, cosine_sim double"
+    if not q_rows:
+        return queries.sparkSession.createDataFrame([], out_schema + ", rank int")
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = _unit_rows(np.array([list(r[1]) for r in q_rows], dtype=np.float64))
+    m, _, dsub = books.shape
+    # (n_queries, m, n_codes) lookup tables — the only query-side state
+    lut = np.einsum("qjd,jkd->qjk", Q.reshape(len(Q), m, dsub), books)
+
+    def kernel(batches):
+        for pdf in batches:
+            codes_mat = np.vstack(pdf["codes"].to_numpy())  # (batch, m)
+            ids = pdf[id_col].to_numpy()
+            cols = np.arange(m)
+            for qi in range(len(q_ids)):
+                s = lut[qi][cols[None, :], codes_mat].sum(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(ids), q_ids[qi]),
+                        "neighbor_id": ids,
+                        "cosine_sim": np.round(s, 6),
+                    }
+                )
+
+    scored = (
+        codes.mapInPandas(kernel, out_schema)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    adc_topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= (k * rerank if rerank else k)
+    )
+    if not rerank:
+        return adc_topk
+    # FAISS-style refine: ADC ranks a shortlist of k·rerank per query,
+    # then the EXACT kernel re-scores only those ids — the full-width
+    # vectors are touched for O(queries · k · rerank) rows, never the
+    # corpus. The semi-join keeps the scan code-column-only.
+    shortlist = adc_topk.select(F.col("neighbor_id").alias(id_col)).distinct()
+    cand_short = candidates.join(F.broadcast(shortlist), id_col, "semi")
+    return knn_bruteforce(
+        queries, cand_short, k=k, id_col=id_col, vec_col=vec_col
+    )

@@ -699,12 +699,17 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     tot = freq.agg(F.sum("c").cast("double").alias("s"))
+    # attach the 1-row total to the VOCAB table (not the token stream):
+    # the BNLJ multiplies Zipf-bounded rows, and the per-token join then
+    # carries the ready-made surprisal along
+    nll = freq.crossJoin(tot).select(
+        "t", (-F.log(F.col("c") / F.col("s"))).alias("tok_nll")
+    )
     return (
-        tok.join(freq, "t")
-        .crossJoin(tot)
+        tok.join(nll, "t")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.round(F.avg(-F.log(F.col("c") / F.col("s"))), 5).alias("avg_nll"),
+            F.round(F.avg("tok_nll"), 5).alias("avg_nll"),
         )
     )

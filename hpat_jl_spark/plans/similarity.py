@@ -179,3 +179,23 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_cos_to_centroid"),
         )
     )
+
+
+@register("knn_pq", oracle=None, tags=("similarity",))
+def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via product quantization + ADC with exact
+    re-rank (FAISS IVF-PQ's compression half): corpus-wide scoring
+    reads 16 one-byte codes per vector instead of 256 bytes of floats,
+    then the exact kernel re-scores only the k·rerank shortlist.
+    Rows-only driver check; zero-quantization-error golden, recall
+    (≥0.9 on noise embeddings) and determinism pinned in
+    tests/test_similarity.py."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    out = S.knn_pq(
+        queries, emb, k=_K, n_subspaces=16, n_codes=16, rerank=4,
+        fit_sample=0.25,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine_sim", F.col("rank").alias("knn_rank")
+    )

@@ -33,6 +33,9 @@ ALLOW: dict[str, dict[str, str]] = {
     # 1-row scalar-aggregate sides: a cross join against a single-row
     # aggregate is the standard decorrelated-scalar-subquery shape.
     "tfidf_top_terms": {"BroadcastNestedLoopJoin": "1-row n_docs aggregate"},
+    "unigram_logprob_quality": {
+        "BroadcastNestedLoopJoin": "1-row corpus-total aggregate × vocab table"
+    },
     "triangle_count": {"BroadcastNestedLoopJoin": "three 1-row aggregates composed"},
     "q6_forecast_revenue": {"BroadcastNestedLoopJoin": "1-row scalar aggregate"},
     "q11_important_stock": {"BroadcastNestedLoopJoin": "1-row threshold aggregate"},
