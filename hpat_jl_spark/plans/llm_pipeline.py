@@ -713,3 +713,54 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("tok_nll"), 5).alias("avg_nll"),
         )
     )
+
+
+_cms_oracle = """
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), freq AS (
+  SELECT token, count(*)::BIGINT AS true_count FROM tok GROUP BY token
+)
+SELECT token, true_count, true_count AS est_count
+FROM freq ORDER BY true_count DESC, token LIMIT 10
+"""
+
+
+@register("cms_heavy_hitters", oracle=_cms_oracle, tags=("text", "sketch"))
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch point estimates next to exact counts for the
+    top-10 corpus tokens (functions/sketches.py). The sketch answers
+    "how often does X occur" with O(depth×width) state regardless of
+    key cardinality — the building block when the VOCABULARY is the
+    scale problem (URL/user-agent/n-gram counting at 100 TB, where the
+    exact hash-agg's keyspace itself no longer fits).
+
+    The oracle emits the exact count for both columns: at width 1024
+    the fixture vocabulary (31 tokens at every SF) is verifiably
+    collision-free, so est_count == true_count deterministically
+    (xxhash64 is seeded and fixed). The sketch's one-sided error under
+    FORCED collisions (width 2) is pinned in tests/test_sketches.py —
+    this query pins the exact-regime behavior and the end-to-end plan
+    shape: build = one explode(depth)×hash-agg pass with map-side
+    combine (each partition ships ≤ d·w cells — the merge IS partial
+    aggregation); probe = broadcast join of the d·w-row sketch."""
+    from hpat_jl_spark.functions import sketches as SK
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+    sketch = SK.cms_build(tok, "token", depth=4, width=1024)
+    exact = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+        .orderBy(F.desc("true_count"), "token")
+        .limit(10)
+    )
+    est = SK.cms_estimate(
+        sketch, exact.select("token"), "token", depth=4, width=1024
+    )
+    return (
+        exact.join(est, "token")
+        .select("token", "true_count", "est_count")
+        .orderBy(F.desc("true_count"), "token")
+    )
