@@ -764,3 +764,72 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "true_count", "est_count")
         .orderBy(F.desc("true_count"), "token")
     )
+
+
+_c4_oracle = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), lines AS (
+  SELECT doc_id, i, t[(7*i+1):(7*i+7)] AS larr,
+         array_to_string(t[(7*i+1):(7*i+7)], ' ')
+           || CASE WHEN i % 3 = 0 THEN '.' ELSE '' END AS line
+  FROM toks,
+       unnest(generate_series(0, CAST(ceil(len(t) / 7.0) AS BIGINT) - 1)) s(i)
+), flag AS (
+  SELECT doc_id, i, line,
+         (i % 3 = 0 AND len(larr) >= 5
+          AND NOT list_contains(larr, 'slow')) AS keep
+  FROM lines
+)
+SELECT doc_id, count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY i),
+                    '')) AS cleaned_md5
+FROM flag GROUP BY doc_id
+"""
+
+
+@register("c4_line_filter", oracle=_c4_oracle, tags=("text",))
+def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep
+    only lines that end in terminal punctuation, have ≥5 words, and
+    contain no blocked word; report per-doc line counts and an md5 of
+    the cleaned text. The fixture docs are single-line word soup, so
+    the query deterministically re-lines them (7-token lines, every
+    3rd line gets a terminal '.') the same way pii_scrub injects PII —
+    the oracle replays the injection, so the hash check pins the real
+    filter mechanics. 'slow' stands in for the blocklist term.
+
+    Plan: entirely row-local — tokenize, slice into line arrays,
+    flag, and re-join WITHIN one projection via higher-order array
+    functions (transform/filter over a per-doc index sequence). No
+    explode, no shuffle, no Python: a pure map over the corpus, which
+    is exactly what a 100 TB line-cleaning pass must be. Output hashes
+    (md5 of the kept text) keep driver/compare traffic tiny."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.split(F.trim("text"), r"\s+")
+    n_lines = F.ceil(F.size(t) / 7.0).cast("int")
+
+    def line_struct(i):
+        larr = F.slice(t, i * 7 + 1, 7)
+        line = F.concat(
+            F.array_join(larr, " "),
+            F.when(i % 3 == 0, F.lit(".")).otherwise(F.lit("")),
+        )
+        keep = (
+            (i % 3 == 0)
+            & (F.size(larr) >= 5)
+            & ~F.array_contains(larr, "slow")
+        )
+        return F.struct(line.alias("line"), keep.alias("keep"))
+
+    lines = F.transform(F.sequence(F.lit(0), n_lines - 1), line_struct)
+    kept = F.filter(lines, lambda s: s["keep"])
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.md5(
+            F.array_join(F.transform(kept, lambda s: s["line"]), "\n")
+        ).alias("cleaned_md5"),
+    )

@@ -353,3 +353,44 @@ def test_unigram_surprisal_fixture_bounds(spark):
     for r in rows:
         assert r.n_tokens >= 1
         assert r.avg_nll > 0  # -ln p is positive for p < 1
+
+
+def test_c4_line_filter_rules_planted(spark):
+    """Each C4 rule triggers independently on constructed docs (kernel
+    replicated on explicit rows; 7-token lines, '.' on every 3rd):
+    doc 1 line0 keeps (7 words, punct, clean); doc 2 line0 has the
+    blocked word; doc 3 is 4 tokens (short line)."""
+    rows = [
+        (1, "w1 w2 w3 w4 w5 w6 w7 x1 x2 x3 x4 x5 x6 x7"),  # 2 lines, i=1 unpunct
+        (2, "slow w2 w3 w4 w5 w6 w7"),                      # blocked word
+        (3, "w1 w2 w3 w4"),                                 # short line
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    t = F.split(F.trim("text"), r"\s+")
+    n_lines = F.ceil(F.size(t) / 7.0).cast("int")
+
+    def line_struct(i):
+        larr = F.slice(t, i * 7 + 1, 7)
+        line = F.concat(
+            F.array_join(larr, " "),
+            F.when(i % 3 == 0, F.lit(".")).otherwise(F.lit("")),
+        )
+        keep = (
+            (i % 3 == 0) & (F.size(larr) >= 5) & ~F.array_contains(larr, "slow")
+        )
+        return F.struct(line.alias("line"), keep.alias("keep"))
+
+    lines = F.transform(F.sequence(F.lit(0), n_lines - 1), line_struct)
+    kept = F.filter(lines, lambda s: s["keep"])
+    out = {
+        r.doc_id: (r.n_lines, r.n_kept, r.kept_lines)
+        for r in docs.select(
+            "doc_id",
+            F.size(lines).cast("bigint").alias("n_lines"),
+            F.size(kept).cast("bigint").alias("n_kept"),
+            F.transform(kept, lambda s: s["line"]).alias("kept_lines"),
+        ).collect()
+    }
+    assert out[1] == (2, 1, ["w1 w2 w3 w4 w5 w6 w7."])  # line 1 lacks punct
+    assert out[2] == (1, 0, [])  # blocklist hit
+    assert out[3] == (1, 0, [])  # under 5 words
