@@ -460,3 +460,61 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(b, F.col("c.seg").eqNullSafe(F.col("b.seg"))).select(
         F.col("c.seg").alias("seg"), "n_customers", "avg_balance"
     )
+
+
+_incremental_oracle = """
+SELECT event_type, ts::DATE AS day,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS sum_value,
+       round(sum(value) / count(*), 4) AS avg_value
+FROM events
+GROUP BY event_type, day
+"""
+
+
+@register("incremental_daily_counts", oracle=_incremental_oracle, tags=("relational",))
+def incremental_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a daily-rollup snapshot is merged
+    with a new-data delta WITHOUT rescanning history — the pattern
+    every warehouse ingestion job at 100 TB relies on (recompute only
+    the delta, merge algebraically). The plan aggregates the two eras
+    SEPARATELY (history = days before 2024-01-16, delta = the rest),
+    unions the partial states, and re-aggregates — while the oracle is
+    a plain one-pass GROUP BY over everything. The hash match IS the
+    merge-associativity proof: merge(agg(A), agg(B)) == agg(A ∪ B).
+
+    Only algebraic aggregates decompose this way — count and sum merge
+    by summing; avg must be DERIVED from merged sum/count (merging
+    avgs directly is wrong under unequal group sizes, pinned in
+    tests/test_incremental.py). Each era's aggregate is partial+final
+    with map-side combine; the merge union shuffles only
+    |groups| × 2 rows, not events. In production the history side is a
+    stored snapshot, so the scan cost is delta-only; here both eras
+    derive from the fixture so the driver can check the algebra."""
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "day", F.to_date("ts")
+    )
+    split = F.lit("2024-01-16").cast("date")
+
+    def snap(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+
+    merged = (
+        snap(ev.filter(F.col("day") < split))
+        .unionByName(snap(ev.filter(F.col("day") >= split)))
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round(F.col("sum_value") / F.col("n_events"), 4).alias("avg_value"),
+    )
