@@ -321,3 +321,38 @@ def map_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent.select(
         "user_id", F.explode("frequent").alias("event_type", "n")
     )
+
+
+@register(
+    "approx_percentiles_sketch",
+    oracle="""
+SELECT o_orderstatus,
+       round(quantile_disc(o_totalprice, 0.25), 2) AS p25,
+       round(quantile_disc(o_totalprice, 0.50), 2) AS p50,
+       round(quantile_disc(o_totalprice, 0.95), 2) AS p95
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("scalar", "sketch"),
+)
+def approx_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles: percentile_approx (Greenwald-Khanna)
+    against DuckDB's quantile_disc — BOTH select discrete order
+    statistics, and below the sketch's compression threshold GK is
+    exact, so the hash check pins the sketch in its exact regime
+    (verified identical through sf0.1). This is the 100 TB quantile
+    path percentiles_exact's docstring points to: the sketch is
+    mergeable (partial+final agg, no per-group sort), holding
+    O(accuracy) state per group instead of the group itself. At real
+    scale you dial ``accuracy`` DOWN and accept the ε·n = n/accuracy
+    rank-error contract — that approximate regime is pinned separately
+    in tests/test_plans.py::test_approx_percentile_rank_error_bound."""
+    orders = load_table(spark, "orders", sf_dir)
+    pcts = F.percentile_approx(
+        "o_totalprice", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.95)), 1_000_000
+    )
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.element_at(pcts, 1), 2).alias("p25"),
+        F.round(F.element_at(pcts, 2), 2).alias("p50"),
+        F.round(F.element_at(pcts, 3), 2).alias("p95"),
+    )

@@ -99,3 +99,20 @@ def test_approx_percentile_tracks_exact(spark):
     ).collect()[0]
     for e, a in zip(row.exact, row.approx):
         assert abs(a - e) / e < 0.01, (e, a)
+
+
+def test_approx_percentile_rank_error_bound(spark):
+    """The approximate regime of approx_percentiles_sketch: at low
+    accuracy the GK sketch guarantees rank error ≤ n/accuracy. 10k
+    distinct values, accuracy 100 → returned element's true rank must
+    be within n/100 = 100 (+1 slack) of the target rank."""
+    from pyspark.sql import functions as F
+
+    n, accuracy = 10_000, 100
+    df = spark.range(n).select((F.col("id") * 7 % n).cast("double").alias("v"))
+    [r] = df.agg(
+        F.percentile_approx("v", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.9)), accuracy).alias("q")
+    ).collect()
+    for p, got in zip([0.25, 0.5, 0.9], r.q):
+        true_rank = int(got)  # values are exactly 0..n-1, value == rank
+        assert abs(true_rank - p * (n - 1)) <= n / accuracy + 1, (p, got)
