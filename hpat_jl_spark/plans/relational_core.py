@@ -466,7 +466,7 @@ _incremental_oracle = """
 SELECT event_type, ts::DATE AS day,
        count(*)::BIGINT AS n_events,
        round(sum(value), 2) AS sum_value,
-       round(sum(value) / count(*), 4) AS avg_value
+       floor(sum(value) / count(*) * 10000) / 10000 AS avg_value
 FROM events
 GROUP BY event_type, day
 """
@@ -516,5 +516,10 @@ def incremental_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "n_events",
         F.round("sum_value", 2).alias("sum_value"),
-        F.round(F.col("sum_value") / F.col("n_events"), 4).alias("avg_value"),
+        # floor-quantize, not round: count is often a power of two, so the
+        # quotient lands EXACTLY on .5 decimal boundaries where Spark
+        # (BigDecimal HALF_UP) and DuckDB (mul-round-div) disagree.
+        (F.floor(F.col("sum_value") / F.col("n_events") * 1e4) / 1e4).alias(
+            "avg_value"
+        ),
     )
