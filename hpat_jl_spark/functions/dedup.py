@@ -446,3 +446,32 @@ def prefix_filter_jaccard(
     return cand.select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+
+
+def keep_first_paragraphs(
+    paras: DataFrame,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    text_col: str = "para",
+) -> DataFrame:
+    """Corpus-wide keep-first paragraph dedup (the Dolma/RefinedWeb
+    exact-paragraph pass): every occurrence of a paragraph except the
+    globally first one — ordered by (doc id, position) — is dropped.
+
+    One aggregation, zero joins: group by the paragraph fingerprint and
+    take ``min(struct(id, pos, text))``. min over a struct is an
+    algebraic aggregate, so Spark plans it partial+final: the map side
+    collapses every local repeat of a boilerplate paragraph before the
+    shuffle, which is exactly what makes the heavy-hitter key (the one
+    paragraph that appears in half the corpus) survivable — the reducer
+    for that fingerprint sees one candidate row per input partition,
+    not one per occurrence. Reference analogue: the groupby/unique
+    surface (SURVEY §2.4) composed into a cleaning pass the reference
+    never shipped.
+    """
+    first = F.min(F.struct(id_col, pos_col, text_col)).alias("first")
+    return (
+        paras.groupBy(F.md5(F.col(text_col)).alias("fp"))
+        .agg(first)
+        .select(f"first.{id_col}", f"first.{pos_col}", f"first.{text_col}")
+    )

@@ -833,3 +833,79 @@ def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.transform(kept, lambda s: s["line"]), "\n")
         ).alias("cleaned_md5"),
     )
+
+
+_BOILERPLATE = (
+    "subscribe to our newsletter for the latest updates and exclusive offers today"
+)
+
+_paragraph_dedup_oracle = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), paras AS (
+  SELECT doc_id, i AS pos,
+         CASE WHEN i % 4 = 0 THEN '{_BOILERPLATE}'
+              ELSE array_to_string(t[(12*i+1):(12*i+12)], ' ') END AS para
+  FROM toks,
+       unnest(generate_series(0, CAST(ceil(len(t) / 12.0) AS BIGINT) - 1)) s(i)
+), firsts AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+  FROM paras
+)
+SELECT doc_id, count(*)::BIGINT AS n_kept,
+       md5(string_agg(para, chr(10) || chr(10) ORDER BY pos)) AS kept_md5
+FROM firsts WHERE rn = 1
+GROUP BY doc_id
+"""
+
+
+@register("paragraph_dedup", oracle=_paragraph_dedup_oracle, tags=("text",))
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact-paragraph dedup, keep-first (the Dolma /
+    RefinedWeb paragraph pass): a paragraph occurrence survives only if
+    it is the globally first occurrence of that exact text, ordered by
+    (doc_id, position); every later copy — in the same doc or any other
+    — is dropped, and docs are reassembled from what remains.
+
+    The fixture docs are single-line word soup, so the query
+    deterministically re-paragraphs them (12-token paragraphs) and
+    plants the duplication signal the same way pii_scrub injects PII:
+    every 4th paragraph is a constant boilerplate sentence, so a
+    corpus-spanning heavy-hitter paragraph provably exists and only its
+    (min doc_id, min pos) copy may survive. The oracle replays the
+    injection, so the hash check pins keep-first semantics end to end.
+
+    Plan (functions/dedup.keep_first_paragraphs): paragraphs are built
+    row-locally (transform over an index sequence — no explode until
+    the dedup needs rows), then ONE fingerprint hash-agg with
+    min(struct(doc_id,pos,para)) — partial+final, so the boilerplate
+    key collapses map-side and the skewed fingerprint never floods a
+    reducer — then one doc_id agg to reassemble. Two shuffles, zero
+    joins, zero Python; shuffle rows carry (fp, one candidate struct),
+    not every occurrence."""
+    from hpat_jl_spark.functions.dedup import keep_first_paragraphs
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.split(F.trim("text"), r"\s+")
+    n_paras = F.ceil(F.size(t) / 12.0).cast("int")
+
+    def para(i):
+        return F.when(i % 4 == 0, F.lit(_BOILERPLATE)).otherwise(
+            F.array_join(F.slice(t, i * 12 + 1, 12), " ")
+        )
+
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(F.transform(F.sequence(F.lit(0), n_paras - 1), para)).alias(
+            "pos", "para"
+        ),
+    )
+    kept = keep_first_paragraphs(paras)
+    ordered = F.sort_array(F.collect_list(F.struct("pos", "para")))
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.md5(
+            F.array_join(F.transform(ordered, lambda s: s["para"]), "\n\n")
+        ).alias("kept_md5"),
+    )

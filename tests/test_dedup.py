@@ -145,3 +145,19 @@ def test_prefix_filter_exactness(spark, planted):
             if round(j, 4) >= 0.4:
                 want[(a, b)] = round(j, 4)
     assert got == want and want  # non-empty: planted dups must appear
+
+
+def test_keep_first_paragraphs_planted(spark):
+    """Keep-first semantics: only the globally (doc_id, pos)-first
+    occurrence of each paragraph survives, across AND within docs."""
+    rows = [
+        (1, 0, "X"), (1, 1, "Y"),
+        (2, 0, "X"), (2, 1, "Z"),
+        (3, 0, "Y"), (3, 1, "Q"), (3, 2, "X"), (3, 3, "Q"),
+    ]
+    paras = spark.createDataFrame(rows, "doc_id long, pos long, para string")
+    kept = {
+        (r.doc_id, r.pos, r.para)
+        for r in D.keep_first_paragraphs(paras).collect()
+    }
+    assert kept == {(1, 0, "X"), (1, 1, "Y"), (2, 1, "Z"), (3, 1, "Q")}
