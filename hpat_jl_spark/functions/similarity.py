@@ -762,3 +762,46 @@ def knn_pq(
     return knn_bruteforce(
         queries, cand_short, k=k, id_col=id_col, vec_col=vec_col
     )
+
+
+def zscore_normalize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension z-score normalization of a fixed-dim vector column
+    (the feature-scaling pass run before training / before distance
+    computations that assume isotropic features).
+
+    Scale shape: posexplode → per-dimension partial+final avg/stddev
+    (shuffle carries d rows per map partition after combine, never the
+    vectors), collapse the d-row stats table into ONE row of
+    dimension-ordered arrays, and broadcast that single row back — the
+    normalization itself is then a row-local double ``zip_with``, so
+    the corpus is rewritten in one map pass with no second shuffle and
+    no Python. Zero-variance dimensions normalize to 0.0 (guarded, not
+    NaN — same convention as `_unit_rows`).
+    """
+    ex = df.select(F.posexplode(vec_col).alias("pos", "val")).withColumn(
+        "val", F.col("val").cast("double")
+    )
+    stats = ex.groupBy("pos").agg(
+        F.avg("val").alias("m"), F.stddev_pop("val").alias("s")
+    )
+    one = stats.groupBy().agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda t: t["m"]
+        ).alias("_means"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "s"))), lambda t: t["s"]
+        ).alias("_stds"),
+    )
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), F.col("_means"), lambda x, m: x - m
+    )
+    z = F.zip_with(
+        centered,
+        F.col("_stds"),
+        lambda c, s: F.when(s == 0, F.lit(0.0)).otherwise(c / s),
+    )
+    return (
+        df.join(F.broadcast(one))
+        .withColumn(vec_col, z)
+        .drop("_means", "_stds")
+    )

@@ -199,3 +199,60 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "cosine_sim", F.col("rank").alias("knn_rank")
     )
+
+
+_scale_report_oracle = """
+WITH ex AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS val,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings),
+st AS (SELECT dim, avg(val) AS m, stddev_pop(val) AS s,
+              count(*) AS n FROM ex GROUP BY 1)
+SELECT st.dim::BIGINT AS dim,
+       round(st.m, 6) AS dim_mean,
+       round(st.s, 6) AS dim_std,
+       sum(CASE WHEN abs((ex.val - st.m) / st.s) > 3 THEN 1 ELSE 0 END)::BIGINT
+         AS n_outliers
+FROM ex JOIN st USING (dim)
+GROUP BY st.dim, st.m, st.s
+"""
+
+
+@register("embedding_scale_report", oracle=_scale_report_oracle, tags=("similarity",))
+def embedding_scale_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature-scaling report (mean, population std,
+    |z|>3 outlier count) — the screening pass that decides whether an
+    embedding corpus needs normalization before training, and the
+    oracle twin of functions/similarity.zscore_normalize (which rewrites
+    the vectors with the same stats via a broadcast one-row zip_with).
+
+    Scale shape: posexplode to (dim, val) — narrow rows — then ONE
+    per-dim partial+final aggregate (shuffle = d rows per map partition
+    after combine); the outlier pass re-scans and joins the d-row stats
+    table back by broadcast, so nothing but the tiny stats table ever
+    moves. At 100 TB both passes are map-side scans; no vector is ever
+    collected."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    ex = emb.select(F.posexplode("embedding").alias("dim", "val")).withColumn(
+        "val", F.col("val").cast("double")
+    )
+    st = ex.groupBy("dim").agg(
+        F.avg("val").alias("m"), F.stddev_pop("val").alias("s")
+    )
+    return (
+        ex.join(F.broadcast(st), "dim")
+        .groupBy("dim", "m", "s")
+        .agg(
+            F.sum(
+                (F.abs((F.col("val") - F.col("m")) / F.col("s")) > 3).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            F.round("m", 6).alias("dim_mean"),
+            F.round("s", 6).alias("dim_std"),
+            "n_outliers",
+        )
+    )

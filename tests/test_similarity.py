@@ -281,3 +281,23 @@ def test_pq_codes_are_m_small_ints(spark):
     for r in codes[:20]:
         assert len(r.codes) == 16
         assert all(0 <= c < 16 for c in r.codes)
+
+
+def test_zscore_normalize_stats_and_zero_variance(spark):
+    """Normalized dims have mean 0 / std 1; constant dims map to 0.0
+    (guarded, not NaN); row identity is preserved."""
+    rows = [(i, [float(i), 2.0 * i + 1.0, 7.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.embedding for r in S.zscore_normalize(df).collect()}
+    assert set(out) == set(range(8))
+    d = len(rows[0][1])
+    n = len(rows)
+    for dim in range(d):
+        vals = [out[i][dim] for i in range(8)]
+        mean = sum(vals) / n
+        var = sum((v - mean) ** 2 for v in vals) / n
+        assert abs(mean) < 1e-9
+        if dim == 2:
+            assert vals == [0.0] * n  # zero-variance guard
+        else:
+            assert abs(var - 1.0) < 1e-9
