@@ -148,6 +148,7 @@ def load_all_plans() -> None:
     import hpat_jl_spark.plans.scalar_surface  # noqa: F401
     import hpat_jl_spark.plans.llm_pipeline  # noqa: F401
     import hpat_jl_spark.plans.graph  # noqa: F401
+    import hpat_jl_spark.plans.streaming  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:
