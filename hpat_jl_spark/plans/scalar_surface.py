@@ -356,3 +356,56 @@ def approx_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(pcts, 2), 2).alias("p50"),
         F.round(F.element_at(pcts, 3), 2).alias("p95"),
     )
+
+
+_equidepth_oracle = """
+WITH b AS (
+  SELECT quantile_disc(o_totalprice,
+           [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bnds
+  FROM orders),
+a AS (
+  SELECT len(list_filter(b.bnds, x -> o_totalprice > x)) + 1 AS bucket,
+         o_totalprice
+  FROM orders, b)
+SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_rows,
+       round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+FROM a GROUP BY bucket
+"""
+
+
+@register("equidepth_binning", oracle=_equidepth_oracle, tags=("scalar", "sketch"))
+def equidepth_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) feature binning — the discretization pass
+    feature pipelines run before building histograms/crossings: split a
+    numeric column into 8 buckets holding ~n/8 rows each, report each
+    bucket's population and [lo, hi] span.
+
+    Scale shape: the OBVIOUS formulation — ntile(8) over a global
+    ORDER BY — is a single-partition total sort, the one shape that
+    cannot survive 100 TB (rejected; supplier_revenue_quartiles only
+    gets away with an unpartitioned window because it feeds
+    pre-aggregated rows). Instead: pass 1 computes the 7 inner octile
+    boundaries with the mergeable GK sketch (partial+final agg, exact
+    in this accuracy regime — same contract as
+    approx_percentiles_sketch); pass 2 broadcasts that single 7-float
+    row and assigns buckets ROW-LOCALLY (count of boundaries below the
+    value, a codegen'd higher-order filter), then one hash agg. Two
+    scans, zero sorts, zero Python; ties on a boundary go to the lower
+    bucket on both engines by the shared `value > boundary` rule."""
+    orders = load_table(spark, "orders", sf_dir)
+    qs = F.array(*[F.lit(i / 8.0) for i in range(1, 8)])
+    bnds = orders.agg(
+        F.percentile_approx("o_totalprice", qs, 1_000_000).alias("bnds")
+    )
+    price = F.col("o_totalprice")
+    bucket = F.size(F.filter("bnds", lambda x: price > x)) + 1
+    return (
+        orders.join(F.broadcast(bnds))
+        .select(bucket.cast("bigint").alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
