@@ -70,13 +70,24 @@ def main() -> None:
 
     # warmup: session + codegen + parquet footer reads
     spark.range(1000).selectExpr("sum(id)").collect()
-    qs["filter_select"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    try:
+        qs["filter_select"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception as exc:
+        print(f"# warmup failed (continuing): {exc}", file=sys.stderr)
 
+    # Per-query isolation: one broken query must never zero the round's
+    # perf evidence (VERDICT r02 — the whole bench died at query 11/26).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
@@ -94,7 +105,11 @@ def main() -> None:
             if sql is None:
                 continue
             t0 = time.perf_counter()
-            con.execute(sql).fetchall()
+            try:
+                con.execute(sql).fetchall()
+            except Exception as exc:
+                print(f"# duckdb {name}: ERROR {exc}", file=sys.stderr)
+                continue
             duck[name] = round(time.perf_counter() - t0, 3)
             print(f"# duckdb {name}: {duck[name]}s", file=sys.stderr)
     except Exception as exc:  # bench must still emit its line
@@ -108,6 +123,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    if errors:
+        out["errors"] = errors
     if duck:
         out["duckdb"] = duck
         out["duckdb_total"] = round(sum(duck.values()), 3)

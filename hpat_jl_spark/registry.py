@@ -42,82 +42,61 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # Driver-gate ordering. The correctness driver consumes ``queries()`` in
-# dict order and (in round 1) only recorded rows for the first 50 entries,
-# leaving 59 registered queries verified only by the judge's local sweep.
+# dict order and records rows for roughly the first 50 entries per round.
 # Names listed here are emitted FIRST (in this order); everything else
-# follows in registration order. Round 2 policy: every query that has no
-# CORRECTNESS_r01 row goes first — oracle-checked ones ahead of rows-only
-# ones (the rows-only check is weaker, so missing the window costs less) —
-# so the union of r01+r02 driver rows covers the whole registry.
+# follows in registration order. Round 3 policy (VERDICT r02 #3): the four
+# queries broken by the µs-fixture regeneration lead (re-verification of
+# the fix), then every query with no CORRECTNESS_r01/r02 driver row —
+# oracle-checked ahead of rows-only (the rows-only check is weaker, so
+# missing the window costs less) — so r01∪r02∪r03 covers all 142.
 # Names not (yet) registered are skipped, so new plans can be pre-listed.
 DRIVER_PRIORITY: list[str] = [
-    # VERDICT r01 called these out by name as the load-bearing unchecked set.
+    # Fixed this round: µs/TIMESTAMP_NTZ fixture breakage (VERDICT r02 #1).
     "asof_join_views",
-    "dedup_exact",
-    "knn_bruteforce",
-    "session_overlap_pairs",
-    "sql_nation_revenue",
-    "udaf_mad",
-    "prefix_filter_similarity",
-    # New this round (VERDICT next-round items 4/5/7).
-    "ml_logreg_purchase",
-    "ml_naive_bayes_lang",
-    "salted_skew_join",
-    "checkpointed_pagerank",
-    "repetition_quality",
-    "top_ngram_fraction",
-    # Remaining oracle-checked queries with no r01 driver row.
-    "multi_key_join",
-    "token_count_bpe",
-    "rolling_fingerprint",
-    "corpus_clean_pipeline",
-    "ngram_jaccard",
-    "train_test_split",
-    "document_chunks",
-    "deterministic_sample_per_source",
-    "embedding_neardup",
-    "embedding_centroids",
-    "pivot_status",
-    "rollup_sales",
-    "cube_sales",
-    "collect_sorted_list",
-    "grouping_sets_sales",
     "range_frame_window",
-    "math_surface",
-    "unpivot_metrics",
-    "order_price_histogram",
-    "salted_skew_aggregate",
-    "scd2_customer_segments",
-    "profile_numeric_columns",
-    "daily_anomalies",
-    "ml_linreg_price",
-    "q03_views_before_purchase",
-    "range_join_balance",
-    "funnel_conversion",
-    "weekly_retention",
-    "resample_daily_ffill",
-    "ewma_daily_value",
-    "timeseries_similarity",
-    "string_surface",
-    "date_surface",
-    "json_extract",
-    "conditional_exprs",
-    "stats_aggregates",
-    "percentiles_exact",
+    "sessionize_events",
+    "stream_tumbling_counts",
+    # Oracle-checked queries with no r01/r02 driver row.
+    "latest_record_compaction",
+    "null_safe_join",
+    "incremental_daily_counts",
+    "embedding_scale_report",
+    "activity_streaks",
     "explode_tokens",
     "json_struct_agg",
     "map_functions_surface",
-    # Rows-only queries with no r01 driver row (weaker check; tail of the
-    # window). The most design-critical three lead.
+    "approx_percentiles_sketch",
+    "equidepth_binning",
+    "benchmark_decontaminate",
+    "pii_scrub",
+    "heavy_hitters",
+    "tfidf_top_terms",
+    "inverted_index",
+    "tokenize_to_ids",
+    "sequence_packing",
+    "domain_mix_report",
+    "corpus_prep_pipeline",
+    "fuzzy_name_pairs",
+    "weighted_sample_docs",
+    "unigram_logprob_quality",
+    "cms_heavy_hitters",
+    "c4_line_filter",
+    "paragraph_dedup",
+    "triangle_count",
+    "clustering_coefficient",
+    "link_prediction_customers",
+    # Rows-only queries with no r01/r02 driver row (weaker check; tail of
+    # the window). The most design-critical lead.
     "dedup_minhash",
-    "knn_ivf",
-    "pagerank_trade_graph",
     "dedup_simhash",
+    "knn_ivf",
+    "knn_pq",
+    "knn_lsh",
     "dedup_cluster",
     "quality_model_filter",
-    "knn_lsh",
     "approx_distinct",
     "stratified_sample_sources",
+    "pagerank_trade_graph",
     "ml_kmeans_clusters",
     "multimodal_features",
     "monte_carlo_pi",

@@ -12,18 +12,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events schema as the STREAM sees it (ts arrives as raw ns long from
-# the driver fixtures — converted on read, mirroring tables.load_table)
-_EVENTS_RAW = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def stream_events(
@@ -33,10 +32,29 @@ def stream_events(
 
     ``events_dir`` is a directory containing events parquet part-files
     (tests stage the fixture file into a tmp dir — the file source
-    watches directories, not single files)."""
+    watches directories, not single files).
+
+    Streaming reads don't infer, so the declared schema must match the
+    physical encoding — and the driver fixtures have shipped `ts` as BOTH
+    raw ns-int64 and timestamp[us] (TIMESTAMP_NTZ) across regenerations.
+    Declaring the wrong one is not an error but a silent 1000x timestamp
+    shrink (the round-2 `stream_tumbling_counts` wrong-answer). So the
+    encoding is PROBED from the parquet footers with a one-off batch read
+    (driver-side, metadata only) and the declared schema + normalization
+    branch follow the probe, mirroring tables.load_table:
+      long → timestamp_micros(ts div 1000); NTZ → cast (UTC session tz);
+      TIMESTAMP → passthrough.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(_EVENTS_RAW).format("parquet")
+    probed = spark.read.parquet(events_dir).schema["ts"].dataType
+    reader = spark.readStream.schema(_events_schema(probed)).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.load(events_dir)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(probed, T.LongType):
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(probed, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    if isinstance(probed, T.TimestampType):
+        return raw
+    raise TypeError(f"events.ts: unsupported parquet encoding {probed.simpleString()}")

@@ -143,10 +143,22 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     pushes predicates into the reader, so callers should NOT pre-select —
     express the full query and let the optimizer cut the scan.
 
-    Nanosecond parquet timestamps (events.ts) aren't representable in
-    Spark's microsecond TimestampType; they're read as raw nanos
-    (legacy.parquet.nanosAsLong) and converted — truncation to micros
-    matches DuckDB/pandas semantics.
+    The fixture encoding has changed between driver generations (ns-int64,
+    then timestamp[us] which Spark 4 reads as TIMESTAMP_NTZ under
+    inferTimestampNTZ), so every timestamp encoding the driver has ever
+    emitted is normalized here to the declared TimestampType:
+
+    - raw ns-int64 → read as long (legacy.parquet.nanosAsLong), integer
+      div to micros (ns epoch exceeds double's 2^53 precision; truncation
+      matches DuckDB/pandas), timestamp_micros.
+    - TIMESTAMP_NTZ (timestamp[us] parquet) → cast to TIMESTAMP. The
+      session timezone is pinned UTC (session.py), so wall-clock == epoch
+      and the cast is value-preserving.
+
+    Any OTHER divergence from the declared schema raises immediately —
+    the reference treats a schema mismatch as an error at declaration
+    time (reference src/capture-api.jl:628-631), and a loud failure here
+    beats a silent wrong answer three operators downstream.
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(SCHEMAS)}")
@@ -154,13 +166,32 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     df = spark.read.parquet(table_path(sf_dir, name))
     declared = SCHEMAS[name]
     for field in declared.fields:
+        if field.name not in df.columns:
+            raise TypeError(
+                f"table {name!r}: declared column {field.name!r} missing from "
+                f"parquet (has {df.columns})"
+            )
         actual = df.schema[field.name].dataType
-        if isinstance(field.dataType, T.TimestampType) and isinstance(
-            actual, T.LongType
-        ):
-            # integer div — ns epoch exceeds double's 2^53 precision
-            df = df.withColumn(
-                field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
+        if isinstance(field.dataType, T.TimestampType):
+            if isinstance(actual, T.LongType):
+                # integer div — ns epoch exceeds double's 2^53 precision
+                df = df.withColumn(
+                    field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
+                )
+            elif isinstance(actual, T.TimestampNTZType):
+                # µs parquet read as NTZ; session tz is UTC so this cast
+                # reinterprets the same micros value losslessly.
+                df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+            elif not isinstance(actual, T.TimestampType):
+                raise TypeError(
+                    f"table {name!r}: column {field.name!r} declared TIMESTAMP "
+                    f"but parquet holds {actual.simpleString()}"
+                )
+        elif actual != field.dataType:
+            raise TypeError(
+                f"table {name!r}: column {field.name!r} declared "
+                f"{field.dataType.simpleString()} but parquet holds "
+                f"{actual.simpleString()}"
             )
     return df
 

@@ -53,6 +53,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "resample_daily_ffill": {
         "BroadcastNestedLoopJoin": "date-grid × keys; output-linear by construction"
     },
+    "equidepth_binning": {
+        "BroadcastNestedLoopJoin": "1-row sketch-boundaries aggregate broadcast"
+    },
 }
 
 BAD = ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"]
