@@ -74,17 +74,60 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_fake_payload(docs))
 
 
-@register("ml_logreg_purchase", oracle=None, tags=("ml",))
+# The logistic MLE is unique (strictly concave log-likelihood absent
+# perfect separation), so ANY convergent optimizer lands on the same
+# coefficients: the twin runs 25 Newton-Raphson steps (2x2 Hessian solved
+# in closed form) as a DuckDB recursive CTE, vs Spark ML's L-BFGS. Both
+# converge far tighter than the 3dp rounding, so the rounded outputs are
+# engine-independent. Newton from (0,0) converges quadratically; 25 steps
+# is ~3x the need.
+_logreg_oracle = """
+WITH RECURSIVE
+pts AS (
+  SELECT value AS x,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+  FROM events
+),
+fit(iter, b0, b1) AS (
+  SELECT 0, 0.0::DOUBLE, 0.0::DOUBLE
+  UNION ALL
+  SELECT iter + 1,
+         b0 - ( sxx * g0 - sx * g1) / (s * sxx - sx * sx),
+         b1 - (-sx  * g0 + s  * g1) / (s * sxx - sx * sx)
+  FROM (
+    SELECT f.iter, f.b0, f.b1,
+           sum(p.p - p.y)           AS g0,
+           sum((p.p - p.y) * p.x)   AS g1,
+           sum(p.w)                 AS s,
+           sum(p.w * p.x)           AS sx,
+           sum(p.w * p.x * p.x)     AS sxx
+    FROM fit f, LATERAL (
+      SELECT x, y,
+             1.0 / (1.0 + exp(-(f.b0 + f.b1 * x))) AS p,
+             (1.0 / (1.0 + exp(-(f.b0 + f.b1 * x))))
+               * (1.0 - 1.0 / (1.0 + exp(-(f.b0 + f.b1 * x)))) AS w
+      FROM pts
+    ) p
+    WHERE f.iter < 25
+    GROUP BY f.iter, f.b0, f.b1
+  )
+)
+SELECT round(b1, 3) AS coef_value, round(b0, 3) AS intercept
+FROM fit WHERE iter = 25
+"""
+
+
+@register("ml_logreg_purchase", oracle=_logreg_oracle, tags=("ml",))
 def ml_logreg_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Logistic regression — the reference's flagship hand-written
     example (reference README.md:46-87, examples/logistic_regression.jl:
     per-iteration gemm + allreduce) as a registered query: P(purchase)
     from the event's value over the events table, fit with pyspark.ml
-    L-BFGS (distributed gradient = the allreduce). Rows-only: no SQL
-    twin for the iterative fit; linear-separation recovery is pinned by
-    tests/test_ml.py::test_logistic_regression_separates. Output is the
-    1-row (coef, intercept) rounded to 3dp — deterministic on fixed
-    input/partitioning (verified by scripts/determinism_sweep.py)."""
+    L-BFGS (distributed gradient = the allreduce). Oracle: a Newton-
+    Raphson refit in SQL converging to the same unique MLE (upgraded
+    from rows-only per VERDICT r02 #7); linear-separation recovery is
+    additionally pinned by tests/test_ml.py. Output is the 1-row
+    (coef, intercept) rounded to 3dp."""
     from hpat_jl_spark.ml import logistic_regression
     from hpat_jl_spark.tables import load_table as _lt
 
@@ -102,14 +145,66 @@ def ml_logreg_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ml_naive_bayes_lang", oracle=None, tags=("ml",))
+# Spark ML multinomial NB is closed-form count aggregation, so the full
+# model (smoothed log-priors pi and log-likelihoods theta, smoothing 1.0)
+# and the per-doc argmax replicate exactly in SQL. Ties break toward the
+# lowest class index on both sides (Breeze argmax / ORDER BY cand ASC);
+# scores of distinct classes differ at O(1e-1) here, far above fp noise.
+_nb_oracle = """
+WITH feats AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' '))::DOUBLE AS n_tok,
+         len(list_filter(string_split(text, ' '), t -> t = 'the'))::DOUBLE AS w_the,
+         len(list_filter(string_split(text, ' '), t -> t = 'a'))::DOUBLE AS w_a,
+         len(list_filter(string_split(text, ' '), t -> t = 'value'))::DOUBLE AS w_value
+  FROM documents
+),
+lang_ids AS (
+  SELECT lang, (row_number() OVER (ORDER BY lang) - 1)::DOUBLE AS label
+  FROM (SELECT DISTINCT lang FROM documents)
+),
+f AS (SELECT feats.*, label FROM feats JOIN lang_ids USING (lang)),
+cls AS (
+  SELECT label, count(*)::DOUBLE AS n_docs,
+         sum(n_tok) AS s1, sum(w_the) AS s2, sum(w_a) AS s3, sum(w_value) AS s4
+  FROM f GROUP BY label
+),
+tot AS (SELECT sum(n_docs) AS n, count(*) AS k FROM cls),
+model AS (
+  SELECT label,
+         ln(n_docs + 1.0) - ln((SELECT n FROM tot) + (SELECT k FROM tot) * 1.0) AS pi,
+         ln(s1 + 1.0) - ln(s1 + s2 + s3 + s4 + 4.0) AS t1,
+         ln(s2 + 1.0) - ln(s1 + s2 + s3 + s4 + 4.0) AS t2,
+         ln(s3 + 1.0) - ln(s1 + s2 + s3 + s4 + 4.0) AS t3,
+         ln(s4 + 1.0) - ln(s1 + s2 + s3 + s4 + 4.0) AS t4
+  FROM cls
+),
+scored AS (
+  SELECT f.doc_id, f.lang, m.label AS cand,
+         m.pi + f.n_tok * m.t1 + f.w_the * m.t2
+              + f.w_a * m.t3 + f.w_value * m.t4 AS score
+  FROM f CROSS JOIN model m
+),
+pred AS (
+  SELECT doc_id, lang, cand,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn
+  FROM scored
+)
+SELECT lang, cand AS predicted_label, count(*)::BIGINT AS n
+FROM pred WHERE rn = 1 GROUP BY lang, cand
+"""
+
+
+@register("ml_naive_bayes_lang", oracle=_nb_oracle, tags=("ml",))
 def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial NaiveBayes (reference src/cgen-hpat-pattern-match-
     daal.jl:347-470, the third DAAL kernel) as a registered query:
     predict a document's lang from non-negative token-count features
     (total tokens + counts of three common words). The NB fit is
-    closed-form count aggregation — fully deterministic. Rows-only
-    (no SQL twin); planted-class recovery is pinned by
+    closed-form count aggregation — fully deterministic, so the WHOLE
+    pipeline (smoothed model + argmax prediction) oracles against a SQL
+    refit in DuckDB (upgraded from rows-only per VERDICT r02 #7);
+    planted-class recovery is additionally pinned by
     tests/test_ml.py::test_naive_bayes_separates_classes. Output: the
     (lang, predicted_label, n) confusion counts.
 

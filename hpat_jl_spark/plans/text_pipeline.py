@@ -585,3 +585,99 @@ def top_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_bigram_frac"
         )
     )
+
+
+# Integer profile-count scoring (not log-probs) keeps the argmax exact:
+# both engines sum the same integers, so no fp boundary can flip a
+# prediction between Spark and DuckDB. Ties break toward the smallest
+# lang code on both sides.
+_lang_id_oracle = """
+WITH prefix AS (
+  SELECT doc_id, lang, substr(text, 1, 200) AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, substr(t, i::INT, 3) AS g
+  FROM prefix, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+),
+profile AS (
+  SELECT lang AS plang, g, count(*)::BIGINT AS c,
+         row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, g ASC) AS r
+  FROM grams GROUP BY lang, g
+),
+topk AS (SELECT plang, g, c FROM profile WHERE r <= 50),
+scores AS (
+  SELECT gr.doc_id, gr.lang, tk.plang, sum(tk.c)::BIGINT AS score
+  FROM grams gr JOIN topk tk ON gr.g = tk.g
+  GROUP BY gr.doc_id, gr.lang, tk.plang
+),
+pred AS (
+  SELECT doc_id, lang, plang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS rn
+  FROM scores
+)
+SELECT lang, plang AS predicted_lang, count(*)::BIGINT AS n
+FROM pred WHERE rn = 1 GROUP BY lang, plang
+"""
+
+
+@register("lang_id_ngram", oracle=_lang_id_oracle, tags=("text",))
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram language identification (Cavnar-Trenkle 1994
+    profile matching, simplified): per-lang character-trigram profiles
+    are built from the labeled corpus (top-50 trigrams by count, rank
+    ties broken by gram), each document's first 200 chars are scored by
+    the summed profile counts of its trigrams under every lang, and the
+    argmax lang wins (score desc, lang asc). Output: (lang,
+    predicted_lang, n) confusion counts.
+
+    Scores are INTEGER sums, so the cross-engine argmax is exact — no
+    log-prob fp boundaries (contrast ml_naive_bayes_lang, whose class
+    scores are separated at O(1e-1)).
+
+    Scale shape: trigram explode is linear in bytes and stays in
+    whole-stage codegen; the profile is 5 langs x 50 trigrams -> one
+    broadcast; scoring is a broadcast equi-join on the gram (zero
+    shuffle) followed by one doc-keyed partial agg; the confusion
+    rollup is 25 rows. A doc shorter than 3 chars yields no trigrams
+    and drops out on both sides (inner-join semantics)."""
+    docs = load_table(spark, "documents", sf_dir)
+    prefix = docs.select(
+        "doc_id", "lang", F.substring("text", 1, 200).alias("t")
+    )
+    grams = prefix.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(F.length("t") < 3, F.array().cast("array<string>")).otherwise(
+                F.expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")
+            )
+        ).alias("g"),
+    )
+    from pyspark.sql import Window
+
+    profile = (
+        grams.groupBy(F.col("lang").alias("plang"), "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("plang").orderBy(F.desc("c"), F.asc("g"))
+            ),
+        )
+        .filter(F.col("r") <= 50)
+        .drop("r")
+    )
+    scores = (
+        grams.join(F.broadcast(profile), "g")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.sum("c").alias("score"))
+    )
+    pred = scores.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("plang"))
+        ),
+    ).filter(F.col("rn") == 1)
+    return pred.groupBy("lang", F.col("plang").alias("predicted_lang")).agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -56,6 +56,18 @@ DRIVER_PRIORITY: list[str] = [
     "range_frame_window",
     "sessionize_events",
     "stream_tumbling_counts",
+    # Upgraded rows-only → oracle this round (VERDICT r02 #7): their r02
+    # rows are the weaker no_oracle kind, so re-gate with the new twins.
+    "ml_naive_bayes_lang",
+    "ml_logreg_purchase",
+    "checkpointed_pagerank",
+    # New this round (no prior rows by definition).
+    "lang_id_ngram",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_stream_join_purchases",
+    "stream_dedup_events",
+    "stream_running_user_totals",
     # Oracle-checked queries with no r01/r02 driver row.
     "latest_record_compaction",
     "null_safe_join",
@@ -85,6 +97,7 @@ DRIVER_PRIORITY: list[str] = [
     "triangle_count",
     "clustering_coefficient",
     "link_prediction_customers",
+    "pagerank_trade_graph",
     # Rows-only queries with no r01/r02 driver row (weaker check; tail of
     # the window). The most design-critical lead.
     "dedup_minhash",
@@ -96,7 +109,6 @@ DRIVER_PRIORITY: list[str] = [
     "quality_model_filter",
     "approx_distinct",
     "stratified_sample_sources",
-    "pagerank_trade_graph",
     "ml_kmeans_clusters",
     "multimodal_features",
     "monte_carlo_pi",
