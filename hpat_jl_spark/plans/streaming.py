@@ -37,13 +37,28 @@ from hpat_jl_spark.streaming.windows import (
 
 
 def _stage_events_dir(sf_dir: str, copies: int = 1) -> str:
-    """File-source streams watch directories; symlink the fixture file
-    into a fresh temp dir (no copy). ``copies`` > 1 stages the same file
-    under several names — an exact-duplicate replay for dedup tests."""
+    """File-source streams watch directories; symlink the fixture
+    parquet into a fresh temp dir (no copy). ``copies`` > 1 stages the
+    same data under several names — an exact-duplicate replay for dedup
+    tests. Handles both fixture layouts: a single events.parquet FILE
+    (driver testdata) and a DIRECTORY of part-files (real lake layout /
+    the scaling probe's staged tables) — the file source lists files,
+    not subdirectories, so directory sources are staged per part-file."""
     d = tempfile.mkdtemp(prefix="hpat_stream_")
     src = os.path.join(sf_dir, "events.parquet")
-    for i in range(copies):
-        os.symlink(src, os.path.join(d, f"events_{i}.parquet"))
+    if os.path.isdir(src):
+        parts = sorted(
+            f for f in os.listdir(src)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        for i in range(copies):
+            for p in parts:
+                os.symlink(
+                    os.path.join(src, p), os.path.join(d, f"events_{i}_{p}")
+                )
+    else:
+        for i in range(copies):
+            os.symlink(src, os.path.join(d, f"events_{i}.parquet"))
     return d
 
 

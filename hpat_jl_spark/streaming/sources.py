@@ -46,6 +46,7 @@ def stream_events(
       TIMESTAMP → passthrough.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # as tables.load_table
     probed = spark.read.parquet(events_dir).schema["ts"].dataType
     reader = spark.readStream.schema(_events_schema(probed)).format("parquet")
     if max_files_per_trigger:

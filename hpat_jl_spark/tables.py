@@ -163,6 +163,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(SCHEMAS)}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The NTZ branch below and every date_trunc/window downstream assume
+    # UTC; a vanilla session inherits the machine tz, so pin it here the
+    # same way nanosAsLong is pinned (engine sessions already set it).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     declared = SCHEMAS[name]
     for field in declared.fields:
