@@ -681,3 +681,56 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("lang", F.col("plang").alias("predicted_lang")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register("udtf_document_chunks", oracle=_chunk_oracle, tags=("text", "udf"))
+def udtf_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.9 UDTF surface: the same token-window chunking as
+    `document_chunks` (size 50, stride 25, md5 identity) computed by an
+    ARROW-OPTIMIZED Python table function in a LATERAL join, sharing
+    document_chunks' oracle — so the UDTF path is hash-checked against
+    both DuckDB and (transitively) the JVM explode/slice plan. This is
+    the honest mapping of the reference's designed-only flatten/countmap
+    closures over grouped arrays (examples/queries_devel/q01.jl, q02.jl
+    — compiled generators the reference's compiler never implemented).
+
+    The built-in explode/slice plan remains the production path (UDFs
+    are the slow path); the UDTF exists for generator logic Column
+    algebra can't express. Arrow transfer is REQUIRED here (useArrow=
+    True on the decorator — the session conf alone does not flip 4.1's
+    planner): without it the plan contains BatchEvalPythonUDTF, which
+    scripts/plan_lint.py rejects as row-at-a-time Python."""
+    import hashlib
+    import re
+    import uuid as _uuid
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "doc_id bigint, chunk_start bigint, n_chunk_tokens bigint, "
+            "chunk_hash string"
+        ),
+        useArrow=True,
+    )
+    class ChunkDocs:
+        def eval(self, doc_id, text):
+            toks = re.split(r"\s+", text.strip())
+            n = len(toks)
+            for s in range(1, max(n - 49, 1) + 1, 25):
+                window = toks[s - 1 : s - 1 + 50]
+                yield (
+                    doc_id,
+                    s,
+                    len(window),
+                    hashlib.md5(" ".join(window).encode()).hexdigest(),
+                )
+
+    fn = f"chunk_docs_{_uuid.uuid4().hex[:12]}"
+    view = f"documents_{_uuid.uuid4().hex[:12]}"
+    spark.udtf.register(fn, ChunkDocs)
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT c.doc_id, c.chunk_start, c.n_chunk_tokens, c.chunk_hash "
+        f"FROM {view}, LATERAL {fn}(doc_id, text) c"
+    )

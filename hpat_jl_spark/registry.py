@@ -63,6 +63,7 @@ DRIVER_PRIORITY: list[str] = [
     "checkpointed_pagerank",
     # New this round (no prior rows by definition).
     "lang_id_ngram",
+    "udtf_document_chunks",
     "stream_sliding_counts",
     "stream_session_windows",
     "stream_stream_join_purchases",
