@@ -51,6 +51,10 @@ HEADLINE = [
     "triangle_count",
     "corpus_prep_pipeline",
     "fuzzy_name_pairs",
+    # round 3 additions: new gated surfaces (kept at the tail so the
+    # r1/r2-comparable prefix is unchanged)
+    "lang_id_ngram",
+    "stream_tumbling_counts",
 ]
 
 
