@@ -46,6 +46,48 @@ def asof_join_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Tolerance = post-filter of the as-of match (the latest prior view
+# either is within the window or there is no match at all), so the
+# oracle is the same native ASOF JOIN with a CASE guard — identical tie
+# behavior to asof_join_views.
+_asof_tol_oracle = """
+SELECT p.event_id,
+       p.user_id,
+       round(p.value, 2) AS purchase_value,
+       round(CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= 600000000
+                  THEN v.value END, 2) AS last_view_value,
+       round(CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= 600000000
+                  THEN (epoch_us(p.ts) - epoch_us(v.ts)) / 1000000.0
+             END, 3) AS secs_since_view
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+@register("asof_join_tolerance", oracle=_asof_tol_oracle, tags=("temporal",))
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asof_join's TOLERANCE path (pandas merge_asof tolerance=10min):
+    the most recent prior view still counts only within 600 s; older
+    matches null out while the purchase row survives (left semantics).
+    Same single-shuffle running-window plan as asof_join_views — the
+    tolerance is a row-local post-condition, not a second join."""
+    events = load_table(spark, "events", sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase")
+    views = events.filter(F.col("event_type") == "view")
+    j = asof_join(purchases, views, on="ts", by="user_id",
+                  right_value_cols=["value"], tolerance_seconds=600)
+    return j.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("purchase_value"),
+        F.round("right_value", 2).alias("last_view_value"),
+        F.round(
+            (F.unix_micros("ts") - F.unix_micros("right_ts")) / 1_000_000.0, 3
+        ).alias("secs_since_view"),
+    )
+
+
 _q03_oracle = """
 SELECT p.event_id, p.user_id,
        count(v.v_ts) AS views_before,

@@ -64,6 +64,7 @@ DRIVER_PRIORITY: list[str] = [
     # New this round (no prior rows by definition).
     "lang_id_ngram",
     "udtf_document_chunks",
+    "asof_join_tolerance",
     "stream_sliding_counts",
     "stream_session_windows",
     "stream_stream_join_purchases",
