@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from hpat_jl_spark.registry import register
 from hpat_jl_spark.streaming.sources import stream_events
+from hpat_jl_spark.tables import load_table
 from hpat_jl_spark.streaming.windows import (
     sessionize_stream,
     sliding_counts,
@@ -292,3 +293,42 @@ def stream_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").cast("bigint").alias("n_events"),
         F.round(F.max_by("total_value", "n_events"), 2).alias("total_value"),
     )
+
+
+_stream_enrich_oracle = """
+SELECT c.c_mktsegment AS segment,
+       e.event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(e.value), 2) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "stream_static_enrichment", oracle=_stream_enrich_oracle, tags=("streaming",)
+)
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched per micro-batch
+    with the customer dimension (streaming/windows.enrich_with_dim —
+    the static side is re-resolved each batch and broadcast by Catalyst
+    when small), then aggregated per (segment, event_type). Oracle is
+    the batch join + GROUP BY: the stream-side join machinery must be
+    semantically invisible. At 100 TB the same plan holds — the
+    dimension is the broadcast side and the stream never reshuffles for
+    the join, only for the windowless aggregation."""
+    from hpat_jl_spark.streaming.windows import enrich_with_dim
+
+    ev = stream_events(spark, _stage_events_dir(sf_dir))
+    dim = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    enriched = enrich_with_dim(ev, dim, on="user_id").filter(
+        F.col("segment").isNotNull()
+    )
+    agg = enriched.groupBy("segment", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    out = _run_to_memory(agg, mode="complete", prefix="stream_enrich")
+    return out.select("segment", "event_type", "n_events", "total_value")

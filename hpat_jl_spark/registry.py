@@ -70,6 +70,7 @@ DRIVER_PRIORITY: list[str] = [
     "stream_stream_join_purchases",
     "stream_dedup_events",
     "stream_running_user_totals",
+    "stream_static_enrichment",
     # Oracle-checked queries with no r01/r02 driver row.
     "latest_record_compaction",
     "null_safe_join",
