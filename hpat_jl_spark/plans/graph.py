@@ -14,34 +14,36 @@ from hpat_jl_spark.registry import register
 from hpat_jl_spark.tables import load_table
 
 
+def _copurchase_pairs(li: DataFrame) -> DataFrame:
+    """Raw undirected co-purchase pair stream (u < v), one row per
+    (order, pair): groupBy(order) collects the (bounded, ≤7 in TPC-H)
+    part set and pairs are generated JVM-side from the sorted array —
+    ONE order-keyed shuffle, no self-join."""
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    return per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps) - i - 1), "
+                "y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+
+
 def _copurchase_edges(li: DataFrame) -> DataFrame:
     """Distinct undirected co-purchase edges (u < v): parts appearing in
     the same order are adjacent.
 
-    Built with ONE order-keyed shuffle: groupBy(order) collects the
-    (bounded, ≤7 in TPC-H) part set, pairs are generated JVM-side from
-    the sorted array, then one distinct on the edge key. The earlier
-    self-join formulation ((o,p) distinct → join on o → distinct) cost
-    an extra full shuffle of the (order, part) stream and measured
-    2.3s vs 1.9s at sf0.1 — and at a 100 TB fact table that extra
-    shuffle is the dominant cost, not the 20%.
+    Built from :func:`_copurchase_pairs` plus one distinct on the edge
+    key. The earlier self-join formulation ((o,p) distinct → join on o
+    → distinct) cost an extra full shuffle of the (order, part) stream
+    and measured 2.3s vs 1.9s at sf0.1 — and at a 100 TB fact table
+    that extra shuffle is the dominant cost, not the 20%.
     """
-    per_order = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("ps")
-    )
-    return (
-        per_order.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> "
-                    "transform(slice(ps, i + 2, size(ps) - i - 1), "
-                    "y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .distinct()
-    )
+    return _copurchase_pairs(li).distinct()
 
 
 _triangle_oracle = """
@@ -306,3 +308,63 @@ def link_prediction_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(1.0 / F.log("dp")), 6).alias("adamic_adar"),
     )
     return scored.orderBy(F.desc("adamic_adar"), "u", "v").limit(20)
+
+
+# Min-label propagation as a recursive CTE: 40 fixed rounds reach the
+# fixpoint whenever every component's diameter is < 40 (the repeat-pair
+# graph's giant component has diameter ~10); the Spark side early-stops
+# at the same fixpoint, so fixed-vs-adaptive iteration counts agree.
+# Self-loops keep isolated-in-round vertices alive through the GROUP BY.
+_cc_oracle = """
+WITH RECURSIVE
+op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+verts AS (SELECT u AS vertex FROM edges UNION SELECT v FROM edges),
+aug AS (
+  SELECT u AS src, v AS dst FROM edges
+  UNION ALL SELECT v, u FROM edges
+  UNION ALL SELECT vertex, vertex FROM verts
+),
+cc(iter, vertex, comp) AS (
+  SELECT 0, vertex, vertex FROM verts
+  UNION ALL
+  SELECT c.iter + 1, a.dst, min(c.comp)
+  FROM cc c JOIN aug a ON a.src = c.vertex
+  WHERE c.iter < 40
+  GROUP BY c.iter + 1, a.dst
+)
+SELECT vertex, comp AS component FROM cc WHERE iter = 40
+"""
+
+
+@register("connected_components_repeat_pairs", oracle=_cc_oracle, tags=("graph", "iterative"))
+def connected_components_repeat_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via iterative min-label propagation
+    (operators/iterative.connected_components — the reference's
+    checkpointed-loop shape, SURVEY §2.10) on the REPEAT co-purchase
+    graph: parts linked only when they co-occur in >= 2 orders, which
+    fragments the otherwise-connected co-purchase graph into real
+    components (9 at sf0.01). Full per-vertex labels are hash-checked
+    against a DuckDB recursive-CTE twin of the same propagation — the
+    first driver-gated oracle for the iterative-relational fixpoint
+    itself (dedup_cluster pins it only via planted tests).
+
+    Plan: pair stream from the per-order arrays (one shuffle), pair
+    count >= 2 filter (second shuffle, keyed on the pair), then label
+    propagation with per-iteration localCheckpoint lineage truncation;
+    every iteration is one edge-keyed join + vertex-keyed min agg."""
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = (
+        _copurchase_pairs(li)
+        .groupBy(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    from hpat_jl_spark.operators.iterative import connected_components
+
+    return connected_components(edges, max_iter=40)

@@ -65,6 +65,7 @@ DRIVER_PRIORITY: list[str] = [
     "lang_id_ngram",
     "udtf_document_chunks",
     "asof_join_tolerance",
+    "connected_components_repeat_pairs",
     "stream_sliding_counts",
     "stream_session_windows",
     "stream_stream_join_purchases",
