@@ -81,19 +81,30 @@ def main() -> None:
 
     # Per-query isolation: one broken query must never zero the round's
     # perf evidence (VERDICT r02 — the whole bench died at query 11/26).
+    # Each query runs SPARK_GRAFT_BENCH_REPS times (default 2) and the
+    # MIN is reported — this box is a shared VM with 1.5-2x run-to-run
+    # noise (measured 43.6s..77.5s for an identical headline set), and
+    # min-of-reps estimates the plan's cost, not the neighbors'.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        except Exception as exc:
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
-            continue
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as exc:
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
+                break
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        if best is not None:
+            timings[name] = round(best, 3)
+            errors.pop(name, None)
+            print(f"# {name}: {timings[name]}s (min of {reps})", file=sys.stderr)
 
     # DuckDB twin: time the oracle SQL for every headline query that has
     # one (rows-only queries have no SQL twin). fetchall() forces full
@@ -108,13 +119,17 @@ def main() -> None:
             sql = oracles.get(name)
             if sql is None:
                 continue
-            t0 = time.perf_counter()
+            best = None
             try:
-                con.execute(sql).fetchall()
+                for _ in range(reps):  # same min-of-reps as the Spark side
+                    t0 = time.perf_counter()
+                    con.execute(sql).fetchall()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
             except Exception as exc:
                 print(f"# duckdb {name}: ERROR {exc}", file=sys.stderr)
                 continue
-            duck[name] = round(time.perf_counter() - t0, 3)
+            duck[name] = round(best, 3)
             print(f"# duckdb {name}: {duck[name]}s", file=sys.stderr)
     except Exception as exc:  # bench must still emit its line
         print(f"# duckdb timing skipped: {exc}", file=sys.stderr)
