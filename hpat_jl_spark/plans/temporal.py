@@ -531,3 +531,100 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("streak_days"), "user_id", "streak_start")
         .limit(20)
     )
+
+
+# Rank-based ordinal symbols instead of z-normal breakpoints keep the
+# discretization INTEGER-exact across engines (a z-score boundary at fp
+# noise would flip a symbol and desync the candidate sets); sort keys
+# single-digit segs so Spark's string sort_array == DuckDB's ORDER BY
+# seg (fixture window is 30 days -> segments 0..5).
+_sax_oracle = """
+WITH daily AS (
+  SELECT user_id, date_diff('day', DATE '2024-01-01', ts::DATE) AS day,
+         avg(value) AS dv
+  FROM events GROUP BY 1, 2
+),
+paa AS (SELECT user_id, day // 5 AS seg, avg(dv) AS paa FROM daily GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY paa, seg) AS r
+  FROM paa
+),
+symb AS (SELECT *, ((r - 1) * 3) // 6 AS sym FROM ranked),
+words AS (
+  SELECT user_id, string_agg(seg || ':' || sym, ';' ORDER BY seg) AS word
+  FROM symb GROUP BY user_id
+),
+cands AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b
+  FROM words a JOIN words b ON a.word = b.word AND a.user_id < b.user_id
+)
+SELECT c.user_a, c.user_b,
+       round(sqrt(avg((pa.paa - pb.paa) ^ 2)), 3) AS paa_dist
+FROM cands c
+JOIN paa pa ON pa.user_id = c.user_a
+JOIN paa pb ON pb.user_id = c.user_b AND pb.seg = pa.seg
+GROUP BY 1, 2
+"""
+
+
+@register("sax_similarity_candidates", oracle=_sax_oracle, tags=("temporal", "similarity"))
+def sax_similarity_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity at scale: SAX-style symbolic discretization
+    (Lin, Keogh et al. 2003) with banding — the SCALE-PATH twin of the
+    capped all-pairs `timeseries_similarity` demo. Each user's 30-day
+    value series is piecewise-aggregated into 5-day segments (PAA), the
+    segments are discretized to 3 ordinal symbols by within-user RANK
+    (integer-exact — no z-score breakpoint fp risk), and users sharing
+    the full symbolic word become candidates via one equi-self-join on
+    the word. Exact PAA distance is then computed ONLY for candidates
+    (zip_with over the aligned segment vectors, JVM-side).
+
+    Scale shape: daily/PAA aggregation is two user-keyed shuffles; the
+    word join is an equi-join on a low-cardinality key (90 distinct
+    words for 6 segments x 3 symbols), NEVER an all-pairs product; the
+    distance is row-local array math on 6-element vectors. At 100 TB
+    the same plan holds with the word as the shuffle key; hot words
+    (flat series) would take the same salting treatment as any skewed
+    join key."""
+    events = load_table(spark, "events", sf_dir)
+    daily = (
+        events.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))).alias("day"),
+            "value",
+        )
+        .groupBy("user_id", "day")
+        .agg(F.avg("value").alias("dv"))
+    )
+    paa = daily.groupBy("user_id", F.expr("day div 5").alias("seg")).agg(
+        F.avg("dv").alias("paa")
+    )
+    w = Window.partitionBy("user_id").orderBy("paa", "seg")
+    symb = paa.withColumn("r", F.row_number().over(w)).withColumn(
+        "sym", F.expr("((r - 1) * 3) div 6")
+    )
+    users = symb.groupBy("user_id").agg(
+        F.concat_ws(
+            ";",
+            F.sort_array(
+                F.collect_list(F.concat_ws(":", F.col("seg"), F.col("sym")))
+            ),
+        ).alias("word"),
+        F.array_sort(F.collect_list(F.struct("seg", "paa"))).alias("pv"),
+    )
+    a = users.select(
+        F.col("user_id").alias("user_a"), "word", F.col("pv").alias("pv_a")
+    )
+    b = users.select(
+        F.col("user_id").alias("user_b"), "word", F.col("pv").alias("pv_b")
+    )
+    cands = a.join(b, "word").filter(F.col("user_a") < F.col("user_b"))
+    return cands.select(
+        "user_a",
+        "user_b",
+        F.expr(
+            "round(sqrt(aggregate(zip_with(pv_a, pv_b, "
+            "(x, y) -> pow(x.paa - y.paa, 2D)), 0D, (acc, v) -> acc + v) "
+            "/ size(pv_a)), 3)"
+        ).alias("paa_dist"),
+    )

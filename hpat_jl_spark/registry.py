@@ -66,6 +66,7 @@ DRIVER_PRIORITY: list[str] = [
     "udtf_document_chunks",
     "asof_join_tolerance",
     "connected_components_repeat_pairs",
+    "sax_similarity_candidates",
     "stream_sliding_counts",
     "stream_session_windows",
     "stream_stream_join_purchases",
