@@ -273,3 +273,75 @@ def cumsum_global_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.round("running_qty", 2).alias("running_qty"),
     )
+
+
+# Exact: cumulative counts are integers and n1/n2 are the same integers
+# on both engines, so the IEEE divisions (and the max of their absolute
+# differences) are bit-identical — the round(6) is belt-and-braces.
+_ks_oracle = """
+WITH vals AS (
+  SELECT value,
+         count(*) FILTER (event_type = 'purchase') AS c1,
+         count(*) FILTER (event_type = 'view') AS c2
+  FROM events WHERE event_type IN ('purchase', 'view')
+  GROUP BY value
+), tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM vals),
+cdf AS (
+  SELECT sum(c1) OVER (ORDER BY value)::DOUBLE / (SELECT n1 FROM tot) AS f1,
+         sum(c2) OVER (ORDER BY value)::DOUBLE / (SELECT n2 FROM tot) AS f2
+  FROM vals
+)
+SELECT (SELECT n1 FROM tot)::BIGINT AS n1,
+       (SELECT n2 FROM tot)::BIGINT AS n2,
+       round(max(abs(f1 - f2)), 6) AS ks_stat
+FROM cdf
+"""
+
+
+@register("ks_test_purchase_view", oracle=_ks_oracle, tags=("windowed", "stats"))
+def ks_test_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    purchase and view value distributions: KS = max_x |F1(x) - F2(x)|
+    over the empirical CDFs — the distribution-drift test a training
+    pipeline runs between corpus snapshots or data sources.
+
+    This is the reference's MPI_Exscan prefix-sum (SURVEY §2.5, reference
+    src/cgen-hpat-pattern-match.jl:433-459) composed into a statistical
+    kernel: per-value counts (one shuffle), then TWO chunked distributed
+    prefix sums (operators/windowed.cumsum_chunked — range-partitioned
+    local scans + a broadcast offset table, no task ever sees all rows),
+    then one max aggregate. The 1-row totals cross-join is the standard
+    decorrelated-scalar shape (plan_lint allow-listed). ECDFs are
+    evaluated at distinct values, so duplicate-value ties are handled
+    exactly; cumulative counts are integers, making the cross-engine
+    comparison exact rather than fp-tolerant."""
+    from hpat_jl_spark.operators.windowed import cumsum_chunked
+
+    events = load_table(spark, "events", sf_dir)
+    vals = (
+        events.filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy("value")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("c2"),
+        )
+    )
+    cum = cumsum_chunked(vals, "c1", order_by="value", out="cum1", num_chunks=64)
+    cum = cumsum_chunked(cum, "c2", order_by="value", out="cum2", num_chunks=64)
+    tot = vals.agg(
+        F.sum("c1").cast("bigint").alias("n1"), F.sum("c2").cast("bigint").alias("n2")
+    )
+    cdf = cum.crossJoin(F.broadcast(tot))
+    return cdf.agg(
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cum1").cast("double") / F.col("n1")
+                    - F.col("cum2").cast("double") / F.col("n2")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+    )

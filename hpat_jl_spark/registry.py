@@ -67,6 +67,7 @@ DRIVER_PRIORITY: list[str] = [
     "asof_join_tolerance",
     "connected_components_repeat_pairs",
     "sax_similarity_candidates",
+    "ks_test_purchase_view",
     "stream_sliding_counts",
     "stream_session_windows",
     "stream_stream_join_purchases",

@@ -56,6 +56,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "equidepth_binning": {
         "BroadcastNestedLoopJoin": "1-row sketch-boundaries aggregate broadcast"
     },
+    "ks_test_purchase_view": {
+        "BroadcastNestedLoopJoin": "1-row sample-totals aggregate broadcast"
+    },
 }
 
 BAD = ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"]
