@@ -909,3 +909,97 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.transform(ordered, lambda s: s["para"]), "\n\n")
         ).alias("kept_md5"),
     )
+
+
+# Inner-join + exclusive-mass formulation: for a token present in only
+# one source, m = p/2 and its JS term collapses to 0.5*p*ln 2, so the
+# sum over exclusive tokens is 0.5*ln2*(1 - shared_mass) per side —
+# the pairwise join touches only SHARED tokens and no full-outer join
+# or zero-filled vocabulary grid is ever materialized. Probabilities
+# are ratios of identical integers on both engines; the ln() calls may
+# differ by an ulp between libms, so the output rounds to 6dp (term
+# sums differ at ~1e-11).
+_jsd_oracle = """
+WITH tok AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+),
+counts AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+totals AS (SELECT source, sum(c) AS n FROM counts GROUP BY 1),
+dist AS (
+  SELECT c.source, c.token, c.c::DOUBLE / t.n AS p
+  FROM counts c JOIN totals t ON c.source = t.source
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.token,
+         a.p AS pa, b.p AS pb
+  FROM dist a JOIN dist b ON a.token = b.token AND a.source < b.source
+),
+shared AS (
+  SELECT source_a, source_b,
+         sum(0.5 * (pa * ln(2 * pa / (pa + pb))
+                  + pb * ln(2 * pb / (pa + pb)))) AS shared_term,
+         sum(pa) AS mass_a, sum(pb) AS mass_b
+  FROM pairs GROUP BY 1, 2
+)
+SELECT source_a, source_b,
+       round(shared_term + 0.5 * ln(2) * ((1 - mass_a) + (1 - mass_b)), 6)
+         AS js_divergence
+FROM shared
+"""
+
+
+@register("js_divergence_sources", oracle=_jsd_oracle, tags=("text", "stats"))
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram
+    distributions of every pair of document sources — the domain-shift
+    / corpus-drift measurement a training pipeline runs when mixing or
+    refreshing sources (0 = identical distributions, ln 2 = disjoint).
+
+    Plan: one token explode + (source, token)-keyed count (the same
+    shared tokenization convention as the rest of the text layer), a
+    broadcast of the tiny per-source totals, then ONE self-equi-join on
+    the token restricted to shared tokens — the exclusive-token mass
+    enters through the closed form 0.5*ln2*(1-shared_mass), so no
+    full-outer vocabulary grid exists (see oracle comment). Output is
+    |sources| choose 2 rows. At 100 TB the join key is the token:
+    stopword-scale hot tokens are bounded by |sources|^2 fan-out per
+    token (25 here), not by corpus size."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    counts = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    dist = counts.join(F.broadcast(totals), "source").select(
+        "source", "token", (F.col("c").cast("double") / F.col("n")).alias("p")
+    )
+    a = dist.select(
+        F.col("source").alias("source_a"), "token", F.col("p").alias("pa")
+    )
+    b = dist.select(
+        F.col("source").alias("source_b"), "token", F.col("p").alias("pb")
+    )
+    pairs = a.join(b, "token").filter(F.col("source_a") < F.col("source_b"))
+    shared = pairs.groupBy("source_a", "source_b").agg(
+        F.sum(
+            0.5
+            * (
+                F.col("pa") * F.log(2 * F.col("pa") / (F.col("pa") + F.col("pb")))
+                + F.col("pb") * F.log(2 * F.col("pb") / (F.col("pa") + F.col("pb")))
+            )
+        ).alias("shared_term"),
+        F.sum("pa").alias("mass_a"),
+        F.sum("pb").alias("mass_b"),
+    )
+    import math
+
+    return shared.select(
+        "source_a",
+        "source_b",
+        F.round(
+            F.col("shared_term")
+            + 0.5 * math.log(2.0) * ((1 - F.col("mass_a")) + (1 - F.col("mass_b"))),
+            6,
+        ).alias("js_divergence"),
+    )

@@ -68,6 +68,7 @@ DRIVER_PRIORITY: list[str] = [
     "connected_components_repeat_pairs",
     "sax_similarity_candidates",
     "ks_test_purchase_view",
+    "js_divergence_sources",
     "stream_sliding_counts",
     "stream_session_windows",
     "stream_stream_join_purchases",
