@@ -941,11 +941,20 @@ shared AS (
                   + pb * ln(2 * pb / (pa + pb)))) AS shared_term,
          sum(pa) AS mass_a, sum(pb) AS mass_b
   FROM pairs GROUP BY 1, 2
+),
+-- anchor on the source dimension: a pair with NO shared tokens must
+-- still appear (JSD = ln 2), not vanish with the empty join group
+all_pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM totals a JOIN totals b ON a.source < b.source
 )
-SELECT source_a, source_b,
-       round(shared_term + 0.5 * ln(2) * ((1 - mass_a) + (1 - mass_b)), 6)
+SELECT p.source_a, p.source_b,
+       round(coalesce(s.shared_term, 0)
+             + 0.5 * ln(2) * ((1 - coalesce(s.mass_a, 0))
+                            + (1 - coalesce(s.mass_b, 0))), 6)
          AS js_divergence
-FROM shared
+FROM all_pairs p
+LEFT JOIN shared s ON s.source_a = p.source_a AND s.source_b = p.source_b
 """
 
 
@@ -961,10 +970,14 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast of the tiny per-source totals, then ONE self-equi-join on
     the token restricted to shared tokens — the exclusive-token mass
     enters through the closed form 0.5*ln2*(1-shared_mass), so no
-    full-outer vocabulary grid exists (see oracle comment). Output is
-    |sources| choose 2 rows. At 100 TB the join key is the token:
-    stopword-scale hot tokens are bounded by |sources|^2 fan-out per
-    token (25 here), not by corpus size."""
+    full-outer vocabulary grid exists (see oracle comment). Pairs are
+    anchored on the |sources|×|sources| dimension cross (tiny, both
+    sides broadcast), so a fully-disjoint pair still reports ln 2
+    instead of vanishing with its empty shared-join group (planted test
+    tests/test_round3_stats.py). Output is |sources| choose 2 rows. At
+    100 TB the join key is the token: stopword-scale hot tokens are
+    bounded by |sources|^2 fan-out per token (25 here), not by corpus
+    size."""
     docs = load_table(spark, "documents", sf_dir)
     tok = docs.select(
         "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
@@ -994,12 +1007,21 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     import math
 
-    return shared.select(
+    sa = totals.select(F.col("source").alias("source_a"))
+    sb = totals.select(F.col("source").alias("source_b"))
+    all_pairs = sa.crossJoin(sb).filter(F.col("source_a") < F.col("source_b"))
+    out = all_pairs.join(shared, ["source_a", "source_b"], "left")
+    return out.select(
         "source_a",
         "source_b",
         F.round(
-            F.col("shared_term")
-            + 0.5 * math.log(2.0) * ((1 - F.col("mass_a")) + (1 - F.col("mass_b"))),
+            F.coalesce(F.col("shared_term"), F.lit(0.0))
+            + 0.5
+            * math.log(2.0)
+            * (
+                (1 - F.coalesce(F.col("mass_a"), F.lit(0.0)))
+                + (1 - F.coalesce(F.col("mass_b"), F.lit(0.0)))
+            ),
             6,
         ).alias("js_divergence"),
     )

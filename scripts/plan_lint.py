@@ -59,6 +59,10 @@ ALLOW: dict[str, dict[str, str]] = {
     "ks_test_purchase_view": {
         "BroadcastNestedLoopJoin": "1-row sample-totals aggregate broadcast"
     },
+    "js_divergence_sources": {
+        "BroadcastNestedLoopJoin": "source-dim x source-dim pair anchor "
+        "(|sources| rows per side; keeps disjoint pairs from vanishing)"
+    },
 }
 
 BAD = ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"]
