@@ -16,11 +16,16 @@ LSH is new surface). Design point is a 100 TB corpus:
   keys (any equal band → candidate; catches all pairs with distance ≤ 3
   in expectation, standard simhash blocking).
 
-All hashing is xxhash64 (deterministic across runs/partitions), so every
-query here is reproducible.
+All hashing is deterministic across runs/partitions, so every query
+here is reproducible. MinHash uses a *portable* md5-derived base hash
+(same value in Spark and DuckDB) so the whole LSH pipeline has an exact
+DuckDB oracle; SimHash keeps xxhash64 (fastest JVM hash, no cross-engine
+twin needed for its signature — the oracle re-derives it from md5 too).
 """
 
 from __future__ import annotations
+
+import random
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -30,6 +35,34 @@ from hpat_jl_spark.functions.text import fingerprint, shingles, tokens
 
 # Mersenne prime 2^61-1: modulus for minhash permutations
 _MERSENNE = (1 << 61) - 1
+
+# Fixed seed for the minhash permutation family — shared with the DuckDB
+# oracle SQL generated in plans/text_pipeline.py.
+_MINHASH_SEED = 20260813
+
+
+def minhash_coefficients(num_hashes: int) -> list[tuple[int, int]]:
+    """(α_i, β_i) for the affine permutation family, fixed-seed so the
+    Spark plan and the DuckDB oracle derive the identical family.
+    α_i ∈ [1, 2^31) odd, β_i ∈ [0, 2^61): keeps α·h + β < 2^63 (ANSI
+    mode raises on long overflow — CLAUDE.md trap)."""
+    rng = random.Random(_MINHASH_SEED)
+    return [
+        (rng.randrange(1, 1 << 31) | 1, rng.randrange(0, 1 << 61))
+        for _ in range(num_hashes)
+    ]
+
+
+def portable_hash(col: Column | str) -> Column:
+    """60-bit non-negative string hash computable identically in Spark
+    and DuckDB: the first 15 hex chars of md5, parsed as an integer.
+    Spark: conv(substr(md5, 1, 15), 16, 10); DuckDB twin:
+    ('0x' || substr(md5(s), 1, 15))::BIGINT. Both are JVM/vectorized
+    built-ins — no Python in the path. Used as the MinHash base hash so
+    the LSH candidate set is exactly reproducible by the oracle
+    (xxhash64 has no DuckDB equivalent)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
 def exact_dedup(
@@ -58,10 +91,13 @@ def minhash_signatures(
     """MinHash signatures as one row per doc: columns mh0..mh{H-1}.
 
     Permutation family: the standard single-base-hash affine family
-    h_i(s) = (α_i·h(s) + β_i) mod 2^61-1, h(s) = xxhash64(s) mod 2^31-1,
-    with per-i constants α_i ∈ [1, 2^31) odd, β_i ∈ [0, 2^61) drawn from
-    a fixed-seed RNG — one string hash per shingle, H cheap affine maps.
-    Bounds keep α·h + β < 2^63 (ANSI mode raises on long overflow).
+    h_i(s) = (α_i·h(s) + β_i) mod 2^61-1, h(s) = portable_hash(s) mod
+    2^31-1, with per-i constants from minhash_coefficients (fixed-seed
+    RNG) — one string hash per shingle, H cheap affine maps. The base
+    hash is the md5-derived portable_hash (not xxhash64) so the ENTIRE
+    pipeline — shingles → signature → bands → candidate pairs — has an
+    exact DuckDB twin; md5 costs ~2× xxhash64 per shingle but stays in
+    codegen and is a scan-side map, not a shuffle.
     (A per-shingle affine variant h_i = a(s)+i·b(s) is NOT min-wise
     independent — a single shared small-b shingle dominates every i and
     manufactures false near-dups; caught by the planted-dup tests.)
@@ -76,13 +112,7 @@ def minhash_signatures(
     data size; aggregation is the right primitive, not nested array
     lambdas.
     """
-    import random
-
-    rng = random.Random(20260813)
-    coefs = [
-        (rng.randrange(1, 1 << 31) | 1, rng.randrange(0, 1 << 61))
-        for _ in range(num_hashes)
-    ]
+    coefs = minhash_coefficients(num_hashes)
     par = docs.sparkSession.sparkContext.defaultParallelism
     sh = (
         docs.repartition(par)
@@ -90,7 +120,7 @@ def minhash_signatures(
             F.col(id_col).alias("id"),
             F.explode(shingles(text_col, shingle_n)).alias("sh"),
         )
-        .select("id", F.pmod(F.xxhash64("sh"), F.lit((1 << 31) - 1)).alias("h"))
+        .select("id", F.pmod(portable_hash("sh"), F.lit((1 << 31) - 1)).alias("h"))
     )
     aggs = [
         F.min(F.pmod(a * F.col("h") + b, F.lit(_MERSENNE))).alias(f"mh{i}")
@@ -122,7 +152,7 @@ def minhash_candidates(
     band_keys = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(
+            portable_hash(
                 F.concat_ws(
                     ",", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
                 )

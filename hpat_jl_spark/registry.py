@@ -44,81 +44,38 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Driver-gate ordering. The correctness driver consumes ``queries()`` in
 # dict order and records rows for roughly the first 50 entries per round.
 # Names listed here are emitted FIRST (in this order); everything else
-# follows in registration order. Round 3 policy (VERDICT r02 #3): the four
-# queries broken by the µs-fixture regeneration lead (re-verification of
-# the fix), then every query with no CORRECTNESS_r01/r02 driver row —
-# oracle-checked ahead of rows-only (the rows-only check is weaker, so
-# missing the window costs less) — so r01∪r02∪r03 covers all 142.
+# follows in registration order. Round 4 policy (VERDICT r03 #1): the 11
+# queries never driver-checked in r1-r3 lead, headed by dedup_minhash /
+# dedup_cluster, which upgraded from rows-only to a full DuckDB twin of
+# the portable-hash MinHash pipeline this round. Then the queries whose
+# plans or oracles changed this round (re-verification of the change),
+# then the rest of the registry in registration order (all have a green
+# r1-r3 row; extra windows re-confirm them).
 # Names not (yet) registered are skipped, so new plans can be pre-listed.
 DRIVER_PRIORITY: list[str] = [
-    # Fixed this round: µs/TIMESTAMP_NTZ fixture breakage (VERDICT r02 #1).
-    "asof_join_views",
-    "range_frame_window",
-    "sessionize_events",
-    "stream_tumbling_counts",
-    # Upgraded rows-only → oracle this round (VERDICT r02 #7): their r02
-    # rows are the weaker no_oracle kind, so re-gate with the new twins.
-    "ml_naive_bayes_lang",
-    "ml_logreg_purchase",
-    "checkpointed_pagerank",
-    # New this round (no prior rows by definition).
-    "lang_id_ngram",
-    "udtf_document_chunks",
-    "asof_join_tolerance",
-    "connected_components_repeat_pairs",
-    "sax_similarity_candidates",
-    "ks_test_purchase_view",
-    "js_divergence_sources",
-    "stream_sliding_counts",
-    "stream_session_windows",
-    "stream_stream_join_purchases",
-    "stream_dedup_events",
-    "stream_running_user_totals",
-    "stream_static_enrichment",
-    # Oracle-checked queries with no r01/r02 driver row.
-    "latest_record_compaction",
-    "null_safe_join",
-    "incremental_daily_counts",
-    "embedding_scale_report",
-    "activity_streaks",
-    "explode_tokens",
-    "json_struct_agg",
-    "map_functions_surface",
-    "approx_percentiles_sketch",
-    "equidepth_binning",
-    "benchmark_decontaminate",
-    "pii_scrub",
-    "heavy_hitters",
-    "tfidf_top_terms",
-    "inverted_index",
-    "tokenize_to_ids",
-    "sequence_packing",
-    "domain_mix_report",
-    "corpus_prep_pipeline",
-    "fuzzy_name_pairs",
-    "weighted_sample_docs",
-    "unigram_logprob_quality",
-    "cms_heavy_hitters",
-    "c4_line_filter",
-    "paragraph_dedup",
-    "triangle_count",
-    "clustering_coefficient",
-    "link_prediction_customers",
-    "pagerank_trade_graph",
-    # Rows-only queries with no r01/r02 driver row (weaker check; tail of
-    # the window). The most design-critical lead.
+    # Upgraded rows-only → full oracle this round (VERDICT r03 #1/#3):
+    # MinHash+LSH candidate set + transitive clusters, exact DuckDB twin.
     "dedup_minhash",
+    "dedup_cluster",
+    # Never driver-checked in r1-r3 (the remaining rows-only queries).
     "dedup_simhash",
+    "knn_lsh",
     "knn_ivf",
     "knn_pq",
-    "knn_lsh",
-    "dedup_cluster",
-    "quality_model_filter",
-    "approx_distinct",
-    "stratified_sample_sources",
     "ml_kmeans_clusters",
     "multimodal_features",
+    "quality_model_filter",
+    "stratified_sample_sources",
+    "approx_distinct",
     "monte_carlo_pi",
+    # Plans touched this round — re-verify under the driver gate:
+    # tokenize_to_ids (vocab-rank window rewritten for scale, VERDICT #2),
+    # sequence_packing (chunked prefix-sum wiring, VERDICT #4),
+    # sax_similarity_candidates (floor-div/zero-pad hardening, ADVICE).
+    "tokenize_to_ids",
+    "sequence_packing",
+    "sax_similarity_candidates",
+    "corpus_prep_pipeline",
 ]
 
 
