@@ -9,8 +9,9 @@ documents fixture:
 Every stage is the same engine kernel the registered queries check
 one-by-one against DuckDB (plans/text_pipeline.py,
 plans/llm_pipeline.py); this example pins that they COMPOSE — filters
-stay pushed down through the whole chain and nothing materializes
-between stages.
+stay pushed down through the whole chain, and the only intermediate
+job is the bounded vocabulary fit (a ≤64k-row TakeOrdered collect,
+the tokenizer's model artifact).
 
     python examples/corpus_prep.py [sf_dir] [context_len]
 """
@@ -26,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hpat_jl_spark.functions import text as X
-from hpat_jl_spark.plans.llm_pipeline import _word_grams
+from hpat_jl_spark.plans.llm_pipeline import _word_grams, encode_corpus_to_ids
 from hpat_jl_spark.tables import load_table
 
 
@@ -77,35 +78,14 @@ def prepare_corpus(
         dirty, "doc_id", "left_anti"
     )
 
-    # 4. tokenize to ids over the SURVIVING corpus's vocabulary
-    toks = clean.select(
-        "doc_id",
-        "source",
-        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "token"),
-    )
-    vocab = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            "token",
-            (F.row_number().over(Window.orderBy(F.desc("cnt"), "token")) - 1).alias(
-                "tok_id"
-            ),
-        )
-    )
-    encoded = (
-        toks.join(vocab, "token")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok_id"))),
-                    lambda s: s.tok_id.cast("string"),
-                ),
-                ",",
-            ).alias("token_ids"),
-        )
+    # 4. tokenize to ids over the SURVIVING corpus's vocabulary —
+    #    the bounded-vocab TakeOrdered + broadcast-dictionary kernel
+    #    (plans/llm_pipeline.encode_corpus_to_ids); the one stage of the
+    #    chain that runs an intermediate job (the ≤64k-row vocabulary
+    #    collect, a model artifact like an IVF codebook), everything
+    #    else stays one lazy pipeline.
+    encoded = encode_corpus_to_ids(
+        spark, clean, vocab_size=65536, keep_cols=("source",)
     )
 
     # 5. pack into fixed-length training sequences (exclusive prefix sum)

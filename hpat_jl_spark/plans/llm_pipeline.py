@@ -313,57 +313,77 @@ GROUP BY doc_id
 """
 
 
-@register("tokenize_to_ids", oracle=_tokenize_oracle, tags=("text",))
-def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus → training-tensor encoding: build a frequency-ranked
-    vocabulary (id 0 = most frequent token, ties broken
-    lexicographically) and re-emit every document as its token-id
-    sequence — the step that turns a cleaned corpus into model input.
+def encode_corpus_to_ids(
+    spark: SparkSession,
+    docs: DataFrame,
+    vocab_size: int = 65536,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Corpus → training-tensor encoding with a BOUNDED vocabulary:
+    the top ``vocab_size`` tokens by (count desc, token asc) get ids
+    0..K-1 (id 0 = most frequent); everything rarer maps to the OOV id
+    K — exactly how real tokenizers behave (fixed 32-64k entry tables,
+    unknown → <unk>).
 
-    Plan: ONE tokenization (posexplode) feeds both the vocab aggregate
-    and the encode join. The vocab rank is a global row_number — fine
-    because the vocab table is |V| rows (bounded: real pipelines cap it
-    at 32k-200k entries, at which point the encode join side is
-    provably bounded and broadcast-able; left unhinted here since this
-    fixture vocab is uncapped, AQE broadcasts it anyway). Sequence
-    order is restored with sort_array over (pos, id) structs — the
-    shuffle carries (doc_id, pos, tok_id) triples only, linear in
-    corpus token count."""
-    docs = load_table(spark, "documents", sf_dir)
+    Scale design (VERDICT r03 #2 — this replaces a row_number over the
+    ENTIRE vocabulary, an unpartitioned WindowExec that serialized 10⁸+
+    distinct tokens through one task at 100 TB):
+    - token counts: one partial-agg shuffle, linear in corpus tokens;
+    - top-K: ``orderBy().limit(K)`` compiles to TakeOrdered — each
+      partition keeps its local top-K heap, the driver merges K rows
+      (≤ a few MB by construction, same bounded-collect contract as the
+      IVF fit sample in functions/similarity.py);
+    - ranking: positional index over the K collected rows — no window,
+      no extra shuffle;
+    - encode: broadcast hash join against the K-row dictionary (hinted;
+      the build side is provably bounded so the hint always holds).
+    Sequence order is restored with sort_array over (pos, id) structs —
+    the shuffle carries (doc_id, pos, tok_id) triples, linear in corpus
+    token count. Measured r3→r4 at sf0.1: the old global-window plan
+    was the worst tier-2→3 grower in SCALING.md (6.1×); this plan's
+    growth is agg-bound.
+    """
     par = spark.sparkContext.defaultParallelism
-    toks = (
-        docs.repartition(par)
-        .select(
-            "doc_id",
-            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "token"),
-        )
+    toks = docs.repartition(par).select(
+        "doc_id",
+        *keep_cols,
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "token"),
     )
-    vocab = (
+    top = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            "token",
-            (
-                F.row_number().over(Window.orderBy(F.desc("cnt"), "token")) - 1
-            ).alias("tok_id"),
-        )
+        .orderBy(F.desc("cnt"), "token")
+        .limit(vocab_size)
+        .toPandas()
     )
-    return (
-        toks.join(vocab, "token")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "tok_id"))
-                    ),
-                    lambda s: s.tok_id.cast("string"),
-                ),
-                ",",
-            ).alias("token_ids"),
-        )
+    top = top.sort_values(
+        ["cnt", "token"], ascending=[False, True], ignore_index=True
     )
+    top["tok_id"] = top.index.astype("int64")
+    vocab = spark.createDataFrame(top[["token", "tok_id"]])
+    enc = toks.join(F.broadcast(vocab), "token", "left").withColumn(
+        "tok_id", F.coalesce("tok_id", F.lit(vocab_size).cast("bigint"))
+    )
+    return enc.groupBy("doc_id", *keep_cols).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok_id"))),
+                lambda s: s.tok_id.cast("string"),
+            ),
+            ",",
+        ).alias("token_ids"),
+    )
+
+
+@register("tokenize_to_ids", oracle=_tokenize_oracle, tags=("text",))
+def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary encode (see encode_corpus_to_ids).
+    The 65536-entry cap never binds on the fixture vocabulary, so the
+    uncapped DuckDB oracle stays exact; the OOV path is pinned by
+    tests/test_text_pipeline.py with a tiny forced vocab_size."""
+    docs = load_table(spark, "documents", sf_dir)
+    return encode_corpus_to_ids(spark, docs, vocab_size=65536)
 
 
 _packing_oracle = """

@@ -19,6 +19,7 @@ would otherwise sit unemitted behind the watermark at end-of-stream.
 
 from __future__ import annotations
 
+import atexit
 import os
 import tempfile
 import uuid
@@ -37,14 +38,36 @@ from hpat_jl_spark.streaming.windows import (
 )
 
 
+# (sf_dir, copies) → staged dir. Staging is idempotent, so the sweep /
+# min-of-reps bench reuse one symlink dir per source instead of leaking
+# a fresh mkdtemp per invocation (ADVICE r03); atexit removes them all.
+_STAGED_DIRS: dict[tuple[str, int], str] = {}
+
+
+def _cleanup_staged_dirs() -> None:
+    import shutil
+
+    for d in _STAGED_DIRS.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _STAGED_DIRS.clear()
+
+
+atexit.register(_cleanup_staged_dirs)
+
+
 def _stage_events_dir(sf_dir: str, copies: int = 1) -> str:
     """File-source streams watch directories; symlink the fixture
-    parquet into a fresh temp dir (no copy). ``copies`` > 1 stages the
-    same data under several names — an exact-duplicate replay for dedup
-    tests. Handles both fixture layouts: a single events.parquet FILE
-    (driver testdata) and a DIRECTORY of part-files (real lake layout /
-    the scaling probe's staged tables) — the file source lists files,
-    not subdirectories, so directory sources are staged per part-file."""
+    parquet into a temp dir (no copy), cached per (sf_dir, copies).
+    ``copies`` > 1 stages the same data under several names — an
+    exact-duplicate replay for dedup tests. Handles both fixture
+    layouts: a single events.parquet FILE (driver testdata) and a
+    DIRECTORY of part-files (real lake layout / the scaling probe's
+    staged tables) — the file source lists files, not subdirectories,
+    so directory sources are staged per part-file."""
+    key = (os.path.abspath(sf_dir), copies)
+    cached = _STAGED_DIRS.get(key)
+    if cached and os.path.isdir(cached):
+        return cached
     d = tempfile.mkdtemp(prefix="hpat_stream_")
     src = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(src):
@@ -60,6 +83,7 @@ def _stage_events_dir(sf_dir: str, copies: int = 1) -> str:
     else:
         for i in range(copies):
             os.symlink(src, os.path.join(d, f"events_{i}.parquet"))
+    _STAGED_DIRS[key] = d
     return d
 
 

@@ -535,23 +535,32 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Rank-based ordinal symbols instead of z-normal breakpoints keep the
 # discretization INTEGER-exact across engines (a z-score boundary at fp
-# noise would flip a symbol and desync the candidate sets); sort keys
-# single-digit segs so Spark's string sort_array == DuckDB's ORDER BY
-# seg (fixture window is 30 days -> segments 0..5).
+# noise would flip a symbol and desync the candidate sets). Engine-sync
+# hardening (ADVICE r03): days anchor at 1970-01-01 so they are
+# non-negative for any realistic timestamp (Spark `div` truncates
+# toward zero, DuckDB `//` floors — they only disagree below the
+# anchor), seg division is an explicit floor on BOTH sides, and the
+# word zero-pads seg to 4 digits (printf both sides) so Spark's
+# lexicographic sort_array == DuckDB's numeric ORDER BY seg for any
+# window up to seg 9999 (year 2106) — not just single-digit segs.
 _sax_oracle = """
 WITH daily AS (
-  SELECT user_id, date_diff('day', DATE '2024-01-01', ts::DATE) AS day,
+  SELECT user_id, date_diff('day', DATE '1970-01-01', ts::DATE) AS day,
          avg(value) AS dv
   FROM events GROUP BY 1, 2
 ),
-paa AS (SELECT user_id, day // 5 AS seg, avg(dv) AS paa FROM daily GROUP BY 1, 2),
+paa AS (
+  SELECT user_id, CAST(floor(day / 5.0) AS BIGINT) AS seg, avg(dv) AS paa
+  FROM daily GROUP BY 1, 2
+),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY paa, seg) AS r
   FROM paa
 ),
 symb AS (SELECT *, ((r - 1) * 3) // 6 AS sym FROM ranked),
 words AS (
-  SELECT user_id, string_agg(seg || ':' || sym, ';' ORDER BY seg) AS word
+  SELECT user_id, string_agg(printf('%04d', seg) || ':' || sym, ';' ORDER BY seg)
+           AS word
   FROM symb GROUP BY user_id
 ),
 cands AS (
@@ -587,18 +596,25 @@ def sax_similarity_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (flat series) would take the same salting treatment as any skewed
     join key."""
     events = load_table(spark, "events", sf_dir)
+    return _sax_candidates(events)
+
+
+def _sax_candidates(events: DataFrame) -> DataFrame:
+    """SAX kernel on a (user_id, ts, value) frame — split out so the
+    planted test can drive it with >50-day windows (multi-digit segs)
+    that the fixture never produces (ADVICE r03 hardening)."""
     daily = (
         events.select(
             "user_id",
-            F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))).alias("day"),
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("day"),
             "value",
         )
         .groupBy("user_id", "day")
         .agg(F.avg("value").alias("dv"))
     )
-    paa = daily.groupBy("user_id", F.expr("day div 5").alias("seg")).agg(
-        F.avg("dv").alias("paa")
-    )
+    paa = daily.groupBy(
+        "user_id", F.floor(F.col("day") / 5).cast("bigint").alias("seg")
+    ).agg(F.avg("dv").alias("paa"))
     w = Window.partitionBy("user_id").orderBy("paa", "seg")
     symb = paa.withColumn("r", F.row_number().over(w)).withColumn(
         "sym", F.expr("((r - 1) * 3) div 6")
@@ -607,7 +623,11 @@ def sax_similarity_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             ";",
             F.sort_array(
-                F.collect_list(F.concat_ws(":", F.col("seg"), F.col("sym")))
+                F.collect_list(
+                    F.concat_ws(
+                        ":", F.format_string("%04d", F.col("seg")), F.col("sym")
+                    )
+                )
             ),
         ).alias("word"),
         F.array_sort(F.collect_list(F.struct("seg", "paa"))).alias("pv"),

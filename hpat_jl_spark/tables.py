@@ -17,6 +17,7 @@ on a real lake layout).
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -166,6 +167,17 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     # The NTZ branch below and every date_trunc/window downstream assume
     # UTC; a vanilla session inherits the machine tz, so pin it here the
     # same way nanosAsLong is pinned (engine sessions already set it).
+    # Overwriting a session that INTENTIONALLY runs another timezone
+    # changes semantics of its already-planned frames — warn, don't be
+    # silent about it (ADVICE r03).
+    prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if prev_tz and prev_tz != "UTC":
+        warnings.warn(
+            f"load_table pins spark.sql.session.timeZone=UTC, overriding "
+            f"the session's explicit {prev_tz!r}; timestamps in frames "
+            f"planned before this call may shift",
+            stacklevel=2,
+        )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     declared = SCHEMAS[name]

@@ -1,7 +1,11 @@
 #!/usr/bin/env python
 """Full local twin of the driver's correctness gate: run EVERY
 registered query against its DuckDB oracle (or rows-only execute) at
-sf0.01 and report failures. Exit 0 iff all green."""
+sf0.01 and report failures. Exit 0 iff all green.
+
+Every FAIL line is re-printed in the final summary (VERDICT r03 #3:
+a one-off failure once scrolled out of a captured tail and the flake's
+name was lost — the summary must be self-contained evidence)."""
 
 from __future__ import annotations
 
@@ -20,7 +24,7 @@ def main() -> int:
     spark = get_spark(app_name="oracle-sweep")
     qs = registry.queries()
     oracles = registry.oracle_sql()
-    bad = 0
+    failures: list[str] = []
     for name in qs:
         t0 = time.perf_counter()
         try:
@@ -34,13 +38,16 @@ def main() -> int:
         dt = time.perf_counter() - t0
         kind = "oracle" if name in oracles else "rows  "
         if issues:
-            bad += 1
-            print(f"FAIL {kind} {name} ({dt:.1f}s): {issues}")
+            line = f"FAIL {kind} {name} ({dt:.1f}s): {issues}"
+            failures.append(line)
+            print(line, flush=True)
         else:
-            print(f"ok   {kind} {name} ({dt:.1f}s)")
-    print(f"\n{len(qs) - bad}/{len(qs)} green")
+            print(f"ok   {kind} {name} ({dt:.1f}s)", flush=True)
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} green")
+    for line in failures:
+        print(f"  {line}")
     spark.stop()
-    return 1 if bad else 0
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":

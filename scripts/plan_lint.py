@@ -8,6 +8,13 @@ plan at sf0.001 and fails on scale anti-patterns:
 - BroadcastNestedLoopJoin  cross/theta join — legitimate ONLY for
                            provably-1-row scalar-aggregate sides, which
                            must be allow-listed here with a reason
+- UnpartitionedWindow      Window node with an empty partition spec:
+                           the whole input sorts through ONE task. Fine
+                           only over provably bounded inputs (a prior
+                           aggregate / limit), which must be
+                           allow-listed here with a reason (VERDICT r03
+                           #2 — tokenize_to_ids ranked 10⁸+ vocab rows
+                           through one task at the 100 TB design point)
 
 dump_plans.py documents the headline plans in depth; this linter is the
 breadth pass — a new query (or a Catalyst regression after a rewrite)
@@ -43,7 +50,11 @@ ALLOW: dict[str, dict[str, str]] = {
     "q15_top_supplier": {"BroadcastNestedLoopJoin": "1-row max-revenue aggregate"},
     "q17_small_quantity_revenue": {"BroadcastNestedLoopJoin": "1-row scalar aggregate"},
     "q22_global_sales_opportunity": {"BroadcastNestedLoopJoin": "1-row avg-balance aggregate"},
-    "cumsum_global_chunked": {"BroadcastNestedLoopJoin": "per-chunk offset table, #chunks rows"},
+    "cumsum_global_chunked": {
+        "BroadcastNestedLoopJoin": "per-chunk offset table, #chunks rows",
+        "UnpartitionedWindow": "Exscan offset window over the 64-row "
+        "per-chunk sums table — that boundedness is the whole point",
+    },
     "timeseries_similarity": {
         "BroadcastNestedLoopJoin": "documented capped demo (20 users); scale path is knn_lsh/ivf"
     },
@@ -57,11 +68,29 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row sketch-boundaries aggregate broadcast"
     },
     "ks_test_purchase_view": {
-        "BroadcastNestedLoopJoin": "1-row sample-totals aggregate broadcast"
+        "BroadcastNestedLoopJoin": "1-row sample-totals aggregate broadcast",
+        "UnpartitionedWindow": "64-row chunk-offset window inside "
+        "cumsum_chunked, twice (one per sample CDF)",
     },
     "js_divergence_sources": {
         "BroadcastNestedLoopJoin": "source-dim x source-dim pair anchor "
         "(|sources| rows per side; keeps disjoint pairs from vanishing)"
+    },
+    # Global windows over PROVABLY BOUNDED inputs (a prior aggregate or
+    # the chunk-offset table) — the one legitimate unpartitioned-window
+    # shape. Anything ranking raw fact/corpus rows globally must be
+    # rewritten (tokenize_to_ids was, VERDICT r03 #2).
+    "supplier_revenue_quartiles": {
+        "UnpartitionedWindow": "global ntile over the per-supplier "
+        "aggregate (|suppliers| rows, 5 orders below lineitem)"
+    },
+    "daily_anomalies": {
+        "UnpartitionedWindow": "trailing-7-day stats over the per-day "
+        "aggregate (|days| rows, calendar-bounded)"
+    },
+    "domain_mix_report": {
+        "UnpartitionedWindow": "OVER () normalization across the "
+        "per-source aggregate (|sources| rows)"
     },
 }
 
@@ -72,6 +101,46 @@ def fmt_plan(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
+
+
+def _top_level_groups(s: str) -> list[str]:
+    """Top-level [...] groups in a Window node's Arguments line."""
+    depth = 0
+    groups: list[str] = []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                groups.append("")
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        elif depth > 0:
+            groups[-1] += ch
+    return groups
+
+
+def has_unpartitioned_window(plan: str) -> bool:
+    """A physical Window with an empty partition spec funnels the whole
+    input through ONE task. Formatted-plan Arguments come as up to
+    three top-level groups [exprs], [partition], [order]; the variants:
+      3 groups                         → partitioned, parallel: fine
+      2 groups, last is an order spec  → global sort window: FLAG
+      2 groups, last is partition cols → partition-only window: fine
+      1 group (bare OVER ())           → single-partition agg: FLAG
+    """
+    import re
+
+    for m in re.finditer(
+        r"\(\d+\) Window\n(?:Input[^\n]*\n)?Arguments: ([^\n]*)", plan
+    ):
+        groups = _top_level_groups(m.group(1))
+        if len(groups) == 1:
+            return True
+        if len(groups) == 2 and (
+            " ASC" in groups[-1] or " DESC" in groups[-1]
+        ):
+            return True
+    return False
 
 
 def main() -> int:
@@ -85,14 +154,16 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
             offenders.append(f"{name}: PLAN BUILD FAILED: {e!r}")
             continue
-        for op in BAD:
-            if op in plan:
-                reason = ALLOW.get(name, {}).get(op)
-                if reason:
-                    allowed_hits += 1
-                    print(f"allow {name}: {op} ({reason})", file=sys.stderr)
-                else:
-                    offenders.append(f"{name}: {op}")
+        hits = [op for op in BAD if op in plan]
+        if has_unpartitioned_window(plan):
+            hits.append("UnpartitionedWindow")
+        for op in hits:
+            reason = ALLOW.get(name, {}).get(op)
+            if reason:
+                allowed_hits += 1
+                print(f"allow {name}: {op} ({reason})", file=sys.stderr)
+            else:
+                offenders.append(f"{name}: {op}")
     print(
         f"linted {len(qs)} plans; {len(offenders)} offenders, "
         f"{allowed_hits} allow-listed"

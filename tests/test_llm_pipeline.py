@@ -141,42 +141,34 @@ def test_decontaminate_runs_on_fixture(spark):
         assert r.doc_id % 10 != 0 and r.n_shared_grams >= 1
 
 
-def test_tokenize_to_ids_planted_vocab_rank(spark, tmp_path):
-    # "b" appears 3×, "a" 2×, "c" 1× → ids b=0, a=1, c=2
-    docs = spark.createDataFrame(
-        [(1, "a b b"), (2, "b a c")], ["doc_id", "text"]
-    )
-    from pyspark.sql import Window
+def test_tokenize_to_ids_planted_vocab_rank(spark):
+    # "b" appears 4×, "a" 2×, "c"/"d" 1× (tie → lexicographic):
+    # ids b=0, a=1, c=2, d=3
+    from hpat_jl_spark.plans.llm_pipeline import encode_corpus_to_ids
 
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "token")
-    )
-    vocab = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            "token",
-            (F.row_number().over(Window.orderBy(F.desc("cnt"), "token")) - 1).alias(
-                "tok_id"
-            ),
-        )
+    docs = spark.createDataFrame(
+        [(1, "a b b"), (2, "b a c"), (3, "d b")], ["doc_id", "text"]
     )
     out = {
-        r.doc_id: r.ids
-        for r in toks.join(vocab, "token")
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok_id"))),
-                    lambda s: s.tok_id.cast("string"),
-                ),
-                ",",
-            ).alias("ids")
-        )
-        .collect()
+        r.doc_id: (r.n_tokens, r.token_ids)
+        for r in encode_corpus_to_ids(spark, docs, vocab_size=16).collect()
     }
-    assert out == {1: "1,0,0", 2: "0,1,2"}
+    assert out == {1: (3, "1,0,0"), 2: (3, "0,1,2"), 3: (2, "3,0")}
+
+
+def test_tokenize_to_ids_oov_maps_to_cap_id(spark):
+    # vocab_size=2 keeps b(0), a(1); c and d BOTH collapse to OOV id 2,
+    # and n_tokens still counts OOV occurrences.
+    from hpat_jl_spark.plans.llm_pipeline import encode_corpus_to_ids
+
+    docs = spark.createDataFrame(
+        [(1, "a b b"), (2, "b a c d c")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.token_ids)
+        for r in encode_corpus_to_ids(spark, docs, vocab_size=2).collect()
+    }
+    assert out == {1: (3, "1,0,0"), 2: (5, "0,1,2,2,2")}
 
 
 def test_sequence_packing_crosses_boundary(spark):

@@ -67,3 +67,24 @@ def test_activity_streaks_fixture_invariants(spark):
     for r in rows:
         # an island spans exactly its day count
         assert (r.streak_end - r.streak_start).days == r.streak_days - 1
+
+
+def test_sax_multidigit_segments_match_across_users(spark):
+    """ADVICE r03 hardening pin: >50-day windows produce multi-digit
+    (relative) segment numbers; the %04d-padded word must still compare
+    identical-shape users equal and different-shape users unequal —
+    lexicographic sort_array == numeric seg order by construction."""
+    import datetime as dt
+
+    from hpat_jl_spark.plans.temporal import _sax_candidates
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in (1, 2):  # identical 70-day shapes -> must be candidates
+        for d in range(0, 70, 5):
+            rows.append((u, base + dt.timedelta(days=d), float(d % 3)))
+    for d in range(0, 70, 5):  # flat series -> different word
+        rows.append((3, base + dt.timedelta(days=d), 1.0))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {(r.user_a, r.user_b): r.paa_dist for r in _sax_candidates(df).collect()}
+    assert got == {(1, 2): 0.0}
