@@ -106,6 +106,61 @@ def cumsum_chunked(t: DataFrame, value: str, order_by: str, out: str = "cumsum",
     )
 
 
+def exscan_chunked(
+    t: DataFrame,
+    value: str,
+    order_by: str,
+    out: str = "exscan",
+    partition_by: str | None = None,
+    num_chunks: int = 1024,
+) -> DataFrame:
+    """EXCLUSIVE chunked prefix sum (MPI_Exscan proper, reference
+    src/distributed-pass.jl:1213) — ``out`` = sum of ``value`` over all
+    STRICTLY-PRIOR rows in ``order_by`` order, 0 for the first row;
+    empty prefixes yield 0 (the packing/offset use case, not the
+    NULL-propagating analytics one — see cumsum_chunked for that).
+
+    With ``partition_by`` the scan restarts per group but — unlike a
+    plain partitioned window — no task ever sorts a whole group: rows
+    range-partition on (group, order) so a group spanning 90% of the
+    data spreads over ~90% of the chunks, each chunk scans locally, and
+    the only per-group serial object is its ≤num_chunks-row offset
+    table (VERDICT r03 #4: the sequence-packing scale path).
+    """
+    from pyspark import StorageLevel
+
+    keys = ([F.col(partition_by)] if partition_by else []) + [F.col(order_by)]
+    tiled = (
+        t.repartitionByRange(num_chunks, *keys)
+        .withColumn("__chunk", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    grp = ([partition_by] if partition_by else []) + ["__chunk"]
+    w_in = (
+        Window.partitionBy(*grp)
+        .orderBy(order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = tiled.withColumn(
+        "__local_ex", F.coalesce(F.sum(value).over(w_in), F.lit(0))
+    )
+    chunk_sums = tiled.groupBy(*grp).agg(F.sum(value).alias("__chunk_sum"))
+    w_chunks = (
+        (Window.partitionBy(partition_by) if partition_by else Window.partitionBy())
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = chunk_sums.select(
+        *grp,
+        F.coalesce(F.sum("__chunk_sum").over(w_chunks), F.lit(0)).alias("__offset"),
+    )
+    return (
+        local.join(F.broadcast(offsets), grp)
+        .withColumn(out, F.col("__local_ex") + F.col("__offset"))
+        .drop("__chunk", "__local_ex", "__offset")
+    )
+
+
 def stencil_3pt(
     t: DataFrame,
     value: str,

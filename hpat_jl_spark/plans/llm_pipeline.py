@@ -405,6 +405,61 @@ FROM packed
 """
 
 
+def pack_sequences(
+    n: DataFrame,
+    context_len: int = 512,
+    max_sort_run: int = 5_000_000,
+    num_chunks: int = 1024,
+) -> DataFrame:
+    """Sequence-packing kernel on a (doc_id, source, n_tokens) frame:
+    exclusive per-source running token count → integer div/mod by the
+    context length. Two physical paths with IDENTICAL output
+    (tests/test_llm_pipeline.py pins equivalence on a 90%-dominant
+    source):
+
+    - window path (default): one shuffle keyed on source; each source
+      is a single sort run — right whenever the largest source fits a
+      task (the fixture case).
+    - chunked path: when the largest source exceeds ``max_sort_run``
+      rows, a per-source chunked Exscan (operators/windowed.
+      exscan_chunked — range-partition on (source, doc_id), local
+      scans, broadcast per-source chunk offsets) keeps every task
+      bounded by the chunk size, not the source size (VERDICT r03 #4;
+      reference dist_cumsum!, src/distributed-pass.jl:1213). The
+      path switch is one tiny count aggregate.
+    """
+    from hpat_jl_spark.operators.windowed import exscan_chunked
+
+    biggest = (
+        n.groupBy("source").count().agg(F.max("count")).first()[0] or 0
+    )
+    if biggest > max_sort_run:
+        packed = exscan_chunked(
+            n,
+            "n_tokens",
+            order_by="doc_id",
+            out="tok_before",
+            partition_by="source",
+            num_chunks=num_chunks,
+        )
+    else:
+        w = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        packed = n.withColumn(
+            "tok_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(F.col("tok_before") / context_len).cast("bigint").alias("pack_id"),
+        (F.col("tok_before") % context_len).cast("bigint").alias("pack_offset"),
+    )
+
+
 @register("sequence_packing", oracle=_packing_oracle, tags=("text",))
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign documents to fixed-length (512-token)
@@ -413,33 +468,14 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-shape training rows. Contiguous packing (not bin-packing
     first-fit) is the standard distributed choice because it is a pure
     prefix-sum: deterministic under any partitioning, no sequential
-    bin state.
-
-    Plan: exclusive running token count per source (window frame ends
-    at 1 PRECEDING) → integer div/mod by the context length. One
-    shuffle keyed on source. If one source outgrows a single sort run
-    at 100 TB, the same prefix sum chunks by the cumsum_global_chunked
-    two-pass (operators/windowed.cumsum_chunked) — offsets per chunk
-    are Exscan'd exactly like the reference's MPI cumsum."""
+    bin state. Physical strategy and scale story: pack_sequences."""
     docs = load_table(spark, "documents", sf_dir)
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     n = docs.select(
         "doc_id",
         "source",
         F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
     )
-    packed = n.withColumn("tok_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
-    return packed.select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        F.floor(F.col("tok_before") / 512).cast("bigint").alias("pack_id"),
-        (F.col("tok_before") % 512).cast("bigint").alias("pack_offset"),
-    )
+    return pack_sequences(n, context_len=512)
 
 
 _domain_mix_oracle = """

@@ -386,3 +386,24 @@ def test_c4_line_filter_rules_planted(spark):
     assert out[1] == (2, 1, ["w1 w2 w3 w4 w5 w6 w7."])  # line 1 lacks punct
     assert out[2] == (1, 0, [])  # blocklist hit
     assert out[3] == (1, 0, [])  # under 5 words
+
+
+def test_sequence_packing_chunked_path_matches_window_path(spark):
+    """VERDICT r03 #4 pin: a 90%-dominant source must produce IDENTICAL
+    pack assignments via the single-sort-run window path and the
+    per-source chunked Exscan path (forced by max_sort_run=0)."""
+    import random
+
+    from hpat_jl_spark.plans.llm_pipeline import pack_sequences
+
+    rng = random.Random(7)
+    rows = [(i, "big" if i % 10 else "small", rng.randrange(1, 400))
+            for i in range(2000)]
+    n = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    key = lambda r: (r.source, r.doc_id)  # noqa: E731
+    via_window = sorted(pack_sequences(n, 512, max_sort_run=10**9).collect(), key=key)
+    via_chunks = sorted(
+        pack_sequences(n, 512, max_sort_run=0, num_chunks=16).collect(), key=key
+    )
+    assert via_window == via_chunks
+    assert any(r.pack_id > 0 for r in via_window)  # packing actually crosses
