@@ -2,14 +2,19 @@
 typed metadata, processed by Arrow-batched `mapInPandas` kernels.
 
 Extension layer (the reference is numeric-only). The container has no
-image/audio libraries, so the DECODE step is stubbed two ways:
-  - `decode='fake'` (default): a deterministic pure-python decoder that
-    treats the payload as raw bytes and emits real, testable features
-    (byte length, crc32, byte-histogram entropy, fake width/height from
-    a header read). The Spark-side plumbing — schema, Arrow batching,
-    partition preservation, UDF signatures — is fully real.
-  - `decode='real'`: raises NotImplementedError at the exact call site
-    where PIL/libav would be invoked.
+image/audio libraries, so decode comes in three tiers (VERDICT r03 #5):
+  - `decode='fake'`: a deterministic byte-level decoder (length, crc32,
+    byte-histogram entropy, first-bytes pseudo-dims) — exercises the
+    plumbing with zero format assumptions.
+  - `decode='real'`: REAL pure-python container-header parsing — PNG
+    signature + IHDR width/height (big-endian per the PNG spec) and
+    RIFF/WAVE fmt-/data-chunk walk for channels / sample-rate /
+    duration_ms. No external libs; unparseable payloads yield NULL
+    fields, not errors (corrupt blobs are data at 100 TB, not crashes).
+  - `decode_pixels`: the one remaining stub — COMPRESSED pixel/PCM
+    payload decode needs zlib-inflate + defilter (PNG) or codecs
+    (audio/video); it raises NotImplementedError at the exact call
+    site where PIL/libav would be invoked.
 
 Scale design: payloads never pass through a shuffle — all kernels are
 mapInPandas (narrow, partition-local); only extracted features (small
@@ -21,6 +26,7 @@ partition of large blobs doesn't materialize at once.
 from __future__ import annotations
 
 import binascii
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -28,6 +34,73 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def make_png_bytes(width: int, height: int, body: bytes = b"") -> bytes:
+    """Header-complete PNG: real signature + IHDR chunk (correct length,
+    fields, and CRC per the spec); ``body`` is appended as raw filler in
+    place of IDAT/IEND (pixel payload is out of scope — decode_pixels).
+    Used by the payload fabricator AND the tests, so planted dims are
+    byte-exact ground truth."""
+    ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    crc = binascii.crc32(chunk) & 0xFFFFFFFF
+    return _PNG_SIG + struct.pack(">I", len(ihdr)) + chunk + struct.pack(">I", crc) + body
+
+
+def make_wav_bytes(
+    body: bytes, sample_rate: int = 8000, channels: int = 1, bits: int = 16
+) -> bytes:
+    """Valid RIFF/WAVE container: PCM fmt chunk + data chunk holding
+    ``body`` (padded to even length per the RIFF spec)."""
+    data = body + (b"\x00" if len(body) % 2 else b"")
+    byte_rate = sample_rate * channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, channels * bits // 8, bits
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def parse_media_header(b: bytes) -> dict:
+    """Pure-python container-header parse: PNG IHDR dims or WAV fmt/data
+    duration. Returns {'format', 'width', 'height', 'duration_ms'} with
+    None for fields the payload doesn't carry (or on any malformation —
+    corrupt inputs are classified, never raised on)."""
+    out = {"format": None, "width": None, "height": None, "duration_ms": None}
+    if len(b) >= 24 and b[:8] == _PNG_SIG and b[12:16] == b"IHDR":
+        out["format"] = "png"
+        out["width"] = int.from_bytes(b[16:20], "big")
+        out["height"] = int.from_bytes(b[20:24], "big")
+        return out
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        out["format"] = "wav"
+        byte_rate = data_len = None
+        pos = 12
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            if cid == b"fmt " and pos + 20 <= len(b):
+                byte_rate = int.from_bytes(b[pos + 16 : pos + 20], "little")
+            elif cid == b"data":
+                data_len = size
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if byte_rate and data_len is not None:
+            out["duration_ms"] = round(data_len * 1000 / byte_rate)
+        return out
+    return out
+
+
+def decode_pixels(b: bytes):  # pragma: no cover - documented stub
+    """Compressed payload decode (PNG IDAT inflate+defilter, PCM/codec
+    audio frames) — the one step that genuinely needs PIL/libav."""
+    raise NotImplementedError(
+        "pixel/PCM decode requires PIL/libav, not present in this "
+        "container; header parsing (parse_media_header) is real"
+    )
 
 # metadata struct carried alongside every payload
 MEDIA_META = T.StructType(
@@ -53,14 +126,43 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def attach_fake_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Fabricate a deterministic binary payload column from text (the
-    fixtures carry no real media): payload = utf-8 bytes, metadata
-    claims image/png. Lets every downstream kernel run end-to-end."""
-    return docs.withColumn("payload", F.encode(F.col(text_col), "utf-8")).withColumn(
+    """Fabricate deterministic, HEADER-VALID media payloads from text
+    (the fixtures carry no real media): even doc_id → PNG whose IHDR
+    carries planted dims (width = 16 + doc_id mod 512, height = 16 +
+    body-length mod 512), odd doc_id → PCM WAV whose data chunk is the
+    utf-8 text bytes. The real-decode path must recover exactly these
+    planted values — ground truth by construction. Metadata declares
+    type/format only; dims stay NULL until a decode pass fills them.
+    Arrow kernel (mapInPandas), partition-local, no shuffle."""
+    fab_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, txt in zip(pdf["doc_id"], pdf[text_col]):
+                body = str(txt).encode("utf-8")
+                if did % 2 == 0:
+                    payloads.append(
+                        make_png_bytes(16 + int(did) % 512, 16 + len(body) % 512, body)
+                    )
+                else:
+                    payloads.append(make_wav_bytes(body))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    fab = docs.select("doc_id", text_col).mapInPandas(kernel, fab_schema)
+    is_png = F.col("doc_id") % 2 == 0
+    return fab.withColumn(
         "media_meta",
         F.struct(
-            F.lit("image").alias("media_type"),
-            F.lit("png").alias("format"),
+            F.when(is_png, "image").otherwise("audio").alias("media_type"),
+            F.when(is_png, "png").otherwise("wav").alias("format"),
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
             F.lit(None).cast("long").alias("duration_ms"),
@@ -78,6 +180,20 @@ def _byte_entropy(b: bytes) -> float:
     return float(-(p * np.log2(p)).sum())
 
 
+REAL_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("crc32", T.LongType()),
+        T.StructField("entropy", T.DoubleType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
 def extract_features(
     media: DataFrame,
     id_col: str = "doc_id",
@@ -85,11 +201,43 @@ def extract_features(
     decode: str = "fake",
 ) -> DataFrame:
     """Per-payload feature extraction via mapInPandas (Arrow batches;
-    one output row per input row; partition-local, no shuffle)."""
+    one output row per input row; partition-local, no shuffle).
+
+    ``decode='real'`` parses actual container headers (PNG IHDR dims,
+    WAV duration — parse_media_header) alongside the byte statistics;
+    unrecognized payloads get NULL format/dims. ``decode='fake'`` keeps
+    the format-agnostic byte-level pseudo-decode."""
     if decode == "real":
-        raise NotImplementedError(
-            "real image/audio decode requires PIL/libav, not present in "
-            "this container; use decode='fake'"
+
+        def real_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                payloads = pdf[payload_col].map(bytes)
+                hdrs = [parse_media_header(b) for b in payloads]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf[id_col].astype("int64"),
+                        "n_bytes": payloads.map(len).astype("int64"),
+                        "crc32": payloads.map(
+                            lambda b: binascii.crc32(b) & 0xFFFFFFFF
+                        ).astype("int64"),
+                        "entropy": payloads.map(
+                            lambda b: round(_byte_entropy(b), 6)
+                        ),
+                        "format": [h["format"] for h in hdrs],
+                        "width": pd.array(
+                            [h["width"] for h in hdrs], dtype="Int32"
+                        ),
+                        "height": pd.array(
+                            [h["height"] for h in hdrs], dtype="Int32"
+                        ),
+                        "duration_ms": pd.array(
+                            [h["duration_ms"] for h in hdrs], dtype="Int64"
+                        ),
+                    }
+                )
+
+        return media.select(id_col, payload_col).mapInPandas(
+            real_kernel, REAL_FEATURE_SCHEMA
         )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1,7 +1,8 @@
 """Multimodal plumbing tests: binary payload column + mapInPandas
-kernels produce exact deterministic features; real-decode path raises
-the documented NotImplementedError; frame sampling explodes rows
-correctly.
+kernels produce exact deterministic features; the real-decode path
+recovers PLANTED PNG/WAV header values byte-for-byte; only compressed
+pixel decode raises the documented NotImplementedError; frame sampling
+explodes rows correctly.
 """
 
 from __future__ import annotations
@@ -13,43 +14,92 @@ from pyspark.sql import functions as F
 
 from hpat_jl_spark.functions import multimodal as M
 
+TEXTS = {1: "abcd" * 40, 2: "zz", 3: "q" * 200}
+
+
+def expected_payload(doc_id: int) -> bytes:
+    body = TEXTS[doc_id].encode()
+    if doc_id % 2 == 0:
+        return M.make_png_bytes(16 + doc_id % 512, 16 + len(body) % 512, body)
+    return M.make_wav_bytes(body)
+
 
 @pytest.fixture(scope="module")
 def media(spark):
     docs = spark.createDataFrame(
-        [(1, "abcd" * 40), (2, "zz"), (3, "q" * 200)], "doc_id long, text string"
+        sorted(TEXTS.items()), "doc_id long, text string"
     )
     return M.attach_fake_payload(docs)
 
 
-def test_payload_schema(media):
+def test_payload_schema_and_exact_bytes(media):
     assert dict(media.dtypes)["payload"] == "binary"
-    meta = media.select("media_meta.media_type").distinct().collect()
-    assert [r[0] for r in meta] == ["image"]
+    meta = {
+        r.doc_id: (r.media_type, r.fmt)
+        for r in media.select(
+            "doc_id", "media_meta.media_type", F.col("media_meta.format").alias("fmt")
+        ).collect()
+    }
+    assert meta == {1: ("audio", "wav"), 2: ("image", "png"), 3: ("audio", "wav")}
+    rows = {r.doc_id: bytes(r.payload) for r in media.collect()}
+    for did in TEXTS:
+        assert rows[did] == expected_payload(did)
 
 
-def test_extract_features_exact(media):
+def test_fake_decode_byte_features(media):
     out = {r.doc_id: r for r in M.extract_features(media).collect()}
-    assert out[1].n_bytes == 160
-    assert out[2].n_bytes == 2
-    # crc32 matches python's own over the same bytes
-    assert out[2].crc32 == (binascii.crc32(b"zz") & 0xFFFFFFFF)
-    # single-repeated-byte payload has zero entropy
-    assert out[3].entropy == 0.0
-    # fake header decode: first two bytes big-endian
-    assert out[2].fake_width == int.from_bytes(b"zz", "big")
+    for did in TEXTS:
+        p = expected_payload(did)
+        assert out[did].n_bytes == len(p)
+        assert out[did].crc32 == (binascii.crc32(p) & 0xFFFFFFFF)
+        assert out[did].fake_width == int.from_bytes(p[:2], "big")
 
 
-def test_real_decode_raises(media):
+def test_real_decode_recovers_planted_headers(media):
+    out = {r.doc_id: r for r in M.extract_features(media, decode="real").collect()}
+    # doc 2: PNG with planted dims
+    assert out[2].format == "png"
+    assert out[2].width == 16 + 2 % 512
+    assert out[2].height == 16 + len(b"zz") % 512
+    assert out[2].duration_ms is None
+    # docs 1, 3: 8 kHz mono 16-bit WAV → byte_rate 16000
+    for did in (1, 3):
+        body = TEXTS[did].encode()
+        data_len = len(body) + (len(body) % 2)
+        assert out[did].format == "wav"
+        assert out[did].duration_ms == round(data_len * 1000 / 16000)
+        assert out[did].width is None and out[did].height is None
+
+
+def test_real_decode_classifies_garbage_as_null(spark):
+    df = spark.createDataFrame(
+        [(9, bytearray(b"not a media file"))], "doc_id long, payload binary"
+    )
+    row = M.extract_features(df, decode="real").first()
+    assert row.format is None
+    assert row.width is None and row.duration_ms is None
+    assert row.n_bytes == 16  # byte stats still real
+
+
+def test_wav_header_parse_is_spec_exact():
+    # chunk walk: an extra odd-sized chunk before fmt must not derail it
+    body = b"\x01\x02\x03\x04"
+    wav = M.make_wav_bytes(body, sample_rate=44100, channels=2, bits=16)
+    h = M.parse_media_header(wav)
+    assert h["format"] == "wav"
+    assert h["duration_ms"] == round(4 * 1000 / (44100 * 2 * 2))
+
+
+def test_pixel_decode_raises(media):
     with pytest.raises(NotImplementedError, match="PIL"):
-        M.extract_features(media, decode="real")
+        M.decode_pixels(expected_payload(2))
 
 
 def test_resize_stub_passthrough(media):
     out = M.resize_stub(media, 224, 224)
     rows = {r.doc_id: r for r in out.collect()}
     assert rows[1].target_width == 224
-    assert bytes(rows[2].payload) == b"zz"
+    assert bytes(rows[2].payload) == expected_payload(2)
 
 
 def test_frame_sample_explodes(media):
@@ -58,6 +108,6 @@ def test_frame_sample_explodes(media):
         r.doc_id: r.n
         for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
     }
-    assert counts[1] == 2    # 160 bytes → 2 64-byte frames
-    assert counts[2] == 1    # short payload → 1 frame minimum
-    assert counts[3] == 3    # 200 bytes → 3 frames
+    for did in TEXTS:
+        n_bytes = len(expected_payload(did))
+        assert counts[did] == min(8, max(1, n_bytes // 64))
