@@ -76,6 +76,8 @@ DRIVER_PRIORITY: list[str] = [
     "sequence_packing",
     "sax_similarity_candidates",
     "corpus_prep_pipeline",
+    # New this round: HDF5 source parity (VERDICT r03 #6).
+    "hdf5_ingest_agg",
 ]
 
 
@@ -104,6 +106,7 @@ def load_all_plans() -> None:
     import hpat_jl_spark.plans.llm_pipeline  # noqa: F401
     import hpat_jl_spark.plans.graph  # noqa: F401
     import hpat_jl_spark.plans.streaming  # noqa: F401
+    import hpat_jl_spark.plans.hdf5_source  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:
