@@ -142,13 +142,25 @@ def pagerank(
     return ranks
 
 
+def mttf_snapshot_interval(snapshot_cost_s: float, mttf_s: float) -> float:
+    """Young's optimal checkpoint interval sqrt(2·cost·MTTF) — the
+    formula the reference derives its snapshot cadence from (reference
+    src/checkpoint.jl:100-231: checkpoint time is measured, MTTF is a
+    config input, and the next interval balances snapshot overhead
+    against expected recomputation loss)."""
+    import math
+
+    return math.sqrt(2.0 * max(snapshot_cost_s, 0.0) * max(mttf_s, 0.0))
+
+
 def checkpointed_loop(
     state: DataFrame,
     step_fn,
     path: str,
     max_iter: int = 20,
-    snapshot_every: int = 5,
+    snapshot_every: int | None = 5,
     converged=None,
+    mttf_seconds: float = 4 * 3600.0,
 ) -> DataFrame:
     """Resumable iterative loop — the batch twin of the reference's
     checkpoint/restart entry point (reference src/HPAT.jl:246-275 +
@@ -165,6 +177,15 @@ def checkpointed_loop(
     between the two leaves the pointer on the previous complete
     snapshot. Calling again with the same ``path`` resumes from the
     pointer instead of iteration 0.
+
+    ``snapshot_every=None`` derives the cadence the reference's way
+    (src/checkpoint.jl:100-231): snapshot after the first step to
+    MEASURE the snapshot cost, then snapshot whenever wall time since
+    the last snapshot exceeds Young's sqrt(2·cost·MTTF)
+    (:func:`mttf_snapshot_interval`, ``mttf_seconds`` defaults to a
+    4-hour node MTTF — roughly a 1000-node cluster of 6-month-MTTF
+    machines). Each snapshot re-measures its cost, so the cadence
+    adapts as state grows.
 
     This is belt-and-braces beyond Spark's own task retry: task retry
     survives executor loss within a job, while the snapshot survives
@@ -195,12 +216,27 @@ def checkpointed_loop(
             "next_iter int, snapshot_dir string, done boolean",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_latest")
 
+    import time
+
+    adaptive = snapshot_every is None
+    interval: float | None = None  # unknown until first snapshot measured
+    last_snap = time.monotonic()
     for i in range(start, max_iter):
         new_state = step_fn(state, i).localCheckpoint(eager=True)
         done = bool(converged(state, new_state)) if converged else False
         state = new_state
-        if done or (i + 1) % snapshot_every == 0 or i == max_iter - 1:
+        if adaptive:
+            due = interval is None or (time.monotonic() - last_snap) >= interval
+        else:
+            due = (i + 1) % snapshot_every == 0
+        if done or due or i == max_iter - 1:
+            t0 = time.monotonic()
             _snapshot(state, i + 1, done)
+            if adaptive:
+                interval = mttf_snapshot_interval(
+                    time.monotonic() - t0, mttf_seconds
+                )
+                last_snap = time.monotonic()
         if done:
             break
     return state

@@ -110,3 +110,61 @@ def test_generic_loop_counter(spark, tmp_path):
     # resume with a higher budget: continues from 4, not from 0
     out2 = checkpointed_loop(init, step, path, max_iter=7, snapshot_every=2)
     assert out2.collect()[0].n == 7
+
+
+def test_mttf_interval_formula():
+    from hpat_jl_spark.operators.iterative import mttf_snapshot_interval
+
+    assert mttf_snapshot_interval(2.0, 9.0) == 6.0  # sqrt(2*2*9)
+    assert mttf_snapshot_interval(0.0, 100.0) == 0.0
+
+
+def _count_snapshots(path) -> int:
+    import os
+
+    return len([d for d in os.listdir(path) if d.startswith("iter_")])
+
+
+def test_adaptive_cadence_huge_mttf_snapshots_sparsely(spark, tmp_path):
+    """snapshot_every=None + huge MTTF: Young's interval dwarfs the loop
+    runtime, so only the cost-probe snapshot (iteration 1) and the
+    mandatory final snapshot are written."""
+    path = str(tmp_path / "adaptive_sparse")
+    st = spark.createDataFrame([(0,)], "n long")
+    out = checkpointed_loop(
+        st,
+        lambda s, i: s.select((F.col("n") + 1).alias("n")),
+        path,
+        max_iter=6,
+        snapshot_every=None,
+        mttf_seconds=1e12,
+    )
+    assert out.first().n == 6
+    assert _count_snapshots(path) == 2  # probe + final
+
+
+def test_adaptive_cadence_zero_mttf_snapshots_every_iteration(spark, tmp_path):
+    """MTTF → 0 collapses the interval to 0: every iteration snapshots
+    (the failure-paranoid limit), and restart still resumes correctly."""
+    path = str(tmp_path / "adaptive_dense")
+    st = spark.createDataFrame([(0,)], "n long")
+    out = checkpointed_loop(
+        st,
+        lambda s, i: s.select((F.col("n") + 1).alias("n")),
+        path,
+        max_iter=4,
+        snapshot_every=None,
+        mttf_seconds=0.0,
+    )
+    assert out.first().n == 4
+    assert _count_snapshots(path) == 4
+    # resume of a finished adaptive loop is a no-op returning final state
+    again = checkpointed_loop(
+        st,
+        lambda s, i: s.select((F.col("n") + 1).alias("n")),
+        path,
+        max_iter=4,
+        snapshot_every=None,
+        mttf_seconds=0.0,
+    )
+    assert again.first().n == 4
