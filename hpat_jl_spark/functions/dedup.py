@@ -11,10 +11,10 @@ LSH is new surface). Design point is a 100 TB corpus:
   Candidate pairs are then verified with exact shingle Jaccard — only
   candidate docs' shingle arrays are re-joined, never the full corpus
   cross product.
-- SimHash: 64-bit signature from per-token hashes; near-dup = signatures
-  whose Hamming distance ≤ k, found by banding the 64 bits into 4×16-bit
-  keys (any equal band → candidate; catches all pairs with distance ≤ 3
-  in expectation, standard simhash blocking).
+- SimHash: 60-bit signature from per-token portable hashes; near-dup =
+  signatures whose Hamming distance ≤ k, found by banding the 60 bits
+  into 4×15-bit keys (any equal band → candidate; catches all pairs
+  with distance < bands by pigeonhole, standard simhash blocking).
 
 All hashing is deterministic across runs/partitions, so every query
 here is reproducible. MinHash uses a *portable* md5-derived base hash
@@ -195,19 +195,26 @@ def simhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 64,
+    bits: int = 60,
 ) -> DataFrame:
     """SimHash signatures: one row per doc with column ``sig`` =
     array<int> of 0/1 (length ``bits``): majority vote per bit over
     token hashes.
 
-    Physical shape: explode tokens → xxhash64 (JVM codegen — hashing
+    The token hash is the 60-bit md5-derived portable_hash (r4: was
+    xxhash64/64-bit) so the signature — and therefore the banded
+    candidate set — has an exact DuckDB twin; 60 bits lose nothing
+    meaningful vs Manku's 64 (collision scale is governed by the band
+    width, still 15 bits at the default 4 bands).
+
+    Physical shape: explode tokens → md5 hash (JVM codegen — hashing
     never touches Python) → one collect_list shuffle of (id, hashes) →
     numpy majority vote per doc in an Arrow kernel. The shuffle carries
     one long per token; the per-bit work is a single vectorized
     popcount. Two earlier formulations were slower: 64 conditional-sum
     aggregates (~9 s of codegen/agg overhead at sf0.1) and a pure-Python
-    md5-per-token kernel (~5 s of interpreter hashing)."""
+    md5-per-token kernel (~5 s of interpreter hashing — the difference
+    vs this design is WHERE md5 runs, JVM codegen vs interpreter)."""
     import numpy as np
 
     par = docs.sparkSession.sparkContext.defaultParallelism
@@ -218,7 +225,7 @@ def simhash_signatures(
         .select(
             F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
         )
-        .select("id", F.xxhash64("tok").alias("h"))
+        .select("id", portable_hash("tok").alias("h"))
         .groupBy("id")
         .agg(F.collect_list("h").alias("hs"))
     )
@@ -242,7 +249,7 @@ def simhash_candidates(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 64,
+    bits: int = 60,
     bands: int = 4,
     max_hamming: int = 3,
 ) -> DataFrame:

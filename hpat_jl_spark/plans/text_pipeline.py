@@ -361,10 +361,50 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash", oracle=None, tags=("dedup",))
+# DuckDB twin of the full SimHash pipeline (r4 upgrade from rows-only,
+# enabled by the portable md5 token hash): per-(doc, bit) majority vote
+# rebuilt relationally, signature as a 60-char '0'/'1' string whose
+# 15-char substrings are exactly the Spark band keys.
+_simhash_oracle = """
+WITH toks AS (
+  SELECT doc_id AS id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+), hs AS (
+  SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+), bitcnt AS (
+  SELECT id, b,
+         count(*) FILTER (WHERE (h >> b) & 1 = 1) AS ones,
+         count(*) AS n
+  FROM hs, (SELECT unnest(range(0, 60)) AS b)
+  GROUP BY id, b
+), sigs AS (
+  SELECT id,
+         string_agg(CASE WHEN 2 * ones > n THEN '1' ELSE '0' END, ''
+                    ORDER BY b) AS s
+  FROM bitcnt GROUP BY id
+), banded AS (
+  SELECT id, s, band, substr(s, band * 15 + 1, 15) AS bkey
+  FROM sigs, (SELECT unnest(range(0, 4)) AS band)
+), pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+)
+SELECT id_a AS doc_a, id_b AS doc_b,
+       len(list_filter(range(1, 61), i -> substr(sa, i, 1) <> substr(sb, i, 1)))
+         AS hamming
+FROM pairs
+WHERE len(list_filter(range(1, 61), i -> substr(sa, i, 1) <> substr(sb, i, 1))) <= 3
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_oracle, tags=("dedup",))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates (64-bit signature, 4×16-bit bands,
-    Hamming ≤ 6). Rows-only driver check; semantics pinned in tests."""
+    """SimHash near-dup candidates (60-bit portable signature, 4×15-bit
+    bands, Hamming ≤ 3). Fully oracle-gated since r4: the md5-derived
+    token hash lets DuckDB rebuild signatures, band keys, the candidate
+    set, and the Hamming filter exactly; planted-dup recall pinned in
+    tests/test_dedup.py."""
     docs = load_table(spark, "documents", sf_dir)
     return D.simhash_candidates(docs).select(
         F.col("id_a").alias("doc_a"),

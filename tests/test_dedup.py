@@ -38,11 +38,12 @@ def test_minhash_finds_planted_dups(planted):
 
 
 def test_simhash_finds_planted_dups(planted):
-    # the 1-word edit lands at Hamming distance 4, so the d<=6 budget
-    # needs >= 7 bands for guaranteed recall (pigeonhole); 8 divides 64
+    # the 1-word edit lands within Hamming distance 6, so the d<=6
+    # budget needs >= 7 bands for guaranteed recall (pigeonhole); 10
+    # divides the 60-bit portable signature
     pairs = {
         (r.id_a, r.id_b): r.hamming
-        for r in D.simhash_candidates(planted, bands=8, max_hamming=6).collect()
+        for r in D.simhash_candidates(planted, bands=10, max_hamming=6).collect()
     }
     assert pairs.get((3, 100)) == 0  # identical signature
     assert (5, 101) in pairs  # near dup within hamming budget
