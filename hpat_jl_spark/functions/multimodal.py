@@ -89,7 +89,10 @@ def parse_media_header(b: bytes) -> dict:
                 data_len = size
             pos += 8 + size + (size & 1)  # chunks are word-aligned
         if byte_rate and data_len is not None:
-            out["duration_ms"] = round(data_len * 1000 / byte_rate)
+            # integer floor, not round(): python round() is banker's and
+            # diverges from SQL half-up exactly on the .5-ms boundaries a
+            # 16-byte/ms PCM stream hits constantly (CLAUDE.md round trap)
+            out["duration_ms"] = data_len * 1000 // byte_rate
         return out
     return out
 

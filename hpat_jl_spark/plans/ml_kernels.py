@@ -77,6 +77,44 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_fake_payload(docs), decode="real")
 
 
+# The fabricator plants every header field as a pure formula of
+# (doc_id, utf-8 byte length of text) — so the ENTIRE fabricate →
+# binary-encode → header-parse chain is oracle-checkable by recomputing
+# the formulas in SQL: a codec bug on either side breaks the hash.
+# strlen() is DuckDB's BYTE length, matching the utf-8 encode; the
+# integer-floor duration avoids the round() cross-engine trap.
+_header_oracle = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+       (CASE WHEN doc_id % 2 = 0 THEN 33 + strlen(text)
+             ELSE 44 + strlen(text) + strlen(text) % 2 END)::BIGINT AS n_bytes,
+       (CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 512 END)::INT AS width,
+       (CASE WHEN doc_id % 2 = 0 THEN 16 + strlen(text) % 512 END)::INT AS height,
+       (CASE WHEN doc_id % 2 = 1
+             THEN (strlen(text) + strlen(text) % 2) * 1000 // 16000
+        END)::BIGINT AS duration_ms
+FROM documents
+"""
+
+
+@register("multimodal_header_recovery", oracle=_header_oracle, tags=("multimodal",))
+def multimodal_header_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic slice of multimodal_features under a full
+    DuckDB oracle: real PNG/WAV header parsing must reproduce the
+    planted formulas byte-for-byte (crc32/entropy stay in the rows-only
+    twin — no SQL equivalent)."""
+    from hpat_jl_spark.functions.multimodal import (
+        attach_fake_payload,
+        extract_features,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    feats = extract_features(attach_fake_payload(docs), decode="real")
+    return feats.select(
+        "doc_id", "format", "n_bytes", "width", "height", "duration_ms"
+    )
+
+
 # The logistic MLE is unique (strictly concave log-likelihood absent
 # perfect separation), so ANY convergent optimizer lands on the same
 # coefficients: the twin runs 25 Newton-Raphson steps (2x2 Hessian solved

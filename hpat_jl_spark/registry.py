@@ -76,8 +76,10 @@ DRIVER_PRIORITY: list[str] = [
     "sequence_packing",
     "sax_similarity_candidates",
     "corpus_prep_pipeline",
-    # New this round: HDF5 source parity (VERDICT r03 #6).
+    # New this round: HDF5 source parity (VERDICT r03 #6) and the
+    # oracle-gated slice of the de-stubbed multimodal header decode.
     "hdf5_ingest_agg",
+    "multimodal_header_recovery",
 ]
 
 

@@ -67,7 +67,7 @@ def test_real_decode_recovers_planted_headers(media):
         body = TEXTS[did].encode()
         data_len = len(body) + (len(body) % 2)
         assert out[did].format == "wav"
-        assert out[did].duration_ms == round(data_len * 1000 / 16000)
+        assert out[did].duration_ms == data_len * 1000 // 16000
         assert out[did].width is None and out[did].height is None
 
 
@@ -87,7 +87,7 @@ def test_wav_header_parse_is_spec_exact():
     wav = M.make_wav_bytes(body, sample_rate=44100, channels=2, bits=16)
     h = M.parse_media_header(wav)
     assert h["format"] == "wav"
-    assert h["duration_ms"] == round(4 * 1000 / (44100 * 2 * 2))
+    assert h["duration_ms"] == 4 * 1000 // (44100 * 2 * 2)
 
 
 def test_pixel_decode_raises(media):
