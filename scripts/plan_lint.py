@@ -14,7 +14,14 @@ plan at sf0.001 and fails on scale anti-patterns:
                            aggregate / limit), which must be
                            allow-listed here with a reason (VERDICT r03
                            #2 — tokenize_to_ids ranked 10⁸+ vocab rows
-                           through one task at the 100 TB design point)
+                           through one task at the 100 TB design point).
+                           Known blind spot: windows inside EAGER
+                           sub-jobs run during plan construction (model
+                           fits, dimension-id assignment) never appear
+                           in the returned plan's text — e.g.
+                           ml_naive_bayes_lang's 5-row lang-id
+                           row_number. Those are audited by hand; all
+                           current ones are over tiny dimension tables.
 
 dump_plans.py documents the headline plans in depth; this linter is the
 breadth pass — a new query (or a Catalyst regression after a rewrite)
