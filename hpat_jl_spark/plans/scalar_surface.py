@@ -251,6 +251,81 @@ def monte_carlo_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- quasi-Monte-Carlo π: the HASH-GATED twin of monte_carlo_pi ----
+# Halton points (bases 2 and 3) with the radical inverses kept as exact
+# INTEGERS: x_i = rev2(i)/2^20, y_i = rev3(i)/3^13, and the quarter-disk
+# test x²+y²≤1 cleared of denominators:
+#     (rev2·3^13)² + (rev3·2^20)² ≤ (2^20·3^13)²     (≈2.8e24, exact in
+# decimal(38,0) on the Spark side and HUGEINT in DuckDB). ZERO floating
+# point anywhere until the final dyadic k/2^14 estimate — both engines
+# count the identical set, so the driver value-hash matches exactly.
+_QMC_N = 1 << 16
+_B2, _D2 = 20, 1 << 20         # 20 base-2 digits
+_B3, _D3 = 13, 3**13           # 13 base-3 digits (3^13 > 2^20)
+_QMC_LIMIT = (_D2 * _D3) ** 2
+
+_rev2_sql = " + ".join(
+    f"((i // {2 ** b}) % 2) * {2 ** (_B2 - 1 - b)}" for b in range(_B2)
+)
+_rev3_sql = " + ".join(
+    f"((i // {3 ** d}) % 3) * {3 ** (_B3 - 1 - d)}" for d in range(_B3)
+)
+_qmc_oracle = f"""
+WITH pts AS (
+  SELECT ({_rev2_sql})::HUGEINT AS a, ({_rev3_sql})::HUGEINT AS b
+  FROM range(1, {_QMC_N + 1}) t(i)
+)
+SELECT count(*)::BIGINT AS n_points,
+       (count(*) FILTER (WHERE a*a*{_D3 * _D3} + b*b*{_D2}::HUGEINT*{_D2}
+                               <= {_QMC_LIMIT}::HUGEINT))::BIGINT AS n_inside,
+       4.0 * (count(*) FILTER (WHERE a*a*{_D3 * _D3} + b*b*{_D2}::HUGEINT*{_D2}
+                               <= {_QMC_LIMIT}::HUGEINT)) / count(*) AS pi_estimate
+FROM pts
+"""
+
+
+@register("quasi_monte_carlo_pi", oracle=_qmc_oracle, tags=("scalar",))
+def quasi_monte_carlo_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """π by low-discrepancy (Halton) integration — the deterministic,
+    oracle-gated companion to monte_carlo_pi (whose LCG stream has no
+    DuckDB twin; SURVEY §2.7 random). Same fused plan shape: range →
+    per-row integer radical inverses → filter → count, all whole-stage
+    codegen; the sample set is a pure function of the index so the
+    result is engine-independent by construction, not by PRNG luck.
+    Error is O(log²N/N) vs MC's O(1/√N): 2^16 points land within 1e-3
+    of π."""
+    rev2 = F.expr(
+        " + ".join(
+            f"((i div {2 ** b}) % 2) * {2 ** (_B2 - 1 - b)}" for b in range(_B2)
+        )
+    )
+    rev3 = F.expr(
+        " + ".join(
+            f"((i div {3 ** d}) % 3) * {3 ** (_B3 - 1 - d)}" for d in range(_B3)
+        )
+    )
+    par = spark.sparkContext.defaultParallelism
+    pts = (
+        spark.range(1, _QMC_N + 1, numPartitions=par)
+        .select(F.col("id").alias("i"))
+        .select(
+            rev2.cast("decimal(38,0)").alias("a"),
+            rev3.cast("decimal(38,0)").alias("b"),
+        )
+    )
+    inside = (
+        F.col("a") * F.col("a") * F.lit(_D3 * _D3)
+        + F.col("b") * F.col("b") * F.lit(_D2) * F.lit(_D2)
+    ) <= F.lit(str(_QMC_LIMIT)).cast("decimal(38,0)")
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(inside.cast("long")).alias("n_inside"),
+        (
+            F.lit(4.0) * F.sum(inside.cast("long")) / F.count(F.lit(1))
+        ).alias("pi_estimate"),
+    )
+
+
 _from_json_oracle = """
 SELECT event_type,
        count(*)::BIGINT AS n_events,

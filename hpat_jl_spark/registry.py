@@ -80,6 +80,7 @@ DRIVER_PRIORITY: list[str] = [
     # oracle-gated slice of the de-stubbed multimodal header decode.
     "hdf5_ingest_agg",
     "multimodal_header_recovery",
+    "quasi_monte_carlo_pi",
 ]
 
 

@@ -102,3 +102,18 @@ def test_corpus_prep_example(spark):
         for r in src_rows:
             assert (r.pack_id, r.pack_offset) == (run // 256, run % 256)
             run += r.n_tokens
+
+
+def test_quasi_monte_carlo_pi_deterministic_and_tight(spark):
+    """Halton integration: error bound is far tighter than MC at the
+    same N, and the count is a pure function of the index — two runs
+    must be bit-identical (no PRNG state anywhere)."""
+    from hpat_jl_spark import registry
+
+    registry.load_all_plans()
+    fn = registry.REGISTRY["quasi_monte_carlo_pi"].fn
+    r1 = fn(spark, "unused").collect()[0]
+    r2 = fn(spark, "unused").collect()[0]
+    assert r1 == r2
+    assert abs(r1.pi_estimate - 3.14159265) < 1e-3
+    assert r1.n_points == 65536
