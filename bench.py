@@ -176,7 +176,11 @@ def main() -> None:
         detail["vs_duckdb"] = {
             n: round(timings[n] / duck[n], 2) for n in duck if duck[n] > 0
         }
-    detail["scaling_tiers"] = _read_scaling_tiers()
+    tiers = _read_scaling_tiers()
+    detail["scaling_tiers"] = tiers
+    if tiers:
+        worst = max(tiers, key=lambda r: r["growth_x10"])
+        out["scaling_growth_max"] = {worst["query"]: worst["growth_x10"]}
     # Full payload → repo artifact; stdout carries the compact line only
     # (the driver keeps a 2000-char tail — the r3 line with per-query
     # duckdb ratios inlined was 3.4 kB and lost its head, parsed=null).

@@ -360,7 +360,9 @@ def encode_corpus_to_ids(
         ["cnt", "token"], ascending=[False, True], ignore_index=True
     )
     top["tok_id"] = top.index.astype("int64")
-    vocab = spark.createDataFrame(top[["token", "tok_id"]])
+    vocab = spark.createDataFrame(
+        top[["token", "tok_id"]], "token string, tok_id long"
+    )
     enc = toks.join(F.broadcast(vocab), "token", "left").withColumn(
         "tok_id", F.coalesce("tok_id", F.lit(vocab_size).cast("bigint"))
     )

@@ -245,11 +245,13 @@ def _parse_object_header(buf: bytes, addr: int) -> dict[int, bytes]:
     if version != 1:
         raise ValueError(f"object header v{version} unsupported (classic v1 only)")
     msgs: dict[int, bytes] = {}
+    seen = 0
     pos = addr + 16
     end = pos + hsize
-    while pos + 8 <= end and len(msgs) < nmsgs:
+    while pos + 8 <= end and seen < nmsgs:
         mtype, msize, _flags = struct.unpack_from("<HHB", buf, pos)
         body = buf[pos + 8 : pos + 8 + msize]
+        seen += 1  # continuations count toward nmsgs in v1 headers
         if mtype == 0x0010:  # continuation: follow it
             cont_addr, cont_len = struct.unpack_from("<QQ", body, 0)
             pos = cont_addr
