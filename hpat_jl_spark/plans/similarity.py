@@ -87,6 +87,67 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "cosine_sim")
 
 
+# SemDeDup-shaped transitive clusters over the SAME pair CTE as the
+# embedding_neardup oracle, closed with the recursive-CTE min-label
+# fixpoint (the graph.py / dedup_cluster pattern). 40 rounds >> the
+# diameter of cosine-0.9 near-dup clusters.
+_emb_cluster_oracle = f"""
+WITH RECURSIVE
+v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+strong AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_cos_sql('a.e', 'b.e')} > {_NEARDUP_THRESHOLD}
+),
+verts AS (SELECT id_a AS vertex FROM strong UNION SELECT id_b FROM strong),
+aug AS (
+  SELECT id_a AS src, id_b AS dst FROM strong
+  UNION ALL SELECT id_b, id_a FROM strong
+  UNION ALL SELECT vertex, vertex FROM verts
+),
+cc(iter, vertex, comp) AS (
+  SELECT 0, vertex, vertex FROM verts
+  UNION ALL
+  SELECT c.iter + 1, a.dst, min(c.comp)
+  FROM cc c JOIN aug a ON a.src = c.vertex
+  WHERE c.iter < 40
+  GROUP BY c.iter + 1, a.dst
+)
+SELECT comp AS canonical_id,
+       count(*)::BIGINT AS cluster_size
+FROM cc WHERE iter = 40
+GROUP BY comp
+"""
+
+
+@register(
+    "embedding_dedup_clusters",
+    oracle=_emb_cluster_oracle,
+    tags=("similarity", "dedup", "iterative"),
+)
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) shape: embedding-cosine near-dup
+    pairs within a bucket → transitive closure → keep ONE canonical
+    per semantic cluster (min id) — the embedding-space twin of
+    dedup_cluster's shingle-space clustering. Cluster membership
+    includes every vertex touched by a pair (size ≥ 2 by construction).
+
+    Scale: pairs come from the bucketed gram kernel (never all-pairs);
+    the CC iterates over the pair EDGES only (operators/iterative —
+    localCheckpoint per round); the summary is one aggregate. Fully
+    oracle-gated: pair set + recursive-CTE fixpoint replayed in DuckDB."""
+    from hpat_jl_spark.operators.iterative import connected_components
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = S.neardup_pairs(
+        emb, bucket_col="label", threshold=_NEARDUP_THRESHOLD
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.groupBy(F.col("component").alias("canonical_id")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+
+
 @register("knn_ivf", oracle=None, tags=("similarity",))
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via IVF cells (KMeans coarse quantizer +

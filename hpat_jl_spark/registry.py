@@ -81,6 +81,7 @@ DRIVER_PRIORITY: list[str] = [
     "hdf5_ingest_agg",
     "multimodal_header_recovery",
     "quasi_monte_carlo_pi",
+    "embedding_dedup_clusters",
 ]
 
 

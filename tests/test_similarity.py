@@ -301,3 +301,40 @@ def test_zscore_normalize_stats_and_zero_variance(spark):
             assert vals == [0.0] * n  # zero-variance guard
         else:
             assert abs(var - 1.0) < 1e-9
+
+
+def test_embedding_dedup_clusters_transitive_chain(spark):
+    """a≈b and b≈c with cos(a,c) below threshold must still merge into
+    ONE cluster (the transitivity pair-finding alone cannot give), and
+    vectors with no near-dup pair stay out of the output entirely."""
+    import numpy as np
+
+    from hpat_jl_spark.functions.similarity import neardup_pairs
+    from hpat_jl_spark.operators.iterative import connected_components
+    from pyspark.sql import functions as F
+
+    def vec(theta):
+        v = np.zeros(4)
+        v[0], v[1] = np.cos(theta), np.sin(theta)
+        return [float(x) for x in v]
+
+    # cos 0.28 rad ≈ 0.961 > 0.9; cos 0.56 rad ≈ 0.847 < 0.9
+    rows = [
+        (1, 0, vec(0.0)), (2, 0, vec(0.28)), (3, 0, vec(0.56)),
+        (4, 0, vec(2.0)),           # isolated: no pair
+        (5, 1, vec(0.0)),           # other bucket: never pairs with 1
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    pairs = neardup_pairs(df, bucket_col="label", threshold=0.9).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    out = {
+        r.canonical_id: r.cluster_size
+        for r in comp.groupBy(F.col("component").alias("canonical_id"))
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .collect()
+    }
+    assert out == {1: 3}  # 1-2-3 chained; 4 and 5 absent
