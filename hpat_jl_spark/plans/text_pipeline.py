@@ -1,11 +1,11 @@
 """Text-analysis + dedup query plans over the `documents` table
 (extension layer; BASELINE.json north star). Oracle-checked where the
-kernel is SQL-expressible — including the FULL MinHash+LSH pipeline
-(shingle → signature → band → candidate → cluster), whose md5-derived
-portable base hash (functions/dedup.portable_hash) lets a DuckDB twin
-reproduce the exact candidate set. SimHash registers rows-only (its
-xxhash64 signature has no DuckDB twin; tests/test_dedup.py pins the
-semantics with planted duplicates).
+kernel is SQL-expressible — including the FULL MinHash+LSH and SimHash
+pipelines (shingle/token → signature → band → candidate → cluster),
+whose md5-derived portable base hash (functions/dedup.portable_hash)
+lets a DuckDB twin reproduce the exact candidate sets. BPE tokenizer
+training registers rows-only (iterative symbol-table state has no SQL
+twin; tests/test_bpe.py pins the literature goldens).
 """
 
 from __future__ import annotations
@@ -862,3 +862,38 @@ def udtf_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT c.doc_id, c.chunk_start, c.n_chunk_tokens, c.chunk_hash "
         f"FROM {view}, LATERAL {fn}(doc_id, text) c"
     )
+
+
+@register("bpe_train_merges", oracle=None, tags=("text", "ml"))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING on the corpus (functions/bpe: distributed
+    word count → bounded-vocab driver merge loop — the subword-nmt /
+    HF-tokenizers architecture). Output: (merge_rank, left, right) in
+    learned order. Rows-only driver check: the merge loop is iterative
+    symbol-table state with no SQL twin; determinism is exercised by
+    the determinism sweep (no RNG — ties break lexicographically) and
+    the Sennrich-fixture golden in tests/test_bpe.py."""
+    from hpat_jl_spark.functions.bpe import train_bpe
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = train_bpe(docs, num_merges=64, max_words=65536)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank long, left string, right string",
+    )
+
+
+@register("bpe_encode_stats", oracle=None, tags=("text", "ml"))
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with its own trained BPE merges and report
+    per-doc word vs subword counts (the compression the tokenizer
+    buys). Train = bounded driver loop; encode = broadcast merge table
+    into an Arrow kernel with per-batch word memoization. Rows-only
+    (encode priority loop has no SQL twin); invariants (n_subwords
+    bounds, exact small-vocab goldens) pinned in tests/test_bpe.py."""
+    from hpat_jl_spark.functions.bpe import bpe_encode_stats as encode
+    from hpat_jl_spark.functions.bpe import train_bpe
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = train_bpe(docs, num_merges=64, max_words=65536)
+    return encode(docs, merges)

@@ -82,6 +82,8 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_header_recovery",
     "quasi_monte_carlo_pi",
     "embedding_dedup_clusters",
+    "bpe_train_merges",
+    "bpe_encode_stats",
 ]
 
 

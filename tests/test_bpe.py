@@ -1,0 +1,64 @@
+"""BPE training/encoding semantics on planted vocabularies where the
+merge sequence is known from the literature (Sennrich et al. 2016
+worked example), plus encode invariants on the fixture queries."""
+
+from __future__ import annotations
+
+from hpat_jl_spark.functions.bpe import (
+    apply_merges,
+    bpe_merges_from_word_counts,
+)
+
+
+def test_sennrich_worked_example_merge_order():
+    counts = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = bpe_merges_from_word_counts(counts, 5)
+    assert merges == [
+        ("e", "s"),      # 6 + 3 = 9
+        ("es", "t"),     # 9
+        ("est", "</w>"),  # 9
+        ("l", "o"),      # 5 + 2 = 7
+        ("lo", "w"),     # 7
+    ]
+
+
+def test_tie_breaks_are_lexicographic_and_deterministic():
+    # 'ab' and 'cd' pairs both occur twice; ('a','b') < ('c','d')
+    counts = [("ab", 2), ("cd", 2)]
+    m1 = bpe_merges_from_word_counts(counts, 1)
+    m2 = bpe_merges_from_word_counts(list(reversed(counts)), 1)
+    assert m1 == m2 == [("a", "b")]
+
+
+def test_apply_merges_uses_rank_priority():
+    # encode must apply LOWER-rank merges first: with ranks
+    # (e,s)<(es,t)<(est,</w>), 'newest' collapses the suffix fully
+    merges = bpe_merges_from_word_counts(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)], 5
+    )
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert apply_merges("newest", ranks) == ["n", "e", "w", "est</w>"]
+    assert apply_merges("lowest", ranks) == ["low", "est</w>"]
+    # unseen characters survive as singletons
+    assert apply_merges("xyz", ranks) == ["x", "y", "z", "</w>"]
+
+
+def test_train_and_encode_on_spark(spark):
+    from hpat_jl_spark.functions.bpe import bpe_encode_stats, train_bpe
+
+    docs = spark.createDataFrame(
+        [(1, "low low low low low lower lower"),
+         (2, "newest newest newest newest newest newest"),
+         (3, "widest widest widest")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(docs, num_merges=5, max_words=100)
+    assert merges[:3] == [("e", "s"), ("es", "t"), ("est", "</w>")]
+    out = {r.doc_id: (r.n_words, r.n_subwords)
+           for r in bpe_encode_stats(docs, merges).collect()}
+    # 'low' -> ['low','</w>']? no: merges learned: es,est,est</w>,l o,lo w
+    # 'low' -> ['low', '</w>'] via (l,o)+(lo,w); '</w>' unmerged with low
+    assert out[1][0] == 7
+    assert out[2] == (6, 6 * len(apply_merges("newest", {p: i for i, p in enumerate(merges)})))
+    # every word is at least one subword
+    assert all(ns >= nw for nw, ns in out.values())
