@@ -494,6 +494,53 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.chunk_documents(docs, chunk_size=50, stride=25)
 
 
+# Exact-substring duplicate spans (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better"): 50-token windows whose
+# EXACT content recurs across documents — the candidate step of
+# substring-level dedup (the full suffix-array pass refines candidate
+# spans; windows with stride 25 guarantee any duplicated run of ≥ 75
+# tokens shares at least one full aligned window).
+_dup_span_oracle = """
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+c AS (SELECT doc_id,
+             unnest(generate_series(1, greatest(len(toks) - 49, 1), 25))
+               AS chunk_start, toks
+      FROM t),
+h AS (SELECT doc_id,
+             md5(array_to_string(list_slice(toks, chunk_start, chunk_start + 49), ' '))
+               AS chunk_hash
+      FROM c
+      WHERE len(list_slice(toks, chunk_start, chunk_start + 49)) = 50)
+SELECT chunk_hash,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_occurrences
+FROM h
+GROUP BY chunk_hash
+HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+@register("duplicate_span_report", oracle=_dup_span_oracle, tags=("text", "dedup"))
+def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact duplicate spans: every FULL 50-token window
+    (stride 25) hashed, grouped, kept where ≥ 2 distinct docs share it.
+    One tokenize+slice map stage and one hash-keyed aggregate — the
+    shuffle carries (hash, doc_id), never the text; at 100 TB this is
+    the same shape as exact dedup, just at window granularity."""
+    docs = load_table(spark, "documents", sf_dir)
+    chunks = X.chunk_documents(docs, chunk_size=50, stride=25)
+    return (
+        chunks.filter(F.col("n_chunk_tokens") == 50)
+        .groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 @register("quality_model_filter", oracle=None, tags=("text", "ml"))
 def quality_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-in-the-loop quality gate: train a logistic-regression

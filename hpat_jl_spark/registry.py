@@ -84,6 +84,7 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_dedup_clusters",
     "bpe_train_merges",
     "bpe_encode_stats",
+    "duplicate_span_report",
 ]
 
 
