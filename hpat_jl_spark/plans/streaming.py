@@ -44,12 +44,17 @@ from hpat_jl_spark.streaming.windows import (
 _STAGED_DIRS: dict[tuple[str, int], str] = {}
 
 
+# scratch dirs (foreachBatch state versions etc.) removed at exit too
+_SCRATCH_DIRS: list[str] = []
+
+
 def _cleanup_staged_dirs() -> None:
     import shutil
 
-    for d in _STAGED_DIRS.values():
+    for d in list(_STAGED_DIRS.values()) + _SCRATCH_DIRS:
         shutil.rmtree(d, ignore_errors=True)
     _STAGED_DIRS.clear()
+    _SCRATCH_DIRS.clear()
 
 
 atexit.register(_cleanup_staged_dirs)
@@ -356,3 +361,72 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(agg, mode="complete", prefix="stream_enrich")
     return out.select("segment", "event_type", "n_events", "total_value")
+
+
+_foreach_batch_oracle = """
+WITH ranked AS (
+  SELECT user_id, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id AS last_event_id, ts AS last_ts, value AS last_value
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "stream_foreach_batch_upsert",
+    oracle=_foreach_batch_oracle,
+    tags=("streaming",),
+)
+def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink surface: per micro-batch, UPSERT latest-state-
+    per-user into a versioned parquet target (merge = one max-struct
+    aggregate over prev ∪ batch; write-new-version-then-repoint, the
+    same crash-ordering as checkpointed_loop's snapshots — a stand-in
+    for Delta/Hudi MERGE INTO, which is what this becomes on a lake).
+
+    The replay stages the fixture TWICE with maxFilesPerTrigger=1, so
+    the engine delivers ≥2 micro-batches with every event duplicated
+    across them — the oracle (batch arg-max over the ORIGINAL events)
+    matching proves the upsert is idempotent under at-least-once
+    redelivery, which is the property foreachBatch sinks must have.
+    Deterministic tiebreak: (ts, event_id) struct max == ORDER BY ts
+    DESC, event_id DESC."""
+    import tempfile
+
+    ev = stream_events(
+        spark, _stage_events_dir(sf_dir, copies=2), max_files_per_trigger=1
+    )
+    root = tempfile.mkdtemp(prefix="hpat_upsert_")
+    _SCRATCH_DIRS.append(root)
+    state: dict[str, str] = {}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        latest = batch_df.groupBy("user_id").agg(
+            F.max(F.struct("ts", "event_id", "value")).alias("s")
+        )
+        if "dir" in state:
+            prev = spark.read.parquet(state["dir"])
+            latest = (
+                prev.unionByName(latest)
+                .groupBy("user_id")
+                .agg(F.max("s").alias("s"))
+            )
+        new_dir = os.path.join(root, f"v{batch_id:05d}")
+        latest.write.mode("overwrite").parquet(new_dir)
+        state["dir"] = new_dir
+
+    q = (
+        ev.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state["dir"]).select(
+        "user_id",
+        F.col("s.event_id").alias("last_event_id"),
+        F.col("s.ts").alias("last_ts"),
+        F.col("s.value").alias("last_value"),
+    )

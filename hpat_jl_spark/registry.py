@@ -85,6 +85,7 @@ DRIVER_PRIORITY: list[str] = [
     "bpe_train_merges",
     "bpe_encode_stats",
     "duplicate_span_report",
+    "stream_foreach_batch_upsert",
 ]
 
 
