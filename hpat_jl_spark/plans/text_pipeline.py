@@ -494,6 +494,58 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.chunk_documents(docs, chunk_size=50, stride=25)
 
 
+# Incremental-ingest dedup: the nightly pattern — a new document batch
+# lands, and only content UNSEEN by the existing corpus (and unseen
+# within the batch itself, keep-first) survives. Split is content-free
+# (doc_id mod 5) so the oracle replays it exactly.
+_incr_dedup_oracle = """
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+         doc_id % 5 = 0 AS incoming
+  FROM documents
+), corpus AS (SELECT DISTINCT fingerprint FROM fp WHERE NOT incoming),
+batch AS (
+  SELECT doc_id, source, fingerprint,
+         row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+  FROM fp WHERE incoming
+)
+SELECT b.doc_id, b.source, b.fingerprint
+FROM batch b LEFT JOIN corpus c USING (fingerprint)
+WHERE b.rn = 1 AND c.fingerprint IS NULL
+"""
+
+
+@register("incremental_dedup_ingest", oracle=_incr_dedup_oracle, tags=("text", "dedup"))
+def incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion: dedupe an incoming batch against
+    the EXISTING corpus (anti-join on content fingerprint) and within
+    itself (keep lowest id per fingerprint) — what a daily crawl-merge
+    runs, where re-fingerprinting the whole corpus would be the
+    anti-pattern. Plan: one fingerprint projection feeds both sides;
+    batch-internal keep-first is a partitioned window; the corpus
+    membership check is a LEFT ANTI join shuffling (fingerprint, id)
+    pairs only — at 100 TB the corpus side would also carry a bloom
+    pre-filter (test_scale_strategies pins that machinery)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    fp = docs.select(
+        "doc_id", "source", X.fingerprint("text").alias("fingerprint")
+    )
+    corpus = fp.filter(F.col("doc_id") % 5 != 0).select("fingerprint").distinct()
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    batch = (
+        fp.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return batch.join(corpus, "fingerprint", "left_anti").select(
+        "doc_id", "source", "fingerprint"
+    )
+
+
 # Exact-substring duplicate spans (Lee et al. 2022, "Deduplicating
 # Training Data Makes Language Models Better"): 50-token windows whose
 # EXACT content recurs across documents — the candidate step of

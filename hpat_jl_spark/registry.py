@@ -86,6 +86,7 @@ DRIVER_PRIORITY: list[str] = [
     "bpe_encode_stats",
     "duplicate_span_report",
     "stream_foreach_batch_upsert",
+    "incremental_dedup_ingest",
 ]
 
 
