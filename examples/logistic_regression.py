@@ -35,6 +35,42 @@ def train(df: DataFrame, d: int, max_iter: int = 20):
                                max_iter=max_iter)
 
 
+def write_training_hdf5(spark: SparkSession, path: str, n: int, d: int) -> None:
+    """The reference's generate_data layout: /points as an n×d float64
+    matrix, /responses as an n-vector — one classic-HDF5 file
+    (sources/hdf5.write_hdf5), exactly what logistic_regression.jl
+    @h5read's."""
+    import numpy as np
+
+    from hpat_jl_spark.sources.hdf5 import write_hdf5
+
+    pdf = synthesize(spark, n, d).toPandas()
+    write_hdf5(
+        path,
+        {
+            "points": pdf[[f"f{i}" for i in range(d)]].to_numpy("<f8"),
+            "responses": pdf["label"].to_numpy("<f8"),
+        },
+    )
+
+
+def train_from_hdf5(spark: SparkSession, path: str, max_iter: int = 20):
+    """The reference's flagship ENTRY pattern end-to-end: points and
+    responses arrive as HDF5 datasets (capture-api.jl @h5read), are
+    read distributed via row-range splits, aligned on the array index
+    (row_id join — the implicit HPAT row alignment made explicit), and
+    fed to the estimator."""
+    from hpat_jl_spark.sources.hdf5 import read_hdf5, scan_hdf5
+    from hpat_jl_spark.ml import logistic_regression
+
+    d = scan_hdf5(path)["points"].shape[1]
+    pts = read_hdf5(spark, path, "points")
+    resp = read_hdf5(spark, path, "responses").withColumnRenamed("value", "label")
+    df = pts.join(resp, "row_id")
+    return logistic_regression(df, [f"c{i}" for i in range(d)], "label",
+                               max_iter=max_iter)
+
+
 if __name__ == "__main__":
     import pathlib
     import sys as _sys
@@ -42,9 +78,18 @@ if __name__ == "__main__":
     _sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
     from hpat_jl_spark.session import get_spark
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    d = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    args = [a for a in sys.argv[1:] if a != "--hdf5"]
+    use_hdf5 = "--hdf5" in sys.argv
+    n = int(args[0]) if args else (100_000 if use_hdf5 else 1_000_000)
+    d = int(args[1]) if len(args) > 1 else 10
     spark = get_spark(app_name="logreg")
-    coefs, intercept = train(synthesize(spark, n, d), d)
+    if use_hdf5:  # the reference's actual input format, end to end
+        import tempfile
+
+        path = str(pathlib.Path(tempfile.mkdtemp()) / "train.h5")
+        write_training_hdf5(spark, path, n, d)
+        coefs, intercept = train_from_hdf5(spark, path)
+    else:
+        coefs, intercept = train(synthesize(spark, n, d), d)
     print(f"trained {d}-feature model; first coefs {coefs[:3]}, b={intercept:.3f}")
     spark.stop()

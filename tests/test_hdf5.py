@@ -94,3 +94,17 @@ def test_writer_rejects_out_of_subset_inputs(tmp_path):
         H.write_hdf5(str(tmp_path / "x.h5"), {"s": np.array(["a", "b"])})
     with pytest.raises(ValueError, match="1-D/2-D"):
         H.write_hdf5(str(tmp_path / "y.h5"), {"t": np.zeros((2, 2, 2))})
+
+
+def test_logreg_flagship_via_hdf5_input(spark, tmp_path):
+    """Reference flagship end-to-end (README.md:46-87 +
+    examples/logistic_regression.jl): synthesize → write /points +
+    /responses HDF5 → distributed read → index-aligned join → train.
+    The separable synthetic data forces all-positive coefficients."""
+    from examples.logistic_regression import train_from_hdf5, write_training_hdf5
+
+    path = str(tmp_path / "train.h5")
+    write_training_hdf5(spark, path, n=3000, d=4)
+    coefs, intercept = train_from_hdf5(spark, path, max_iter=15)
+    assert len(coefs) == 4
+    assert all(c > 0 for c in coefs)  # label = sum(features) > d/2
