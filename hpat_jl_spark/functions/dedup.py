@@ -6,8 +6,9 @@ LSH is new surface). Design point is a 100 TB corpus:
 - exact dedup: one hash-aggregate on a 128-bit fingerprint — a single
   shuffle of (fingerprint, doc_id), never of the text payload.
 - MinHash+LSH: signatures are computed scan-side with built-in functions
-  (xxhash64 under `b` different seeds via salt concat), bands hashed and
-  exploded so the candidate join shuffles only (band_key, doc_id) pairs.
+  (portable md5 base hash under an affine permutation family), bands
+  hashed and exploded so the candidate join shuffles only
+  (band_key, doc_id) pairs.
   Candidate pairs are then verified with exact shingle Jaccard — only
   candidate docs' shingle arrays are re-joined, never the full corpus
   cross product.
@@ -17,10 +18,10 @@ LSH is new surface). Design point is a 100 TB corpus:
   with distance < bands by pigeonhole, standard simhash blocking).
 
 All hashing is deterministic across runs/partitions, so every query
-here is reproducible. MinHash uses a *portable* md5-derived base hash
-(same value in Spark and DuckDB) so the whole LSH pipeline has an exact
-DuckDB oracle; SimHash keeps xxhash64 (fastest JVM hash, no cross-engine
-twin needed for its signature — the oracle re-derives it from md5 too).
+here is reproducible. Both MinHash and SimHash hash through the
+*portable* md5-derived base hash (same value in Spark and DuckDB), so
+both full pipelines — signatures, bands, candidate sets — have exact
+DuckDB oracles.
 """
 
 from __future__ import annotations
