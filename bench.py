@@ -61,6 +61,11 @@ HEADLINE = [
     # r1/r2-comparable prefix is unchanged)
     "lang_id_ngram",
     "stream_tumbling_counts",
+    # round 4 additions (same tail discipline)
+    "hdf5_ingest_agg",
+    "embedding_dedup_clusters",
+    "duplicate_span_report",
+    "bpe_encode_stats",
 ]
 
 
