@@ -163,6 +163,81 @@ def neardup_pairs(
     )
 
 
+#: fixed-point scale for portable LSH: ×2^15 then floor. A power of two
+#: so float32→double scaling is EXACT, and floor (unlike round) has no
+#: cross-engine .5 tiebreak (CLAUDE.md known trap).
+LSH_QUANT = 1 << 15
+
+
+def portable_plane_weights(
+    dim: int, num_planes: int, seed: int = 42
+) -> list[list[int]]:
+    """Deterministic integer hyperplane weights in [-128, 127], derived
+    from md5 of "lshplane:{seed}:{plane}:{dim}" — pure data, computable
+    by ANY engine (the DuckDB oracle inlines the same literals). Integer
+    weights keep the projection in exact int64 arithmetic (|dot| ≤
+    dim·2^15·128 ≈ 2^28), so the sign bit (= the bucket) can never flip
+    on a float last-ulp difference between engines — the property that
+    upgraded knn_lsh from rows-only to a full value-hash oracle. 8-bit
+    weights quantize the plane DIRECTION finely enough that bucket
+    quality matches gaussian planes (recall assertions in
+    tests/test_similarity.py re-verified after the switch)."""
+    import hashlib
+
+    return [
+        [
+            int(
+                hashlib.md5(
+                    f"lshplane:{seed}:{p}:{d}".encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            % 256
+            - 128
+            for d in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def lsh_bucket_expr(vec_col: Column, planes: list[list[int]]) -> Column:
+    """Bucket id = sign bits of integer projections, as ONE codegen'd
+    Column (no Python): quantize each component to int64 with
+    floor(v·2^15), dot with the integer plane weights via
+    zip_with/aggregate, pack the sign bits. |dot| ≤ dim·2^15·8 ≈ 2^24 —
+    exact int64, identical in every engine."""
+    q = F.transform(
+        vec_col, lambda v: F.floor(v.cast("double") * LSH_QUANT).cast("long")
+    )
+    bucket = F.lit(0).cast("long")
+    for p, row in enumerate(planes):
+        w = F.array(*[F.lit(int(x)).cast("long") for x in row])
+        d = F.aggregate(
+            F.zip_with(q, w, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + (d >= 0).cast("long") * F.lit(1 << p)
+    return bucket
+
+
+def lsh_bucket_sql(
+    e: str, planes: list[list[int]], quant: int = LSH_QUANT
+) -> str:
+    """DuckDB twin of :func:`lsh_bucket_expr` over a DOUBLE[] column
+    expression ``e`` — same quantization, same integer dots, same bit
+    packing, with the plane weights inlined as list literals."""
+    terms = []
+    for p, row in enumerate(planes):
+        lits = "[" + ", ".join(str(int(x)) for x in row) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, {len(row) + 1}), "
+            f"i -> floor({e}[i] * {quant})::BIGINT * ({lits})[i]))"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
 def lsh_buckets(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -171,31 +246,22 @@ def lsh_buckets(
     dim: int = 64,
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket key = sign bits of ``num_planes``
-    fixed pseudo-random projections. Planes are generated
-    deterministically from ``seed`` on each executor (no stored model,
-    no broadcast needed), so the same code buckets identically at any
-    scale.
+    fixed pseudo-random projections; same-bucket vectors are candidate
+    near-neighbors, probing adjacent buckets (1-bit flips) trades
+    recall for cost.
 
-    Implemented as an Arrow-batched pandas_udf: the projection is a
-    (batch × dim) @ (dim × planes) matrix multiply — exactly the case
-    where a vectorized UDF beats a 512-term codegen expression tree
-    (SURVEY §2.9: pandas_udf is the moral equivalent of the reference
-    compiling the closure).
+    The planes are PORTABLE integer weights (md5-derived, [-8, 8]) and
+    the projection is exact int64 arithmetic on floor-quantized
+    components — entirely codegen'd Column math (zip_with/aggregate),
+    no Python, and bit-for-bit reproducible by the DuckDB oracle via
+    :func:`lsh_bucket_sql`. Replaces the earlier gaussian-plane
+    pandas_udf, whose RNG stream no other engine could replay (the
+    reason knn_lsh sat at rows-only through r1-r3), and drops an Arrow
+    exchange from the plan.
 
-    Adds column ``lsh_bucket`` (bigint). Same-bucket vectors are
-    candidate near-neighbors; probing adjacent buckets (1-bit flips)
-    trades recall for cost."""
-    from pyspark.sql.functions import pandas_udf
-
-    def _bucket(vecs: pd.Series) -> pd.Series:
-        planes = np.random.default_rng(seed).standard_normal((dim, num_planes))
-        m = np.vstack(vecs.to_numpy())  # (batch, dim) float32
-        bits = (m.astype(np.float64) @ planes) >= 0  # (batch, planes)
-        weights = (1 << np.arange(num_planes)).astype(np.int64)
-        return pd.Series(bits @ weights)
-
-    bucket_udf = pandas_udf(_bucket, "long")
-    return df.withColumn("lsh_bucket", bucket_udf(F.col(vec_col)))
+    Adds column ``lsh_bucket`` (bigint)."""
+    planes = portable_plane_weights(dim, num_planes, seed)
+    return df.withColumn("lsh_bucket", lsh_bucket_expr(F.col(vec_col), planes))
 
 
 def _fit_coarse_quantizer(

@@ -1,8 +1,11 @@
 """Embedding-similarity query plans over the `embeddings` table
 (array<float> column, 64-dim). Brute-force cosine top-k is the exact,
-oracle-checked baseline; the LSH variant is the scale path (rows-only
-check — its hyperplane family has no DuckDB twin; recall vs brute force
-is asserted in tests/test_similarity.py).
+oracle-checked baseline; the LSH variant is the scale path, and since
+round 4 it is ALSO fully oracle-gated — its hyperplane family is
+portable integer arithmetic (functions/similarity.portable_plane_weights)
+that DuckDB replays exactly, so the candidate set and ranking are
+value-hash-checked, with recall vs brute force additionally asserted in
+tests/test_similarity.py.
 """
 
 from __future__ import annotations
@@ -164,12 +167,44 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_lsh", oracle=None, tags=("similarity",))
+# knn_lsh oracle: replay the PORTABLE bucket function (integer-quantized
+# components × md5-derived integer plane weights — functions/similarity.
+# lsh_bucket_sql inlines the same literals lsh_bucket_expr compiles), so
+# DuckDB reproduces the candidate set EXACTLY, then scores/ranks it with
+# the same cosine arithmetic as the brute-force oracle. This upgraded
+# knn_lsh from rows-only (r1-r3: gaussian planes from a numpy RNG no
+# other engine could replay) to a full value-hash gate.
+_LSH_PLANES = 3
+_lsh_bucket = S.lsh_bucket_sql("e", S.portable_plane_weights(_DIM, _LSH_PLANES))
+
+_knn_lsh_oracle = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (SELECT vec_id, e, {_lsh_bucket} AS bucket FROM v),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM b
+      WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id, {_cos_sql('qe', 'c.e')} AS cosine_sim
+  FROM q JOIN b c USING (bucket) WHERE c.vec_id <> query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS knn_rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, knn_rank
+FROM ranked WHERE knn_rank <= {_K}
+"""
+
+
+@register("knn_lsh", oracle=_knn_lsh_oracle, tags=("similarity",))
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH bucketing — the
     candidate join shuffles on bucket key instead of cross-joining.
-    Rows-only driver check; recall vs the exact baseline is asserted in
-    tests/test_similarity.py."""
+    Fully oracle-gated since round 4: the bucket function is exact
+    integer arithmetic both engines compute identically (see
+    functions/similarity.lsh_buckets), so the oracle replays candidate
+    generation AND ranking; recall vs the exact baseline is additionally
+    asserted in tests/test_similarity.py."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     # 3 planes = 8 buckets: the fixture embeddings are near-isotropic
