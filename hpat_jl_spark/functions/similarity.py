@@ -204,8 +204,8 @@ def lsh_bucket_expr(vec_col: Column, planes: list[list[int]]) -> Column:
     """Bucket id = sign bits of integer projections, as ONE codegen'd
     Column (no Python): quantize each component to int64 with
     floor(v·2^15), dot with the integer plane weights via
-    zip_with/aggregate, pack the sign bits. |dot| ≤ dim·2^15·8 ≈ 2^24 —
-    exact int64, identical in every engine."""
+    zip_with/aggregate, pack the sign bits. |dot| ≤ dim·2^15·128 ≈ 2^28
+    — exact int64, identical in every engine."""
     q = F.transform(
         vec_col, lambda v: F.floor(v.cast("double") * LSH_QUANT).cast("long")
     )
@@ -250,7 +250,7 @@ def lsh_buckets(
     near-neighbors, probing adjacent buckets (1-bit flips) trades
     recall for cost.
 
-    The planes are PORTABLE integer weights (md5-derived, [-8, 8]) and
+    The planes are PORTABLE integer weights (md5-derived, [-128, 127]) and
     the projection is exact int64 arithmetic on floor-quantized
     components — entirely codegen'd Column math (zip_with/aggregate),
     no Python, and bit-for-bit reproducible by the DuckDB oracle via

@@ -108,3 +108,26 @@ def test_logreg_flagship_via_hdf5_input(spark, tmp_path):
     coefs, intercept = train_from_hdf5(spark, path, max_iter=15)
     assert len(coefs) == 4
     assert all(c > 0 for c in coefs)  # label = sum(features) > d/2
+
+
+def test_aligned_table_read_matches_per_dataset_reads(spark, h5file):
+    """read_hdf5_table: one split plan, each task reading the same row
+    range of every dataset — must equal the per-dataset reads joined on
+    row_id, bit-exactly, including mixed dtypes."""
+    path, data = h5file
+    t = H.read_hdf5_table(
+        spark, path, ["responses", "weights", "labels"], num_splits=5
+    )
+    pdf = t.toPandas().sort_values("row_id", ignore_index=True)
+    assert list(pdf.columns) == ["row_id", "responses", "weights", "labels"]
+    np.testing.assert_array_equal(pdf["responses"].to_numpy(), data["responses"])
+    np.testing.assert_array_equal(pdf["weights"].to_numpy(), data["weights"])
+    np.testing.assert_array_equal(pdf["labels"].to_numpy(), data["labels"])
+
+
+def test_aligned_table_read_rejects_2d_and_unknown(spark, h5file):
+    path, _ = h5file
+    with pytest.raises(ValueError, match="1-D"):
+        H.read_hdf5_table(spark, path, ["points"])
+    with pytest.raises(KeyError, match="nope"):
+        H.read_hdf5_table(spark, path, ["responses", "nope"])
