@@ -196,11 +196,119 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     length_unique (exact-distinct shuffles every distinct pair; HLL
     ships a 1.5 KB sketch per group). Rows-only check: HLL estimates
     are engine-specific; accuracy vs exact is asserted in
-    tests/test_plans.py."""
+    tests/test_plans.py. hll_distinct_portable below is the hash-gated
+    twin built from relational primitives."""
     li = load_table(spark, "lineitem", sf_dir)
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+# ---- portable HyperLogLog: the hash-gated twin of approx_distinct ----
+# Registers from portable_hash (md5-based, identical in both engines);
+# all register state is EXACT integer arithmetic: the harmonic sum
+# Z = Σ 2^-M is kept scaled by 2^52 (Σ 2^(52-M), an int64 ≤ 512·2^51),
+# so the only floats are two final divisions/logs of exact integers —
+# deterministic in any IEEE engine, no accumulation-order sensitivity.
+_HLL_P = 9
+_HLL_M = 1 << _HLL_P  # 512 registers
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)  # Flajolet et al. bias constant
+_HLL_WBITS = 60 - _HLL_P  # portable_hash is 60-bit
+
+_hll_oracle = f"""
+WITH h AS (
+  SELECT l_returnflag,
+         ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15))::BIGINT AS hv
+  FROM lineitem
+), reg AS (
+  SELECT l_returnflag, hv & {_HLL_M - 1} AS bucket,
+         max(CASE WHEN (hv >> {_HLL_P}) = 0 THEN {_HLL_WBITS + 1}
+                  ELSE {_HLL_WBITS + 1} - length(bin(hv >> {_HLL_P})) END) AS m
+  FROM h GROUP BY 1, 2
+), est AS (
+  SELECT l_returnflag,
+         count(*) AS nb,
+         sum(1::BIGINT << ({_HLL_WBITS + 1} - m)) AS z_scaled
+  FROM reg GROUP BY 1
+), ex AS (
+  SELECT l_returnflag, count(DISTINCT l_orderkey)::BIGINT AS exact_orders
+  FROM lineitem GROUP BY 1
+)
+SELECT est.l_returnflag,
+       ex.exact_orders,
+       round(CASE WHEN ({_HLL_ALPHA!r}::DOUBLE * {_HLL_M} * {_HLL_M})
+                       / ((({_HLL_M} - nb)::DOUBLE * {2 ** (_HLL_WBITS + 1)}
+                           + z_scaled) / {2.0 ** (_HLL_WBITS + 1)!r})
+                       <= {2.5 * _HLL_M} AND nb < {_HLL_M}
+             THEN {_HLL_M} * ln({_HLL_M}::DOUBLE / ({_HLL_M} - nb))
+             ELSE ({_HLL_ALPHA!r}::DOUBLE * {_HLL_M} * {_HLL_M})
+                  / ((({_HLL_M} - nb)::DOUBLE * {2 ** (_HLL_WBITS + 1)}
+                      + z_scaled) / {2.0 ** (_HLL_WBITS + 1)!r})
+             END, 3) AS hll_estimate
+FROM est JOIN ex USING (l_returnflag)
+"""
+
+
+@register("hll_distinct_portable", oracle=_hll_oracle, tags=("extended", "sketch"))
+def hll_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog count-distinct built from relational primitives with
+    a PORTABLE hash — the hash-gated companion to approx_distinct
+    (whose builtin HLL++ sketch is engine-specific, hence rows-only).
+    Here every piece is replayable: register index = low 9 bits of
+    portable_hash, rank = leading-zero count of the remaining 51 bits
+    via length(bin(w)) (minimal-width in both engines), and the
+    harmonic sum is kept as the EXACT integer Σ 2^(52-M) so no
+    float-accumulation order can flip the value hash. Includes the
+    small-range linear-counting correction (m·ln(m/V)).
+
+    Scale shape: identical to production HLL — one shuffle of
+    (group, bucket) pairs, 512 registers per group regardless of input
+    size, registers mergeable by max. The estimate lands within a few
+    σ (σ = 1.04/√512 ≈ 4.6%) of the exact count (asserted in tests)."""
+    from hpat_jl_spark.functions.dedup import portable_hash
+
+    li = load_table(spark, "lineitem", sf_dir)
+    wbits1 = _HLL_WBITS + 1  # rank when the suffix is all zeros
+    h = li.select(
+        "l_returnflag",
+        portable_hash(F.col("l_orderkey").cast("string")).alias("hv"),
+    )
+    w = F.shiftright("hv", _HLL_P)
+    reg = (
+        h.select(
+            "l_returnflag",
+            F.col("hv").bitwiseAND(_HLL_M - 1).alias("bucket"),
+            F.when(w == 0, F.lit(wbits1))
+            .otherwise(F.lit(wbits1) - F.length(F.bin(w)))
+            .alias("rank"),
+        )
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.max("rank").alias("m"))
+    )
+    est = reg.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(
+            F.expr(f"shiftleft(1L, cast({wbits1} - m as int))")
+        ).alias("z_scaled"),
+    )
+    z = (
+        (F.lit(_HLL_M) - F.col("nb")).cast("double") * F.lit(float(2 ** wbits1))
+        + F.col("z_scaled")
+    ) / F.lit(2.0 ** wbits1)
+    e_raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / z
+    v = F.lit(_HLL_M) - F.col("nb")
+    estimate = F.when(
+        (e_raw <= F.lit(2.5 * _HLL_M)) & (F.col("nb") < _HLL_M),
+        F.lit(_HLL_M) * F.log(F.lit(float(_HLL_M)) / v),
+    ).otherwise(e_raw)
+    ex = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders")
+    )
+    return est.join(ex, "l_returnflag").select(
+        "l_returnflag",
+        "exact_orders",
+        F.round(estimate, 3).alias("hll_estimate"),
     )
 
 
@@ -385,6 +493,66 @@ def stratified_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", {s: fractions.get(s, 0.5) for s in sources}, seed=42
     )
     return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+
+
+# ---- content-addressed stratified sample: the hash-gated twin of ----
+# stratified_sample_sources. Keep fractions per stratum, decided by
+# portable_hash(doc_id) % 1000 < frac·1000 — no PRNG stream at all, so
+# (a) DuckDB replays the EXACT kept set (value-hash oracle, unlike
+# sampleBy's Bernoulli draw) and (b) the sample is stable across runs,
+# engines, cluster sizes, and retries — the property a reproducible
+# training-mix pipeline actually needs (re-running the job must not
+# reshuffle the corpus). Per-row decision, no shuffle before the agg.
+# Fractions name the fixture's ACTUAL sources (src0..src19) so the
+# heterogeneous-mix path is really exercised, not a default fallback.
+_STRAT_FRACS = {"src0": 0.1, "src1": 0.25, "src2": 1.0, "src3": 0.6}
+_STRAT_DEFAULT = 0.5
+
+_strat_hash_case = " ".join(
+    f"WHEN source = '{s}' THEN {int(f * 1000)}" for s, f in _STRAT_FRACS.items()
+)
+_strat_hash_oracle = f"""
+WITH kept AS (
+  SELECT source, n_chars
+  FROM documents
+  WHERE ('0x' || substr(md5('strat:' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000
+        < CASE {_strat_hash_case} ELSE {int(_STRAT_DEFAULT * 1000)} END
+)
+SELECT source, count(*)::BIGINT AS n_kept, sum(n_chars)::BIGINT AS chars_kept
+FROM kept GROUP BY source
+"""
+
+
+@register(
+    "stratified_sample_hash", oracle=_strat_hash_oracle, tags=("extended", "llm")
+)
+def stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed stratified downsampling: keep a
+    per-source fraction of documents chosen by a portable hash of the
+    doc id rather than a PRNG. See the module comment above — this is
+    the reproducibility-grade variant of stratified_sample_sources and
+    the one a 100 TB pipeline should run: the kept set is a pure
+    function of the data, so incremental re-runs, speculative retries,
+    and engine migrations all keep exactly the same rows. Fraction
+    accuracy vs the target mix is asserted in
+    tests/test_scale_strategies.py."""
+    from hpat_jl_spark.functions.dedup import portable_hash
+
+    docs = load_table(spark, "documents", sf_dir)
+    thresh = F.lit(int(_STRAT_DEFAULT * 1000))
+    for s, f in _STRAT_FRACS.items():
+        thresh = F.when(F.col("source") == s, F.lit(int(f * 1000))).otherwise(
+            thresh
+        )
+    kept = docs.filter(
+        portable_hash(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+        % 1000
+        < thresh
+    )
+    return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_chars").alias("chars_kept"),
     )

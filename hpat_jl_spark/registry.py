@@ -87,6 +87,10 @@ DRIVER_PRIORITY: list[str] = [
     "duplicate_span_report",
     "stream_foreach_batch_upsert",
     "incremental_dedup_ingest",
+    # Round-4 session 2: new gated sketch/sampling surfaces (the
+    # knn_lsh and hdf5_ingest_agg upgrades are already listed above).
+    "hll_distinct_portable",
+    "stratified_sample_hash",
 ]
 
 

@@ -65,6 +65,19 @@ def test_approx_distinct_accuracy(spark):
         ), f"HLL too far off: {r}"
 
 
+def test_portable_hll_accuracy_and_no_python(spark):
+    """hll_distinct_portable must land within ~3σ of the exact count
+    (σ = 1.04/√512 ≈ 4.6% for 512 registers) and stay entirely
+    JVM-side — the sketch is Column math, not a UDF."""
+    df = registry.REGISTRY["hll_distinct_portable"].fn(spark, SF)
+    for r in df.collect():
+        assert abs(r.hll_estimate - r.exact_orders) <= max(
+            5, 0.14 * r.exact_orders
+        ), f"portable HLL too far off: {r}"
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_semi_join_plans_as_semi(spark):
     orders = load_table(spark, "orders", SF)
     customer = load_table(spark, "customer", SF)

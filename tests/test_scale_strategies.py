@@ -223,3 +223,33 @@ def test_runtime_bloom_filter_injection(spark):
         .collect()
     }
     assert with_bloom == plain
+
+
+def test_hash_stratified_sample_fractions_and_stability(spark):
+    """stratified_sample_hash: per-stratum keep rates track the target
+    fractions (hash-uniformity tolerance) and the kept set is a pure
+    function of the data — rerunning yields IDENTICAL counts, no seed
+    involved."""
+    from hpat_jl_spark import registry
+    from hpat_jl_spark.plans.extended import _STRAT_DEFAULT, _STRAT_FRACS
+    from hpat_jl_spark.tables import load_table
+
+    registry.load_all_plans()
+    fn = registry.REGISTRY["stratified_sample_hash"].fn
+    sf = "/root/testdata/sf0.01"
+    totals = {
+        r.source: r.n
+        for r in load_table(spark, "documents", sf)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    kept = {r.source: r.n_kept for r in fn(spark, sf).collect()}
+    for src, n in totals.items():
+        frac = _STRAT_FRACS.get(src, _STRAT_DEFAULT)
+        expect = frac * n
+        tol = 4 * (n * frac * (1 - frac)) ** 0.5 + 1
+        assert abs(kept.get(src, 0) - expect) <= tol, (src, kept.get(src), expect)
+    # full-keep stratum is EXACT, not statistical
+    assert kept["src2"] == totals["src2"]
+    assert kept == {r.source: r.n_kept for r in fn(spark, sf).collect()}
