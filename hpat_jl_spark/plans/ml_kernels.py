@@ -1,8 +1,9 @@
 """ML-kernel query plans (reference §2.9 named kernels). Single-feature
 OLS is oracle-checked against DuckDB's regr_slope/regr_intercept
 (pyspark.ml's 'normal' solver is closed-form, so they agree to fp
-noise); kmeans registers rows-only (iterative, seed-dependent — golden
-semantics pinned in tests/test_ml.py)."""
+noise); the float kmeans registers rows-only (iterative, seed-dependent
+— golden semantics pinned in tests/test_ml.py) with
+kmeans_lloyd_exact as its fully value-hash-gated fixed-point twin."""
 
 from __future__ import annotations
 
@@ -46,7 +47,8 @@ def ml_linreg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMeans over lineitem numerics (reference Kmeans kernel →
     pyspark.ml). Rows-only: k rows out; cluster recovery semantics are
-    pinned by tests/test_ml.py on planted clusters."""
+    pinned by tests/test_ml.py on planted clusters. kmeans_lloyd_exact
+    below is the hash-gated fixed-point twin of the same kernel."""
     from hpat_jl_spark.ml import kmeans
 
     li = load_table(spark, "lineitem", sf_dir)
@@ -57,6 +59,155 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=42,
     )
     return assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---- exactly-gated Lloyd k-means: the hash-gated twin of ----
+# ml_kmeans_clusters. Float k-means can't have a cross-engine oracle
+# (centroid means differ in the last ulp with aggregation order, which
+# flips boundary assignments). This variant pins the ALGORITHM in exact
+# integer arithmetic instead: points quantized to an integer grid,
+# centroids kept in fixed-point (scale 2^10) via floor division, and
+# squared-distance argmin compared as int64 with a lowest-index
+# tiebreak — every engine that runs the spec gets bit-identical
+# clusters, so the driver value-hash gates a genuinely iterative
+# distributed kernel (reference Kmeans DAAL kernel,
+# src/cgen-hpat-pattern-match-daal.jl:120-223; examples kmeans.jl).
+_KM_S = 1024  # fixed-point centroid scale (power of two: exact)
+_KM_ITERS = 3
+_KM_INIT = [(10, 200), (20, 600), (35, 1000), (45, 1400)]  # grid units
+
+
+def _km_dist_sql(s: int) -> str:
+    return (
+        f"({s}*x - cx)*({s}*x - cx) + ({s}*y - cy)*({s}*y - cy)"
+    )
+
+
+def _km_oracle() -> str:
+    s = _KM_S
+    init_vals = ", ".join(
+        f"({j}, {x * s}, {y * s})" for j, (x, y) in enumerate(_KM_INIT)
+    )
+    sql = f"""WITH pts AS (
+  SELECT floor(l_quantity)::BIGINT AS x,
+         floor(l_extendedprice / 64)::BIGINT AS y,
+         count(*)::BIGINT AS w
+  FROM lineitem GROUP BY 1, 2
+), c0(j, cx, cy) AS (VALUES {init_vals})"""
+    prev = "c0"
+    for t in range(1, _KM_ITERS + 1):
+        sql += f""",
+a{t} AS (
+  SELECT x, y, w, j, row_number() OVER (
+      PARTITION BY x, y ORDER BY {_km_dist_sql(s)}, j) AS rn
+  FROM pts CROSS JOIN {prev}
+),
+g{t} AS (SELECT j, sum(w)::BIGINT AS n, sum(w*x)::BIGINT AS sx,
+                sum(w*y)::BIGINT AS sy
+         FROM a{t} WHERE rn = 1 GROUP BY j),
+c{t}(j, cx, cy) AS (
+  SELECT {prev}.j,
+         CASE WHEN g{t}.n > 0 THEN (g{t}.sx * {s}) // g{t}.n
+              ELSE {prev}.cx END,
+         CASE WHEN g{t}.n > 0 THEN (g{t}.sy * {s}) // g{t}.n
+              ELSE {prev}.cy END
+  FROM {prev} LEFT JOIN g{t} USING (j)
+)"""
+        prev = f"c{t}"
+    sql += f""",
+af AS (
+  SELECT x, y, w, j, cx, cy, row_number() OVER (
+      PARTITION BY x, y ORDER BY {_km_dist_sql(s)}, j) AS rn
+  FROM pts CROSS JOIN {prev}
+)
+SELECT j AS cluster, sum(w)::BIGINT AS n_points,
+       sum(w*x)::BIGINT AS sum_x, sum(w*y)::BIGINT AS sum_y,
+       max(cx)::BIGINT AS cx_q, max(cy)::BIGINT AS cy_q
+FROM af WHERE rn = 1
+GROUP BY j
+"""
+    return sql
+
+
+def _km_assign_expr(cents: list[tuple[int, int]]):
+    """Argmin over centroids of exact int64 squared distance, lowest
+    index on ties (strict < keeps the earlier centroid)."""
+    sx = F.col("x") * _KM_S
+    sy = F.col("y") * _KM_S
+    dists = [
+        (sx - F.lit(cx)) * (sx - F.lit(cx)) + (sy - F.lit(cy)) * (sy - F.lit(cy))
+        for cx, cy in cents
+    ]
+    best, bestd = F.lit(0), dists[0]
+    for j in range(1, len(dists)):
+        closer = dists[j] < bestd
+        best = F.when(closer, F.lit(j)).otherwise(best)
+        bestd = F.when(closer, dists[j]).otherwise(bestd)
+    return best
+
+
+@register("kmeans_lloyd_exact", oracle=_km_oracle(), tags=("ml", "iterative"))
+def kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means with fixed-point centroids, fully
+    value-hash-gated (see module comment above). K=4, 3 iterations over
+    2-D quantized lineitem points (quantity, price/64).
+
+    Scale shape — the part that holds at 100 TB: points are first
+    collapsed to their quantized support histogram (x, y, weight),
+    ONE shuffle ever, cached; each Lloyd iteration is then a weighted
+    aggregate over the (bounded, ~10^5-cell) histogram with a K-row
+    collect — the reference's per-iteration allreduce
+    (examples kmeans.jl; src/distributed-pass.jl gemm+reduce loop) with
+    the fact scan amortized to once. Assignment is a codegen'd when-
+    chain, no Python, no UDF."""
+    li = load_table(spark, "lineitem", sf_dir)
+    pts = (
+        li.select(
+            F.floor("l_quantity").cast("long").alias("x"),
+            F.floor(F.col("l_extendedprice") / 64).cast("long").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .persist()
+    )
+    cents = [(x * _KM_S, y * _KM_S) for x, y in _KM_INIT]
+    for _ in range(_KM_ITERS):
+        rows = (
+            pts.withColumn("c", _km_assign_expr(cents))
+            .groupBy("c")
+            .agg(
+                F.sum("w").alias("n"),
+                F.sum(F.col("w") * F.col("x")).alias("sx"),
+                F.sum(F.col("w") * F.col("y")).alias("sy"),
+            )
+            .collect()
+        )
+        by_j = {r.c: r for r in rows}
+        new_cents = []
+        for j, old in enumerate(cents):
+            r = by_j.get(j)
+            if r is not None and r.n > 0:
+                # python // floors; everything non-negative, so this
+                # matches DuckDB's // and Spark's div exactly
+                new_cents.append(((r.sx * _KM_S) // r.n, (r.sy * _KM_S) // r.n))
+            else:
+                new_cents.append(old)
+        cents = new_cents
+    out = (
+        pts.withColumn("cluster", _km_assign_expr(cents))
+        .groupBy("cluster")
+        .agg(
+            F.sum("w").alias("n_points"),
+            F.sum(F.col("w") * F.col("x")).alias("sum_x"),
+            F.sum(F.col("w") * F.col("y")).alias("sum_y"),
+        )
+    )
+    cdf = spark.createDataFrame(
+        [(j, cx, cy) for j, (cx, cy) in enumerate(cents)],
+        "cluster int, cx_q long, cy_q long",
+    )
+    pts.unpersist(blocking=False)
+    return out.join(F.broadcast(cdf), "cluster")
 
 
 @register("multimodal_features", oracle=None, tags=("multimodal",))

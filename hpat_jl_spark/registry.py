@@ -91,6 +91,7 @@ DRIVER_PRIORITY: list[str] = [
     # knn_lsh and hdf5_ingest_agg upgrades are already listed above).
     "hll_distinct_portable",
     "stratified_sample_hash",
+    "kmeans_lloyd_exact",
 ]
 
 

@@ -103,3 +103,25 @@ def test_quality_model_recovers_teacher(spark):
     agree = scored.filter(F.col("prediction") == F.col("label")).count()
     total = scored.count()
     assert agree / total >= 0.85, (agree, total)
+
+
+def test_kmeans_lloyd_exact_partitions_all_rows_and_moves_centroids(spark):
+    """kmeans_lloyd_exact: the clusters partition lineitem exactly (no
+    row lost or double-counted) and the fixed-point centroids actually
+    moved off their init positions — i.e. the Lloyd updates ran, this
+    isn't a one-shot assignment."""
+    from hpat_jl_spark import registry
+    from hpat_jl_spark.plans.ml_kernels import _KM_INIT, _KM_S
+    from hpat_jl_spark.tables import load_table
+
+    registry.load_all_plans()
+    sf = "/root/testdata/sf0.01"
+    out = registry.REGISTRY["kmeans_lloyd_exact"].fn(spark, sf).collect()
+    total = load_table(spark, "lineitem", sf).count()
+    assert sum(r.n_points for r in out) == total
+    init = {(x * _KM_S, y * _KM_S) for x, y in _KM_INIT}
+    final = {(r.cx_q, r.cy_q) for r in out}
+    assert final != init
+    # centroid means are consistent with the member sums they came from
+    for r in out:
+        assert abs(r.cx_q - (r.sum_x * _KM_S) // r.n_points) <= _KM_S
