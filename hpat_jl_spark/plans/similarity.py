@@ -155,8 +155,9 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via IVF cells (KMeans coarse quantizer +
     n_probe nearest cells per query) — the storage-partitionable ANN
-    path. Rows-only check; twin-retrieval and recall pinned in
-    tests/test_similarity.py."""
+    path. Rows-only check (float k-means++ fit has no SQL twin; see
+    knn_ivf_portable below for the hash-gated variant); twin-retrieval
+    and recall pinned in tests/test_similarity.py."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     out = S.knn_ivf(
@@ -164,6 +165,232 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "query_id", "neighbor_id", "cosine_sim", F.col("rank").alias("knn_rank")
+    )
+
+
+# ---- hash-gated IVF: portable integer coarse quantizer ----
+# The rows-only knn_ivf's quantizer is a float k-means++ fit no other
+# engine can replay. This variant makes every stage exact and
+# replayable: (1) embeddings project to 2-D int64 coordinates via two
+# md5-derived integer planes (same family as knn_lsh's buckets);
+# (2) the coarse quantizer is fixed-point Lloyd on those coordinates
+# (integer centroids via floor division, int64 argmin, index tiebreak —
+# the kmeans_lloyd_exact recipe); (3) each query probes its n_probe
+# nearest cells; (4) candidates in probed cells get exact cosine + rank.
+# DuckDB replays all four stages, so the driver value-hash gates a
+# complete ANN index pipeline: fit → assign → probe → score.
+_IVF_CELLS = 8
+_IVF_PROBE = 3
+_IVF_ITERS = 3
+# init centroids on a ring matched to the projection magnitude
+# (|proj| std ≈ 2.4e6 for unit-ish 64-dim embeddings × 8-bit planes)
+_IVF_INIT = [
+    (2_500_000, 0), (1_800_000, 1_800_000), (0, 2_500_000),
+    (-1_800_000, 1_800_000), (-2_500_000, 0), (-1_800_000, -1_800_000),
+    (0, -2_500_000), (1_800_000, -1_800_000),
+]
+_IVF_PLANES = S.portable_plane_weights(_DIM, 2, seed=7)
+
+
+def _ivf_proj_sql(e: str) -> list[str]:
+    out = []
+    for row in _IVF_PLANES:
+        lits = "[" + ", ".join(str(int(x)) for x in row) + "]"
+        out.append(
+            f"list_sum(list_transform(range(1, {_DIM + 1}), "
+            f"i -> floor({e}[i] * {S.LSH_QUANT})::BIGINT * ({lits})[i]))"
+        )
+    return out
+
+
+def _ivf_oracle() -> str:
+    px, py = _ivf_proj_sql("e")
+    init_vals = ", ".join(
+        f"({j}, {cx}, {cy})" for j, (cx, cy) in enumerate(_IVF_INIT)
+    )
+    d = "(px - cx)*(px - cx) + (py - cy)*(py - cy)"
+    sql = f"""WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), p AS (
+  SELECT vec_id, e, {px} AS px, {py} AS py FROM v
+), c0(j, cx, cy) AS (VALUES {init_vals})"""
+    prev = "c0"
+    for t in range(1, _IVF_ITERS + 1):
+        sql += f""",
+a{t} AS (
+  SELECT vec_id, px, py, j, row_number() OVER (
+      PARTITION BY vec_id ORDER BY {d}, j) AS rn
+  FROM p CROSS JOIN {prev}
+),
+g{t} AS (SELECT j, count(*)::BIGINT AS n, sum(px)::BIGINT AS sx,
+                sum(py)::BIGINT AS sy
+         FROM a{t} WHERE rn = 1 GROUP BY j),
+c{t}(j, cx, cy) AS (
+  -- exact FLOOR division for either sign (DuckDB // truncates toward
+  -- zero; python's // floors): subtract the floor-mod first so the
+  -- numerator is an exact multiple and direction can't matter
+  SELECT {prev}.j,
+         CASE WHEN g{t}.n > 0
+              THEN (g{t}.sx - (((g{t}.sx % g{t}.n) + g{t}.n) % g{t}.n)) // g{t}.n
+              ELSE {prev}.cx END,
+         CASE WHEN g{t}.n > 0
+              THEN (g{t}.sy - (((g{t}.sy % g{t}.n) + g{t}.n) % g{t}.n)) // g{t}.n
+              ELSE {prev}.cy END
+  FROM {prev} LEFT JOIN g{t} USING (j)
+)"""
+        prev = f"c{t}"
+    sql += f""",
+cells AS (
+  SELECT vec_id, j AS cell FROM (
+    SELECT vec_id, j, row_number() OVER (
+        PARTITION BY vec_id ORDER BY {d}, j) AS rn
+    FROM p CROSS JOIN {prev}) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, j AS cell FROM (
+    SELECT p.vec_id, j, row_number() OVER (
+        PARTITION BY p.vec_id ORDER BY {d}, j) AS rn
+    FROM p CROSS JOIN {prev} WHERE p.vec_id < {_N_QUERIES})
+  WHERE rn <= {_IVF_PROBE}
+),
+scored AS (
+  SELECT probe.query_id, cells.vec_id AS neighbor_id,
+         {_cos_sql('q.e', 'c.e')} AS cosine_sim
+  FROM probe
+  JOIN cells USING (cell)
+  JOIN v q ON q.vec_id = probe.query_id
+  JOIN v c ON c.vec_id = cells.vec_id
+  WHERE cells.vec_id <> probe.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS knn_rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, knn_rank
+FROM ranked WHERE knn_rank <= {_K}
+"""
+    return sql
+
+
+def _ivf_proj_cols():
+    """(px, py) codegen expressions over the embedding column."""
+    import hpat_jl_spark.functions.similarity as sim
+
+    out = []
+    for row in _IVF_PLANES:
+        q = F.transform(
+            F.col("embedding"),
+            lambda v: F.floor(v.cast("double") * sim.LSH_QUANT).cast("long"),
+        )
+        w = F.array(*[F.lit(int(x)).cast("long") for x in row])
+        out.append(
+            F.aggregate(
+                F.zip_with(q, w, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        )
+    return out
+
+
+def _ivf_cell_expr(cents: list[tuple[int, int]], px, py):
+    """Int64 argmin over centroid distances, lowest index on ties."""
+    dists = [
+        (px - F.lit(cx)) * (px - F.lit(cx)) + (py - F.lit(cy)) * (py - F.lit(cy))
+        for cx, cy in cents
+    ]
+    best, bestd = F.lit(0), dists[0]
+    for j in range(1, len(dists)):
+        closer = dists[j] < bestd
+        best = F.when(closer, F.lit(j)).otherwise(best)
+        bestd = F.when(closer, dists[j]).otherwise(bestd)
+    return best
+
+
+@register("knn_ivf_portable", oracle=_ivf_oracle(), tags=("similarity",))
+def knn_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with every stage hash-gated (see module comment above):
+    integer-projection coarse quantizer fit by fixed-point Lloyd, probe
+    of the n_probe nearest cells, exact cosine + rank on candidates.
+
+    Scale shape: the fit iterates a K-row collect over the (projected)
+    corpus — at 100 TB you fit on a capped sample exactly like knn_ivf
+    does (the quantizer is a model, not a query); assignment and
+    scoring are one cell-keyed equi-join each, candidates never leave
+    their cell, and the scoring fold is codegen'd Column math — the
+    whole query plan is UDF-free."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    px, py = _ivf_proj_cols()
+    proj = emb.select("vec_id", "embedding", px.alias("px"), py.alias("py")).persist()
+    cents = list(_IVF_INIT)
+    for _ in range(_IVF_ITERS):
+        rows = (
+            proj.withColumn("c", _ivf_cell_expr(cents, F.col("px"), F.col("py")))
+            .groupBy("c")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("px").alias("sx"),
+                F.sum("py").alias("sy"),
+            )
+            .collect()
+        )
+        by_j = {r.c: r for r in rows}
+        new_cents = []
+        for j, old in enumerate(cents):
+            r = by_j.get(j)
+            if r is not None and r.n > 0:
+                # floor(s / n) on possibly-negative sums: python's //
+                # floors, matching the oracle's floor(sx/n::DOUBLE) —
+                # |s/n| ≤ 2^28, far inside double's exact-int range
+                new_cents.append((r.sx // r.n, r.sy // r.n))
+            else:
+                new_cents.append(old)
+        cents = new_cents
+    cells = proj.select(
+        "vec_id",
+        "embedding",
+        _ivf_cell_expr(cents, F.col("px"), F.col("py")).alias("cell"),
+    )
+    cdf = spark.createDataFrame(
+        [(j, cx, cy) for j, (cx, cy) in enumerate(cents)],
+        "j int, cx long, cy long",
+    )
+    qp = proj.filter(F.col("vec_id") < _N_QUERIES).crossJoin(F.broadcast(cdf))
+    dist = (F.col("px") - F.col("cx")) * (F.col("px") - F.col("cx")) + (
+        F.col("py") - F.col("cy")
+    ) * (F.col("py") - F.col("cy"))
+    wprobe = Window.partitionBy("vec_id").orderBy(dist.asc(), F.col("j"))
+    probe = (
+        qp.withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= _IVF_PROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+            F.col("j").alias("cell"),
+        )
+    )
+    proj.unpersist(blocking=False)
+    cand = (
+        cells.join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(S.cosine(F.col("q_vec"), F.col("embedding")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    wrank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("knn_rank", F.row_number().over(wrank))
+        .filter(F.col("knn_rank") <= _K)
+        .select("query_id", "neighbor_id", "cosine_sim", "knn_rank")
     )
 
 

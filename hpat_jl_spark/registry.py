@@ -92,6 +92,7 @@ DRIVER_PRIORITY: list[str] = [
     "hll_distinct_portable",
     "stratified_sample_hash",
     "kmeans_lloyd_exact",
+    "knn_ivf_portable",
 ]
 
 

@@ -338,3 +338,36 @@ def test_embedding_dedup_clusters_transitive_chain(spark):
         .collect()
     }
     assert out == {1: 3}  # 1-2-3 chained; 4 and 5 absent
+
+
+def test_ivf_portable_probes_own_cell_and_finds_neighbors(spark):
+    """knn_ivf_portable: the probe ranking and the cell assignment use
+    the same argmin, so a query's own cell must be its first probe —
+    meaning same-cell neighbors are always reachable; and the
+    approximate top-k overlaps the exact top-k (recall floor for 3/8
+    cells probed on near-isotropic fixtures)."""
+    from pyspark.sql import functions as F
+
+    from hpat_jl_spark import registry
+    from hpat_jl_spark.tables import load_table
+
+    registry.load_all_plans()
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, "embeddings", sf)
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_bruteforce(queries, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in registry.REGISTRY["knn_ivf_portable"].fn(spark, sf).collect()
+    }
+    assert len(approx) > 0
+    assert len(approx & exact) / len(exact) >= 0.2
+    # determinism: the whole pipeline is exact integer + fixed literals
+    approx2 = {
+        (r.query_id, r.neighbor_id)
+        for r in registry.REGISTRY["knn_ivf_portable"].fn(spark, sf).collect()
+    }
+    assert approx == approx2
