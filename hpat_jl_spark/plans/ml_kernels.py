@@ -206,7 +206,9 @@ def kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(j, cx, cy) for j, (cx, cy) in enumerate(cents)],
         "cluster int, cx_q long, cy_q long",
     )
-    pts.unpersist(blocking=False)
+    # no explicit unpersist: the final aggregate (lazy, runs after this
+    # returns) reads the same cache the loop filled; ContextCleaner
+    # reclaims the blocks once the frame is unreferenced
     return out.join(F.broadcast(cdf), "cluster")
 
 

@@ -372,7 +372,8 @@ def knn_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("j").alias("cell"),
         )
     )
-    proj.unpersist(blocking=False)
+    # no explicit unpersist: cells/probe are lazy and still read proj's
+    # cache when the returned frame executes; ContextCleaner reclaims it
     cand = (
         cells.join(F.broadcast(probe), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
