@@ -56,17 +56,28 @@ def prepare_corpus(
     )
 
     # 2. exact dedup: canonical doc per normalized-text fingerprint
-    #    (content-addressed min-id keeps it deterministic)
+    #    (content-addressed min-id keeps it deterministic). PERSISTED:
+    #    the dedup window is a full shuffle of the corpus text, and
+    #    three downstream consumers read it (the decontam gram pass,
+    #    the vocabulary-fit job, and the final encode) — without the
+    #    cache each one re-runs the scan + window. Warm wall-clock at
+    #    sf0.1 is unchanged (the local bottleneck is the gram join +
+    #    pack window, not the rescans), but at corpus scale this
+    #    collapses three full text scans into one; ContextCleaner
+    #    reclaims the blocks
     w_fp = Window.partitionBy(F.md5(X.normalize_text("text"))).orderBy("doc_id")
     deduped = (
         gated.withColumn("rn", F.row_number().over(w_fp))
         .filter(F.col("rn") == 1)
         .drop("rn")
+        .persist()
     )
 
     # 3. decontamination: drop docs sharing any n-gram with the eval
-    #    slice (doc_id % 10 == 0 stands in for the benchmark set)
-    grams = _word_grams(deduped, decontam_ngram).distinct()
+    #    slice (doc_id % 10 == 0 stands in for the benchmark set);
+    #    the distinct gram set feeds both the eval side and the dirty
+    #    side of the join — cache it once too
+    grams = _word_grams(deduped, decontam_ngram).distinct().persist()
     eval_grams = grams.filter(F.col("doc_id") % 10 == 0).select("gram").distinct()
     dirty = (
         grams.filter(F.col("doc_id") % 10 != 0)
