@@ -66,6 +66,10 @@ HEADLINE = [
     "embedding_dedup_clusters",
     "duplicate_span_report",
     "bpe_encode_stats",
+    # round 4, late additions: the portable-arithmetic gated surfaces
+    "hll_distinct_portable",
+    "kmeans_lloyd_exact",
+    "knn_ivf_portable",
 ]
 
 
