@@ -70,6 +70,7 @@ HEADLINE = [
     "hll_distinct_portable",
     "kmeans_lloyd_exact",
     "knn_ivf_portable",
+    "knn_pq_portable",
 ]
 
 

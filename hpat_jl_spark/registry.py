@@ -93,6 +93,7 @@ DRIVER_PRIORITY: list[str] = [
     "stratified_sample_hash",
     "kmeans_lloyd_exact",
     "knn_ivf_portable",
+    "knn_pq_portable",
 ]
 
 

@@ -74,6 +74,10 @@ ALLOW: dict[str, dict[str, str]] = {
     "equidepth_binning": {
         "BroadcastNestedLoopJoin": "1-row sketch-boundaries aggregate broadcast"
     },
+    "knn_ivf_portable": {
+        "BroadcastNestedLoopJoin": "8-query probe x 8-row centroid table "
+        "(both model-sized constants, never data-sized)"
+    },
     "ks_test_purchase_view": {
         "BroadcastNestedLoopJoin": "1-row sample-totals aggregate broadcast",
         "UnpartitionedWindow": "64-row chunk-offset window inside "

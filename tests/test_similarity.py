@@ -371,3 +371,33 @@ def test_ivf_portable_probes_own_cell_and_finds_neighbors(spark):
         for r in registry.REGISTRY["knn_ivf_portable"].fn(spark, sf).collect()
     }
     assert approx == approx2
+
+
+def test_pq_portable_shortlist_contains_topk_and_deterministic(spark):
+    """knn_pq_portable: ADC + rerank returns exactly k rows per query,
+    overlaps the exact top-k (recall floor for 4x4 integer codebooks on
+    noise), and is bit-stable across runs."""
+    from pyspark.sql import functions as F
+
+    from hpat_jl_spark import registry
+    from hpat_jl_spark.tables import load_table
+
+    registry.load_all_plans()
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, "embeddings", sf)
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_bruteforce(queries, emb, k=5).collect()
+    }
+    rows = registry.REGISTRY["knn_pq_portable"].fn(spark, sf).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.knn_rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(approx & exact) / len(exact) >= 0.15
+    rows2 = registry.REGISTRY["knn_pq_portable"].fn(spark, sf).collect()
+    assert {(r.query_id, r.neighbor_id, r.knn_rank) for r in rows} == {
+        (r.query_id, r.neighbor_id, r.knn_rank) for r in rows2
+    }
