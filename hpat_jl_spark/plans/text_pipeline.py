@@ -605,8 +605,11 @@ def quality_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     training iterates L-BFGS over treeAggregate gradients (the
     reference's gemm+allreduce loop, DAAL-free); inference is one
     map-stage UDF-free vector dot via the fitted model's transform.
-    Rows-only driver check (L-BFGS float fixpoint has no SQL twin);
-    model-recovers-its-teacher accuracy asserted in tests/test_ml.py."""
+    Rows-only driver check for THIS query (its gate compares model
+    scores at a threshold, where a last-ulp coefficient difference
+    could flip a boundary doc); the TRAINING itself is value-hash
+    gated by quality_model_coefs below. Model-recovers-its-teacher
+    accuracy asserted in tests/test_ml.py."""
     from pyspark.ml.classification import LogisticRegression as MLLogReg
 
     from hpat_jl_spark.ml.kernels import assemble_features
@@ -1003,3 +1006,205 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     merges = train_bpe(docs, num_merges=64, max_words=65536)
     return encode(docs, merges)
+
+
+# ---- hash-gated quality-model training ----
+# quality_model_filter's MLlib L-BFGS fit is rows-only; this query puts
+# the TRAINING under the value-hash gate, the 3-feature generalization
+# of ml_logreg_purchase's Newton-refit pattern (plans/ml_kernels.py):
+# the logistic MLE is unique, so Spark's L-BFGS and a DuckDB Newton
+# refit land on the same coefficients to far below the 3dp rounding.
+# Three design points make that possible:
+# - the teacher label (quality_score > 0.55) is a DETERMINISTIC
+#   function of the features, i.e. (near-)separable — the MLE would
+#   diverge and no two optimizers would agree. 10% of labels are
+#   flipped by portable_hash(doc_id) (deterministic, replayed exactly
+#   by the oracle) — the honest shape of weak supervision anyway.
+# - L2 ridge (lambda=0.1, intercept unpenalized, standardization off)
+#   on BOTH sides: the fixture features are nearly collinear at small
+#   SF (punct_ratio is almost constant), so the unregularized Hessian
+#   is near-singular — Newton diverged to NULL and L-BFGS wandered to
+#   +/-45 coefficients. The ridge makes the optimum finite, unique and
+#   well-conditioned at every SF; the penalty term is part of the
+#   declared objective, identically on both engines.
+# - the 4x4 Newton solve in SQL is generated symbolically below
+#   (cofactor adjugate over permutation signs), not hand-written.
+_QMC_L2 = 0.1
+def _newton4_delta_sql() -> list[str]:
+    """delta_i = (adj(H) g)_i / det(H) for symmetric 4x4 H named
+    h00..h33 (hij, i<=j) and gradient g0..g3."""
+    import itertools
+
+    def h(i: int, j: int) -> str:
+        return f"h{min(i, j)}{max(i, j)}"
+
+    def sign(perm: tuple[int, ...]) -> int:
+        s = 1
+        for a in range(len(perm)):
+            for b in range(a + 1, len(perm)):
+                if perm[a] > perm[b]:
+                    s = -s
+        return s
+
+    def det(rows: list[int], cols: list[int]) -> str:
+        terms = []
+        for perm in itertools.permutations(range(len(cols))):
+            prod = "*".join(h(rows[k], cols[perm[k]]) for k in range(len(rows)))
+            terms.append(("+ " if sign(perm) > 0 else "- ") + prod)
+        return "(" + " ".join(terms) + ")"
+
+    full = det([0, 1, 2, 3], [0, 1, 2, 3])
+    deltas = []
+    for i in range(4):
+        parts = []
+        for j in range(4):
+            rows = [r for r in range(4) if r != j]
+            cols = [c for c in range(4) if c != i]
+            cof = det(rows, cols)
+            s = "+" if (i + j) % 2 == 0 else "-"
+            parts.append(f"{s} g{j} * {cof}")
+        deltas.append("(" + " ".join(parts) + ") / " + full)
+    return deltas
+
+
+def _qmc_feats_sql() -> str:
+    return f"""
+  SELECT 1.0 AS x0,
+         len(list_filter(toks, x -> x IN ({_STOP_SQL})))::DOUBLE / len(toks) AS x1,
+         length(regexp_replace(lowered, '[a-z0-9\\s]', '', 'g'))::DOUBLE
+           / length(lowered) AS x2,
+         least(len(toks) / 100.0, 1.0) AS x3,
+         CASE WHEN (('0x' || substr(md5('qmc:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                    % 10 = 0)
+              THEN 1.0 - teacher ELSE teacher END AS y
+  FROM (
+    SELECT doc_id,
+           regexp_split_to_array(trim(text), '\\s+') AS toks,
+           lower(text) AS lowered,
+           CASE WHEN 0.4 * least(
+                    (len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                     x -> x IN ({_STOP_SQL})))::DOUBLE
+                     / len(regexp_split_to_array(trim(text), '\\s+'))) * 5.0, 1.0)
+                + 0.3 * (1.0 - length(regexp_replace(lower(text), '[a-z0-9\\s]',
+                                                     '', 'g'))::DOUBLE
+                               / length(lower(text)))
+                + 0.3 * least(len(regexp_split_to_array(trim(text), '\\s+'))
+                              / 100.0, 1.0) > 0.55
+           THEN 1.0 ELSE 0.0 END AS teacher
+    FROM documents
+  )"""
+
+
+def _quality_coefs_oracle() -> str:
+    d0, d1, d2, d3 = _newton4_delta_sql()
+    g_h_sums = """
+           count(*)::DOUBLE         AS nn,
+           sum(p.p - p.y)          AS g0r,
+           sum((p.p - p.y) * p.x1) AS g1r,
+           sum((p.p - p.y) * p.x2) AS g2r,
+           sum((p.p - p.y) * p.x3) AS g3r,
+           sum(p.w)                 AS h00,
+           sum(p.w * p.x1)          AS h01,
+           sum(p.w * p.x2)          AS h02,
+           sum(p.w * p.x3)          AS h03,
+           sum(p.w * p.x1 * p.x1)   AS h11r,
+           sum(p.w * p.x1 * p.x2)   AS h12,
+           sum(p.w * p.x1 * p.x3)   AS h13,
+           sum(p.w * p.x2 * p.x2)   AS h22r,
+           sum(p.w * p.x2 * p.x3)   AS h23,
+           sum(p.w * p.x3 * p.x3)   AS h33r"""
+    sig = "1.0 / (1.0 + exp(-(f.b0 + f.b1 * x1 + f.b2 * x2 + f.b3 * x3)))"
+    # ridge: gradient += n*lambda*b_j, Hessian_jj += n*lambda (j >= 1;
+    # the intercept is unpenalized) — the n* scale matches Spark ML's
+    # (1/n)*logloss + lambda/2*||w||^2 objective multiplied through by n
+    return f"""WITH RECURSIVE
+pts AS ({_qmc_feats_sql()}),
+fit(iter, b0, b1, b2, b3) AS (
+  SELECT 0, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
+  UNION ALL
+  SELECT iter + 1,
+         b0 - ({d0}), b1 - ({d1}), b2 - ({d2}), b3 - ({d3})
+  FROM (
+    SELECT iter, b0, b1, b2, b3,
+           g0r AS g0,
+           g1r + {_QMC_L2} * nn * b1 AS g1,
+           g2r + {_QMC_L2} * nn * b2 AS g2,
+           g3r + {_QMC_L2} * nn * b3 AS g3,
+           h00, h01, h02, h03, h12, h13, h23,
+           h11r + {_QMC_L2} * nn AS h11,
+           h22r + {_QMC_L2} * nn AS h22,
+           h33r + {_QMC_L2} * nn AS h33
+    FROM (
+      SELECT f.iter, f.b0, f.b1, f.b2, f.b3,{g_h_sums}
+      FROM fit f, LATERAL (
+        SELECT x1, x2, x3, y,
+               {sig} AS p,
+               ({sig}) * (1.0 - {sig}) AS w
+        FROM pts
+      ) p
+      WHERE f.iter < 25
+      GROUP BY f.iter, f.b0, f.b1, f.b2, f.b3
+    )
+  )
+)
+SELECT round(b1, 3) AS coef_stopword,
+       round(b2, 3) AS coef_punct,
+       round(b3, 3) AS coef_len,
+       round(b0, 3) AS intercept
+FROM fit WHERE iter = 25
+"""
+
+
+@register(
+    "quality_model_coefs", oracle=_quality_coefs_oracle(), tags=("text", "ml")
+)
+def quality_model_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the 3-feature quality classifier and hash-gate its
+    COEFFICIENTS (module comment above): distributed L-BFGS on Spark,
+    4x4-Newton refit in the oracle, both converging to the unique MLE
+    of the noise-broken weak-label problem far inside 3dp. The scoring/
+    keep-rate query (quality_model_filter) stays rows-only — its gate
+    compares model scores at a threshold, where a last-ulp coefficient
+    difference could legitimately flip a boundary doc."""
+    from pyspark.ml.classification import LogisticRegression as MLLogReg
+
+    from hpat_jl_spark.functions.dedup import portable_hash
+    from hpat_jl_spark.ml.kernels import assemble_features
+
+    docs = load_table(spark, "documents", sf_dir)
+    teacher = (X.quality_score("text") > 0.55).cast("double")
+    flip = (
+        portable_hash(F.concat(F.lit("qmc:"), F.col("doc_id").cast("string")))
+        % 10
+        == 0
+    )
+    feats = docs.select(
+        X.stopword_ratio("text").alias("f_stop"),
+        X.punct_ratio("text").alias("f_punct"),
+        F.least(X.token_count("text").cast("double") / 100.0, F.lit(1.0)).alias(
+            "f_len"
+        ),
+        F.when(flip, 1.0 - teacher).otherwise(teacher).alias("label"),
+    )
+    assembled = assemble_features(feats, ["f_stop", "f_punct", "f_len"])
+    model = MLLogReg(
+        featuresCol="features",
+        labelCol="label",
+        maxIter=500,
+        tol=1e-12,
+        regParam=_QMC_L2,
+        elasticNetParam=0.0,
+        standardization=False,
+    ).fit(assembled)
+    c = model.coefficients
+    return spark.createDataFrame(
+        [
+            (
+                round(float(c[0]), 3),
+                round(float(c[1]), 3),
+                round(float(c[2]), 3),
+                round(float(model.intercept), 3),
+            )
+        ],
+        "coef_stopword double, coef_punct double, coef_len double, intercept double",
+    )

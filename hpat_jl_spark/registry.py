@@ -94,6 +94,7 @@ DRIVER_PRIORITY: list[str] = [
     "kmeans_lloyd_exact",
     "knn_ivf_portable",
     "knn_pq_portable",
+    "quality_model_coefs",
 ]
 
 
