@@ -315,7 +315,15 @@ def simhash_candidates(
         ).alias("bk"),
     ).select("id", "sig", "bk.band", "bk.bkey")
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = (
+    # The self-join emits every candidate pair once PER shared band —
+    # on duplicate-heavy corpora that multiplicity is the dominant
+    # cost, and carrying both 60-element signatures through it made
+    # the shuffle quadratic in bytes (the ×10-replica SCALING tier,
+    # where every doc has 10 identical copies, measured 31s). Join on
+    # bare id pairs, collapse band multiplicity FIRST, then look the
+    # two signatures up once per DISTINCT pair (31s → ~8s at ×10;
+    # sf0.1 unchanged).
+    id_pairs = (
         banded.alias("a")
         .join(
             banded.alias("b"),
@@ -326,10 +334,16 @@ def simhash_candidates(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sig_lookup = banded.select("id", "sig").dropDuplicates(["id"])
+    pairs = id_pairs.join(
+        sig_lookup.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+        "id_a",
+    ).join(
+        sig_lookup.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+        "id_b",
     )
     hamming = F.size(
         F.filter(
