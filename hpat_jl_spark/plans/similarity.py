@@ -181,7 +181,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # complete ANN index pipeline: fit → assign → probe → score.
 _IVF_CELLS = 8
 _IVF_PROBE = 3
-_IVF_ITERS = 3
+_IVF_ITERS = 2
 # init centroids on a ring matched to the projection magnitude
 # (|proj| std ≈ 2.4e6 for unit-ish 64-dim embeddings × 8-bit planes)
 _IVF_INIT = [
