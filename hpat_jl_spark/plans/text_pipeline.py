@@ -1208,3 +1208,91 @@ def quality_model_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "coef_stopword double, coef_punct double, coef_len double, intercept double",
     )
+
+
+# ---- hash-gated BPE encoding under a FIXED merge table ----
+# bpe_train_merges / bpe_encode_stats are rows-only (iterative symbol-
+# table training has no SQL twin). Encoding under a FROZEN merge list,
+# though, is pure string algebra both engines share: render each word
+# as space-separated characters + ' </w>', then apply the merges in
+# rank order as plain replace(' l r ' -> ' lr ') — replace() is
+# leftmost-non-overlapping in Spark and DuckDB alike, which is exactly
+# BPE's single-pass merge application, and no merge has '</w>' as its
+# LEFT symbol so pairs can never match across a word boundary. The
+# merge table below is the top-16 output of this repo's own
+# bpe_train_merges on the sf0.01 documents fixture (Sennrich-style
+# </w> markers), frozen as the model artifact a production encoder
+# would load.
+_BPE_FIXED_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),
+    ("h", "</w>"), ("a", "t"), ("l", "u"), ("i", "n"),
+    ("a", "</w>"), ("g", "</w>"), ("y", "</w>"), ("a", "r"),
+]
+
+
+def _bpe_fixed_oracle() -> str:
+    expr = ("' ' || regexp_replace(regexp_replace(trim(regexp_replace("
+            "lower(text), '[^a-z ]', '', 'g')), ' +', ' ', 'g'),"
+            " '(.)', '\\1 ', 'g') || '</w> '")
+    expr = f"regexp_replace({expr}, ' {{2,}}', ' </w> ', 'g')"
+    for l, r in _BPE_FIXED_MERGES:
+        expr = f"replace({expr}, ' {l} {r} ', ' {l}{r} ')"
+    return f"""
+WITH enc AS (
+  SELECT doc_id, {expr} AS s
+  FROM documents
+  WHERE length(trim(regexp_replace(lower(text), '[^a-z ]', '', 'g'))) > 0
+)
+SELECT doc_id,
+       len(regexp_extract_all(s, '[^ ]+'))::BIGINT AS n_symbols,
+       len(list_filter(regexp_extract_all(s, '[^ ]+'),
+                       x -> x = '</w>'))::BIGINT AS n_bare_markers,
+       len(list_filter(regexp_extract_all(s, '[^ ]+'),
+                       x -> length(x) > 1 AND x <> '</w>'))::BIGINT
+         AS n_merged_symbols
+FROM enc
+"""
+
+
+@register("bpe_encode_fixed", oracle=_bpe_fixed_oracle(), tags=("text", "ml"))
+def bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-encode the corpus under the frozen 16-merge table (module
+    comment above) and report per-doc symbol accounting — the
+    token-budget pass of a training pipeline with the tokenizer pinned,
+    fully value-hash gated (the rows-only bpe_* queries cover the
+    TRAINING, whose iterative state has no SQL twin).
+
+    Scale shape: one scan, ~20 chained string replaces inside a single
+    codegen'd projection, one narrow output — no shuffle at all; the
+    merge table is a compile-time literal exactly like a deployed
+    tokenizer's vocab file."""
+    docs = load_table(spark, "documents", sf_dir)
+    norm = F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower("text"), "[^a-z ]", "")), " +", " "
+    )
+    spaced = F.concat(
+        F.lit(" "), F.regexp_replace(norm, "(.)", "$1 "), F.lit("</w> ")
+    )
+    s = F.regexp_replace(spaced, " {2,}", " </w> ")
+    for l, r in _BPE_FIXED_MERGES:
+        s = F.replace(s, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
+    syms = F.regexp_extract_all(s, F.lit("[^ ]+"), 0)
+    return (
+        docs.filter(F.length(norm) > 0)
+        .select("doc_id", syms.alias("__syms"))
+        .select(
+            "doc_id",
+            F.size("__syms").cast("long").alias("n_symbols"),
+            F.size(F.filter("__syms", lambda x: x == "</w>"))
+            .cast("long")
+            .alias("n_bare_markers"),
+            F.size(
+                F.filter(
+                    "__syms", lambda x: (F.length(x) > 1) & (x != "</w>")
+                )
+            )
+            .cast("long")
+            .alias("n_merged_symbols"),
+        )
+    )

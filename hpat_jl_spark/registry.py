@@ -95,6 +95,7 @@ DRIVER_PRIORITY: list[str] = [
     "knn_ivf_portable",
     "knn_pq_portable",
     "quality_model_coefs",
+    "bpe_encode_fixed",
 ]
 
 

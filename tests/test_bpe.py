@@ -62,3 +62,45 @@ def test_train_and_encode_on_spark(spark):
     assert out[2] == (6, 6 * len(apply_merges("newest", {p: i for i, p in enumerate(merges)})))
     # every word is at least one subword
     assert all(ns >= nw for nw, ns in out.values())
+
+
+def test_fixed_merge_encode_matches_python_reference(spark):
+    """bpe_encode_fixed's chained-replace encoding must equal a direct
+    Python BPE application of the same frozen merge table (leftmost
+    non-overlapping, rank order, </w> word markers)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from hpat_jl_spark import registry
+    from hpat_jl_spark.plans.text_pipeline import _BPE_FIXED_MERGES
+    from hpat_jl_spark.tables import load_table
+
+    registry.load_all_plans()
+    sf = "/root/testdata/sf0.001"
+
+    def encode_py(text):
+        norm = re.sub(" +", " ", re.sub("[^a-z ]", "", text.lower()).strip())
+        if not norm:
+            return None
+        syms = []
+        for word in norm.split(" "):
+            syms.extend(list(word) + ["</w>"])
+        s = " " + " ".join(syms) + " "
+        for l, r in _BPE_FIXED_MERGES:
+            s = s.replace(f" {l} {r} ", f" {l}{r} ")
+        return s.split()
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, "documents", sf).select("doc_id", "text").collect()
+    }
+    out = registry.REGISTRY["bpe_encode_fixed"].fn(spark, sf).collect()
+    assert len(out) > 0
+    for r in out:
+        ref = encode_py(docs[r.doc_id])
+        assert r.n_symbols == len(ref), (r.doc_id, r.n_symbols, len(ref))
+        assert r.n_bare_markers == sum(1 for x in ref if x == "</w>")
+        assert r.n_merged_symbols == sum(
+            1 for x in ref if len(x) > 1 and x != "</w>"
+        )
