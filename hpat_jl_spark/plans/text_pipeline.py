@@ -1296,3 +1296,117 @@ def bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_merged_symbols"),
         )
     )
+
+
+# ---- fuzzy (near-duplicate) benchmark decontamination ----
+# benchmark_decontaminate (plans/llm_pipeline.py) drops training docs
+# sharing an EXACT n-gram with the eval slice; real contamination is
+# often lightly edited, so production pipelines (GPT-3/PaLM appendices)
+# also run a FUZZY pass. This is that pass, fully gated: MinHash bands
+# generate cross-corpus candidates (training × eval, never the n²
+# cross join), then the exact shingle Jaccard is computed per candidate
+# and the keep decision is the INTEGER comparison 2·|∩| ≥ |∪| (θ=0.5)
+# — no float anywhere in the verdict, so the pair set hash-matches.
+# The oracle reuses the dedup_minhash CTE chain (same portable md5
+# base hash) and replays candidate generation AND exact verification.
+_fuzzy_decon_oracle = f"""
+WITH {_minhash_pair_ctes(0.0)},
+cross_pairs AS (
+  SELECT CASE WHEN id_a % 10 <> 0 THEN id_a ELSE id_b END AS corpus_doc,
+         CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS eval_doc
+  FROM lsh_pairs
+  WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)
+),
+sh AS (
+  SELECT DISTINCT id,
+         array_to_string(list_slice(w, i, i + 2), ' ') AS s
+  FROM toks, UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS u(i)
+),
+cnt AS (SELECT id, count(*)::BIGINT AS c FROM sh GROUP BY id),
+inter AS (
+  SELECT corpus_doc, eval_doc, count(*)::BIGINT AS n_inter
+  FROM cross_pairs
+  JOIN sh a ON a.id = corpus_doc
+  JOIN sh b ON b.id = eval_doc AND b.s = a.s
+  GROUP BY 1, 2
+)
+SELECT corpus_doc, eval_doc, n_inter,
+       (ca.c + cb.c - n_inter)::BIGINT AS n_union
+FROM inter
+JOIN cnt ca ON ca.id = corpus_doc
+JOIN cnt cb ON cb.id = eval_doc
+WHERE 2 * n_inter >= ca.c + cb.c - n_inter
+"""
+
+
+@register(
+    "fuzzy_decontaminate", oracle=_fuzzy_decon_oracle, tags=("text", "dedup", "llm")
+)
+def fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cross-corpus decontamination (module comment
+    above): training docs whose exact shingle Jaccard against any eval
+    doc (doc_id % 10 == 0, the same stand-in slice
+    benchmark_decontaminate uses) is ≥ 0.5, candidates from MinHash
+    bands. Output (corpus_doc, eval_doc, n_inter, n_union) — exact
+    integers, fully hash-gated.
+
+    Scale shape: candidates come from the band equi-join (the training
+    side never meets more than its bucket-mates); the exact verify
+    joins shingles only for CANDIDATE pairs, and the final decision is
+    integer arithmetic. Same shape at 100 TB with the eval slice being
+    the small broadcast side."""
+    docs = load_table(spark, "documents", sf_dir)
+    cands = D.minhash_candidates(docs).select("id_a", "id_b")
+    is_eval_a = F.col("id_a") % 10 == 0
+    is_eval_b = F.col("id_b") % 10 == 0
+    cross = cands.filter(is_eval_a != is_eval_b).select(
+        F.when(~is_eval_a, F.col("id_a")).otherwise(F.col("id_b")).alias(
+            "corpus_doc"
+        ),
+        F.when(is_eval_a, F.col("id_a")).otherwise(F.col("id_b")).alias(
+            "eval_doc"
+        ),
+    )
+    toks = docs.select(
+        F.col("doc_id").alias("id"), F.split(F.trim("text"), r"\s+").alias("w")
+    )
+    sh = toks.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("w") - 2, F.lit(1))),
+                lambda i: F.array_join(F.slice("w", i, 3), " "),
+            )
+        ).alias("s"),
+    ).distinct()
+    cnt = sh.groupBy("id").agg(F.count(F.lit(1)).alias("c"))
+    inter = (
+        cross.join(
+            sh.select(F.col("id").alias("corpus_doc"), "s"), "corpus_doc"
+        )
+        .join(
+            sh.select(F.col("id").alias("eval_doc"), "s"), ["eval_doc", "s"]
+        )
+        .groupBy("corpus_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            cnt.select(F.col("id").alias("corpus_doc"), F.col("c").alias("ca")),
+            "corpus_doc",
+        )
+        .join(
+            cnt.select(F.col("id").alias("eval_doc"), F.col("c").alias("cb")),
+            "eval_doc",
+        )
+        .filter(
+            F.lit(2) * F.col("n_inter")
+            >= F.col("ca") + F.col("cb") - F.col("n_inter")
+        )
+        .select(
+            "corpus_doc",
+            "eval_doc",
+            "n_inter",
+            (F.col("ca") + F.col("cb") - F.col("n_inter")).alias("n_union"),
+        )
+    )

@@ -96,6 +96,7 @@ DRIVER_PRIORITY: list[str] = [
     "knn_pq_portable",
     "quality_model_coefs",
     "bpe_encode_fixed",
+    "fuzzy_decontaminate",
 ]
 
 

@@ -162,3 +162,36 @@ def test_keep_first_paragraphs_planted(spark):
         for r in D.keep_first_paragraphs(paras).collect()
     }
     assert kept == {(1, 0, "X"), (1, 1, "Y"), (2, 1, "Z"), (3, 1, "Q")}
+
+
+def test_fuzzy_decontaminate_finds_planted_eval_near_dup(spark, tmp_path):
+    """A training doc that is a lightly-edited copy of an eval doc
+    (doc_id % 10 == 0) must be flagged with the exact shingle overlap;
+    an unrelated training doc must not be."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from hpat_jl_spark import registry
+
+    registry.load_all_plans()
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest tonight") * 3
+    rows = [
+        (10, base, "en", "src0", len(base)),                  # eval doc
+        (11, base + " extra tail words here", "en", "src0",
+         len(base) + 22),                                      # near-copy
+        (13, "completely different content about databases and "
+             "distributed systems engineering " * 5, "en", "src1", 400),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/documents.parquet")
+    out = {
+        (r.corpus_doc, r.eval_doc): (r.n_inter, r.n_union)
+        for r in registry.REGISTRY["fuzzy_decontaminate"].fn(spark, sf).collect()
+    }
+    assert (11, 10) in out
+    n_inter, n_union = out[(11, 10)]
+    assert 2 * n_inter >= n_union and n_inter >= 1
+    assert all(c != 13 for c, _ in out)
