@@ -1083,3 +1083,76 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("js_divergence"),
     )
+
+
+# ---- training-mix rebalance plan ----
+# domain_mix_report above DESCRIBES the corpus; this query PLANS the
+# sample: given declared target mix weights, find the largest token
+# budget B the corpus supports (B = min_s tokens_s / w_s — the binding
+# source is fully consumed, every other source is downsampled) and emit
+# per-source keep fractions and expected token yields. Pure arithmetic
+# over the per-source aggregate, so the plan is fully hash-gated; the
+# keep fractions feed stratified_sample_hash to actually draw the
+# sample deterministically.
+_MIX_TARGETS = {"src0": 0.30, "src1": 0.25, "src2": 0.25, "src3": 0.20}
+
+_mix_case = " ".join(
+    f"WHEN source = '{s}' THEN {w!r}::DOUBLE" for s, w in _MIX_TARGETS.items()
+)
+_mix_plan_oracle = f"""
+WITH t AS (
+  SELECT source,
+         sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS n_tokens,
+         CASE {_mix_case} END AS w
+  FROM documents
+  WHERE source IN ({", ".join(f"'{s}'" for s in _MIX_TARGETS)})
+  GROUP BY source
+),
+b AS (SELECT min(n_tokens / w) AS budget FROM t)
+SELECT source, n_tokens, round(w, 6) AS target_weight,
+       round(least(w * (SELECT budget FROM b) / n_tokens, 1.0), 6)
+         AS keep_fraction,
+       CAST(floor(w * (SELECT budget FROM b)) AS BIGINT) AS expected_tokens
+FROM t
+"""
+
+
+@register("mix_rebalance_plan", oracle=_mix_plan_oracle, tags=("text", "llm"))
+def mix_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute the sampling plan that realizes a declared target mix
+    (module comment above): budget B = min_s tokens_s / w_s, keep
+    fraction w_s·B / tokens_s, expected yield floor(w_s·B). One scan,
+    one per-source aggregate, a 1-row min, and row-local arithmetic —
+    the binding-source computation every corpus build runs before
+    sampling."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = (
+        docs.filter(F.col("source").isin(*_MIX_TARGETS))
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+            .cast("bigint")
+            .alias("n_tokens")
+        )
+    )
+    w = F.lit(None).cast("double")
+    for s, tw in _MIX_TARGETS.items():
+        w = F.when(F.col("source") == s, F.lit(tw)).otherwise(w)
+    t = t.withColumn("w", w)
+    budget = t.select(
+        F.min(F.col("n_tokens") / F.col("w")).alias("budget")
+    )
+    return t.crossJoin(F.broadcast(budget)).select(
+        "source",
+        "n_tokens",
+        F.round("w", 6).alias("target_weight"),
+        F.round(
+            F.least(
+                F.col("w") * F.col("budget") / F.col("n_tokens"), F.lit(1.0)
+            ),
+            6,
+        ).alias("keep_fraction"),
+        F.floor(F.col("w") * F.col("budget")).cast("bigint").alias(
+            "expected_tokens"
+        ),
+    )

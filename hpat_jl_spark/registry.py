@@ -97,6 +97,7 @@ DRIVER_PRIORITY: list[str] = [
     "quality_model_coefs",
     "bpe_encode_fixed",
     "fuzzy_decontaminate",
+    "mix_rebalance_plan",
 ]
 
 

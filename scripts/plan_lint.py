@@ -74,6 +74,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "equidepth_binning": {
         "BroadcastNestedLoopJoin": "1-row sketch-boundaries aggregate broadcast"
     },
+    "mix_rebalance_plan": {
+        "BroadcastNestedLoopJoin": "1-row token-budget aggregate broadcast"
+    },
     "knn_ivf_portable": {
         "BroadcastNestedLoopJoin": "8-query probe x 8-row centroid table "
         "(both model-sized constants, never data-sized)"
