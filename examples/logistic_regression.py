@@ -56,18 +56,20 @@ def write_training_hdf5(spark: SparkSession, path: str, n: int, d: int) -> None:
 
 def train_from_hdf5(spark: SparkSession, path: str, max_iter: int = 20):
     """The reference's flagship ENTRY pattern end-to-end: points and
-    responses arrive as HDF5 datasets (capture-api.jl @h5read), are
-    read distributed via row-range splits, aligned on the array index
-    (row_id join — the implicit HPAT row alignment made explicit), and
-    fed to the estimator."""
-    from hpat_jl_spark.sources.hdf5 import read_hdf5, scan_hdf5
+    responses arrive as HDF5 datasets (capture-api.jl @h5read) and are
+    read in ONE aligned distributed pass (read_hdf5_table: each task
+    seeks the same row range of the matrix and the response vector, so
+    the implicit HPAT row alignment costs no shuffle — the earlier
+    per-dataset read + row_id join shuffled the whole matrix just to
+    restore it), then fed to the estimator."""
+    from hpat_jl_spark.sources.hdf5 import read_hdf5_table, scan_hdf5
     from hpat_jl_spark.ml import logistic_regression
 
     d = scan_hdf5(path)["points"].shape[1]
-    pts = read_hdf5(spark, path, "points")
-    resp = read_hdf5(spark, path, "responses").withColumnRenamed("value", "label")
-    df = pts.join(resp, "row_id")
-    return logistic_regression(df, [f"c{i}" for i in range(d)], "label",
+    df = read_hdf5_table(spark, path, ["points", "responses"]).withColumnRenamed(
+        "responses", "label"
+    )
+    return logistic_regression(df, [f"points_c{i}" for i in range(d)], "label",
                                max_iter=max_iter)
 
 

@@ -413,11 +413,13 @@ def read_hdf5_table(
     datasets: list[str],
     num_splits: int | None = None,
 ) -> DataFrame:
-    """Distributed ALIGNED read of several equal-length 1-D datasets as
-    one DataFrame — the reference's table pattern (one HDF5 dataset per
+    """Distributed ALIGNED read of several equal-length datasets as one
+    DataFrame — the reference's table pattern (one HDF5 dataset per
     column composed by implicit row order, src/capture-api.jl:599-635).
 
-    Output: (row_id long, <name> <t>, ...), one column per dataset.
+    Output: (row_id long, ...) with one column ``<name>`` per 1-D
+    dataset and ``<name>_c0..<name>_c{k-1}`` per 2-D dataset (a feature
+    matrix contributes its k columns, the @h5read matrix pattern).
 
     This is how multi-column HDF5 should be read at scale: every task
     computes ONE row range and seeks into the same range of each
@@ -430,14 +432,14 @@ def read_hdf5_table(
     missing = [d for d in datasets if d not in metas]
     if missing:
         raise KeyError(f"datasets {missing} not in {path}; has {sorted(metas)}")
-    cols = []
+    cols = []  # (dataset, addr, dtype, row_nbytes, width)
     n_rows = None
     for name in datasets:
         m = metas[name]
-        if len(m.shape) != 1:
+        if len(m.shape) not in (1, 2):
             raise ValueError(
-                f"read_hdf5_table is for 1-D datasets; {name!r} has shape "
-                f"{m.shape} (use read_hdf5 for 2-D)"
+                f"read_hdf5_table supports 1-D/2-D datasets; {name!r} has "
+                f"shape {m.shape}"
             )
         if n_rows is None:
             n_rows = m.shape[0]
@@ -446,28 +448,41 @@ def read_hdf5_table(
                 f"aligned read needs equal lengths; {name!r} has "
                 f"{m.shape[0]} rows, expected {n_rows}"
             )
-        cols.append((name, m.addr, m.dtype, m.row_nbytes))
+        width = 1 if len(m.shape) == 1 else int(m.shape[1])
+        cols.append((name, m.addr, m.dtype, m.row_nbytes, width))
     splits = num_splits or spark.sparkContext.defaultParallelism
     bounds = np.linspace(0, n_rows or 0, splits + 1, dtype=np.int64)
     ranges = [
         (int(a), int(b)) for a, b in zip(bounds, bounds[1:]) if b > a
     ] or [(0, 0)]
-    out_schema = T.StructType(
-        [T.StructField("row_id", T.LongType())]
-        + [T.StructField(n, _SPARK_BY_NUMPY[dt]) for n, _, dt, _ in cols]
-    )
+    fields = [T.StructField("row_id", T.LongType())]
+    for n, _, dt, _, width in cols:
+        if width == 1:
+            fields.append(T.StructField(n, _SPARK_BY_NUMPY[dt]))
+        else:
+            fields.extend(
+                T.StructField(f"{n}_c{i}", _SPARK_BY_NUMPY[dt])
+                for i in range(width)
+            )
+    out_schema = T.StructType(fields)
 
     def kernel(batches):
         for pdf in batches:
             for start, stop in zip(pdf["start"], pdf["stop"]):
                 out = {"row_id": np.arange(start, stop, dtype=np.int64)}
-                for name, addr, dt, row_nbytes in cols:
-                    out[name] = np.fromfile(
+                for name, addr, dt, row_nbytes, width in cols:
+                    arr = np.fromfile(
                         path,
                         dtype=dt,
-                        count=stop - start,
+                        count=(stop - start) * width,
                         offset=addr + start * row_nbytes,
                     )
+                    if width == 1:
+                        out[name] = arr
+                    else:
+                        m2 = arr.reshape(stop - start, width)
+                        for i in range(width):
+                            out[f"{name}_c{i}"] = m2[:, i]
                 yield pd.DataFrame(out)
 
     splits_df = spark.createDataFrame(

@@ -125,9 +125,17 @@ def test_aligned_table_read_matches_per_dataset_reads(spark, h5file):
     np.testing.assert_array_equal(pdf["labels"].to_numpy(), data["labels"])
 
 
-def test_aligned_table_read_rejects_2d_and_unknown(spark, h5file):
-    path, _ = h5file
-    with pytest.raises(ValueError, match="1-D"):
-        H.read_hdf5_table(spark, path, ["points"])
+def test_aligned_table_read_expands_2d_and_rejects_unknown(spark, h5file):
+    """A 2-D dataset contributes <name>_c0..ck columns, aligned with
+    the 1-D datasets in the same pass — the @h5read matrix pattern."""
+    path, data = h5file
+    t = H.read_hdf5_table(spark, path, ["points", "responses"], num_splits=3)
+    pdf = t.toPandas().sort_values("row_id", ignore_index=True)
+    assert list(pdf.columns) == [
+        "row_id", "points_c0", "points_c1", "points_c2", "responses"
+    ]
+    got = pdf[["points_c0", "points_c1", "points_c2"]].to_numpy()
+    np.testing.assert_array_equal(got, data["points"])
+    np.testing.assert_array_equal(pdf["responses"].to_numpy(), data["responses"])
     with pytest.raises(KeyError, match="nope"):
         H.read_hdf5_table(spark, path, ["responses", "nope"])
