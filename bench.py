@@ -71,6 +71,8 @@ HEADLINE = [
     "kmeans_lloyd_exact",
     "knn_ivf_portable",
     "knn_pq_portable",
+    "fuzzy_decontaminate",
+    "bpe_encode_fixed",
 ]
 
 
