@@ -130,6 +130,73 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*aggs)
 
 
+def minhash_banded(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The shared LSH banding stage: (id, sig, band, bhash), one row
+    per (doc, band). Both the self-join (minhash_candidates) and the
+    two-sided cross join (minhash_cross_candidates) consume this."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    band_keys = [
+        F.struct(
+            F.lit(b).alias("band"),
+            portable_hash(
+                F.concat_ws(
+                    ",", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            ).alias("bhash"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        "id",
+        F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"),
+        F.explode(F.array(*band_keys)).alias("bk"),
+    ).select("id", "sig", "bk.band", "bk.bhash")
+
+
+def minhash_cross_candidates(
+    docs: DataFrame,
+    left_pred,
+    right_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate pairs BETWEEN two slices of one corpus (e.g. training
+    docs × eval docs for fuzzy decontamination): bands are computed in
+    one pass, then only left-slice × right-slice bucket-mates pair up —
+    the left²/right² pairs a self-join would also emit (and a
+    decontaminator would discard) never materialize. The right slice is
+    the small side by convention and is broadcast, so the big side is
+    never shuffled at all. Returns distinct (id_left, id_right).
+
+    ``left_pred``/``right_pred``: Column-predicate functions of the id
+    column selecting the two (disjoint) slices."""
+    banded = minhash_banded(
+        docs, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    left = banded.filter(left_pred(F.col("id"))).select(
+        F.col("id").alias("id_left"), "band", "bhash"
+    )
+    right = banded.filter(right_pred(F.col("id"))).select(
+        F.col("id").alias("id_right"), "band", "bhash"
+    )
+    return (
+        left.join(F.broadcast(right), ["band", "bhash"])
+        .select("id_left", "id_right")
+        .dropDuplicates(["id_left", "id_right"])
+    )
+
+
 def minhash_candidates(
     docs: DataFrame,
     text_col: str = "text",
@@ -148,24 +215,7 @@ def minhash_candidates(
     A degenerate bucket (e.g. empty docs) is the skew hazard; cap with
     AQE skew-join or a bucket-size guard upstream.
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
-    band_keys = [
-        F.struct(
-            F.lit(b).alias("band"),
-            portable_hash(
-                F.concat_ws(
-                    ",", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-                )
-            ).alias("bhash"),
-        )
-        for b in range(bands)
-    ]
-    banded = sigs.select(
-        "id",
-        F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"),
-        F.explode(F.array(*band_keys)).alias("bk"),
-    ).select("id", "sig", "bk.band", "bk.bhash")
+    banded = minhash_banded(docs, text_col, id_col, num_hashes, bands, shingle_n)
     left = banded.alias("a")
     right = banded.alias("b")
     pairs = (

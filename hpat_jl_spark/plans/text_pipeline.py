@@ -1356,16 +1356,16 @@ def fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic. Same shape at 100 TB with the eval slice being
     the small broadcast side."""
     docs = load_table(spark, "documents", sf_dir)
-    cands = D.minhash_candidates(docs).select("id_a", "id_b")
-    is_eval_a = F.col("id_a") % 10 == 0
-    is_eval_b = F.col("id_b") % 10 == 0
-    cross = cands.filter(is_eval_a != is_eval_b).select(
-        F.when(~is_eval_a, F.col("id_a")).otherwise(F.col("id_b")).alias(
-            "corpus_doc"
-        ),
-        F.when(is_eval_a, F.col("id_a")).otherwise(F.col("id_b")).alias(
-            "eval_doc"
-        ),
+    # two-sided band join: corpus docs only ever meet EVAL bucket-mates
+    # (the corpus-corpus pairs a dedup self-join would emit are never
+    # built), and the eval side broadcasts — the corpus is not shuffled
+    cross = D.minhash_cross_candidates(
+        docs,
+        left_pred=lambda id_: id_ % 10 != 0,
+        right_pred=lambda id_: id_ % 10 == 0,
+    ).select(
+        F.col("id_left").alias("corpus_doc"),
+        F.col("id_right").alias("eval_doc"),
     )
     toks = docs.select(
         F.col("doc_id").alias("id"), F.split(F.trim("text"), r"\s+").alias("w")
