@@ -92,3 +92,96 @@ def hdf5_ingest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("quantity"), 2).alias("total_qty"),
         )
     )
+
+
+# ---- CSV / JSON ingest under the driver gate ----
+# hdf5_ingest_agg put the classic-HDF5 codec inside the correctness
+# gate; these do the same for the TXT-analogue sources (reference
+# §2.1 TXT source → sources/io.read_csv/read_json): re-encode a fixture
+# slice once per process, read it back DISTRIBUTED with a declared
+# schema, aggregate, and hash-check against DuckDB over the UNTOUCHED
+# parquet — any quoting/escaping/typing bug in either direction of the
+# round trip breaks the value hash.
+_STAGED_FMT: dict[tuple[str, str], str] = {}
+
+
+def _stage_orders(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    key = (os.path.abspath(sf_dir), fmt)
+    cached = _STAGED_FMT.get(key)
+    if cached and os.path.exists(cached):
+        return cached
+    from hpat_jl_spark.sources import io as SIO
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix=f"hpat_{fmt}_"), f"orders_{fmt}")
+    if fmt == "csv":
+        SIO.write_csv(orders, path)
+    else:
+        SIO.write_json(orders, path)
+    _STAGED_FMT[key] = path
+    return path
+
+
+def _cleanup_fmt() -> None:
+    for p in _STAGED_FMT.values():
+        shutil.rmtree(os.path.dirname(p), ignore_errors=True)
+    _STAGED_FMT.clear()
+
+
+atexit.register(_cleanup_fmt)
+
+_ORDERS_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double, o_orderpriority string"
+)
+
+_fmt_oracle = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       max(o_custkey)::BIGINT AS max_cust
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@register("csv_ingest_agg", oracle=_fmt_oracle, tags=("source",))
+def csv_ingest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → CSV (header, quoted strings) → schema'd distributed
+    read → aggregate, oracle on the untouched parquet. CSV is the
+    reference's TXT surface; the declared schema keeps the read
+    single-pass (no inference scan)."""
+    from pyspark.sql import types as T
+
+    from hpat_jl_spark.sources.io import read_csv
+
+    path = _stage_orders(spark, sf_dir, "csv")
+    schema = T._parse_datatype_string(_ORDERS_SCHEMA)
+    df = read_csv(spark, path, schema)
+    return df.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.max("o_custkey").alias("max_cust"),
+    )
+
+
+@register("json_ingest_agg", oracle=_fmt_oracle, tags=("source",))
+def json_ingest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → JSON-lines → schema'd distributed read → aggregate,
+    oracle on the untouched parquet — the splittable-interchange path
+    text-pipeline tooling uses."""
+    from pyspark.sql import types as T
+
+    from hpat_jl_spark.sources.io import read_json
+
+    path = _stage_orders(spark, sf_dir, "json")
+    schema = T._parse_datatype_string(_ORDERS_SCHEMA)
+    df = read_json(spark, path, schema)
+    return df.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.max("o_custkey").alias("max_cust"),
+    )

@@ -98,6 +98,8 @@ DRIVER_PRIORITY: list[str] = [
     "bpe_encode_fixed",
     "fuzzy_decontaminate",
     "mix_rebalance_plan",
+    "csv_ingest_agg",
+    "json_ingest_agg",
 ]
 
 
