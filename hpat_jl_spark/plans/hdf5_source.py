@@ -185,3 +185,69 @@ def json_ingest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         F.max("o_custkey").alias("max_cust"),
     )
+
+
+@register("orc_ingest_agg", oracle=_fmt_oracle, tags=("source",))
+def orc_ingest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → ORC → distributed read → aggregate, oracle on the
+    untouched parquet — the Hive-warehouse interchange path, same
+    round-trip gate as csv/json/hdf5_ingest_agg."""
+    from hpat_jl_spark.sources import io as SIO
+
+    key = (os.path.abspath(sf_dir), "orc")
+    path = _STAGED_FMT.get(key)
+    if not (path and os.path.exists(path)):
+        orders = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority",
+        )
+        path = os.path.join(tempfile.mkdtemp(prefix="hpat_orc_"), "orders_orc")
+        SIO.write_orc(orders, path)
+        _STAGED_FMT[key] = path
+    df = SIO.read_orc(spark, path)
+    return df.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.max("o_custkey").alias("max_cust"),
+    )
+
+
+@register("lines_ingest_agg", oracle=_fmt_oracle, tags=("source",))
+def lines_ingest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → pipe-delimited RAW LINES → distributed line read →
+    in-engine parse (split + cast) → aggregate, oracle on the untouched
+    parquet. This is the reference's actual TXT surface (byte-range
+    read + newline realignment, cgen-hpat-pattern-match.jl:895-1046):
+    the file has no schema, the engine re-derives it from each line —
+    the crawl-dump ingestion path."""
+    from hpat_jl_spark.sources import io as SIO
+
+    key = (os.path.abspath(sf_dir), "lines")
+    path = _STAGED_FMT.get(key)
+    if not (path and os.path.exists(path)):
+        orders = load_table(spark, "orders", sf_dir).select(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey"),
+                F.col("o_custkey"),
+                F.col("o_orderstatus"),
+                F.col("o_totalprice").cast("string"),
+                F.col("o_orderpriority"),
+            ).alias("value")
+        )
+        path = os.path.join(tempfile.mkdtemp(prefix="hpat_lines_"), "orders_txt")
+        SIO.write_text_lines(orders, path)
+        _STAGED_FMT[key] = path
+    lines = SIO.read_text_lines(spark, path)
+    p = F.split(F.col("value"), r"\|")
+    df = lines.select(
+        p.getItem(1).cast("long").alias("o_custkey"),
+        p.getItem(2).alias("o_orderstatus"),
+        p.getItem(3).cast("double").alias("o_totalprice"),
+        p.getItem(4).alias("o_orderpriority"),
+    )
+    return df.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.max("o_custkey").alias("max_cust"),
+    )

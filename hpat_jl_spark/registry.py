@@ -100,6 +100,8 @@ DRIVER_PRIORITY: list[str] = [
     "mix_rebalance_plan",
     "csv_ingest_agg",
     "json_ingest_agg",
+    "orc_ingest_agg",
+    "lines_ingest_agg",
 ]
 
 
