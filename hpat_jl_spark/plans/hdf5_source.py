@@ -251,3 +251,34 @@ def lines_ingest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         F.max("o_custkey").alias("max_cust"),
     )
+
+
+@register("compaction_roundtrip_agg", oracle=_fmt_oracle, tags=("source",))
+def compaction_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction under the gate: shatter the orders slice
+    into many tiny parquet files (the streaming-sink pathology), run
+    sources/io.compact_parquet over them, and aggregate the COMPACTED
+    dataset against DuckDB on the original — row loss or duplication in
+    the maintenance rewrite breaks the value hash, and the file count
+    must actually shrink (asserted in tests/test_sources.py)."""
+    from hpat_jl_spark.sources.io import compact_parquet
+
+    key = (os.path.abspath(sf_dir), "compacted")
+    path = _STAGED_FMT.get(key)
+    if not (path and os.path.exists(path)):
+        orders = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority",
+        )
+        base = tempfile.mkdtemp(prefix="hpat_compact_")
+        shattered = os.path.join(base, "shattered")
+        orders.repartition(64).write.mode("overwrite").parquet(shattered)
+        path = os.path.join(base, "compacted")
+        compact_parquet(spark, shattered, path)
+        _STAGED_FMT[key] = path
+    df = spark.read.parquet(path)
+    return df.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.max("o_custkey").alias("max_cust"),
+    )

@@ -102,6 +102,7 @@ DRIVER_PRIORITY: list[str] = [
     "json_ingest_agg",
     "orc_ingest_agg",
     "lines_ingest_agg",
+    "compaction_roundtrip_agg",
 ]
 
 
