@@ -270,9 +270,15 @@ def extract_features(
 
 
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize — plumbing only: passes payloads through mapInPandas
-    with the target dims recorded in metadata; the pixel op raises in
-    'real' mode (no imaging libs in container)."""
+    """Image resize at the CONTAINER level: PNG payloads are rebuilt as
+    a valid PNG at the target dimensions (new IHDR + recomputed CRCs
+    via make_png_bytes, original body carried through), so a downstream
+    parse_media_header on the output really reads the new size — the
+    whole metadata path is exercised end-to-end. Only the pixel
+    RESAMPLE itself is stubbed (the body bytes are carried, not
+    interpolated — that one step genuinely needs PIL, which this
+    container lacks). Non-PNG payloads pass through unchanged with the
+    target recorded in metadata."""
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -284,10 +290,19 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            payloads = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                if b[:8] == b"\x89PNG\r\n\x1a\n":
+                    # make_png_bytes layout: 33-byte signature+IHDR(+CRC)
+                    # prefix, then the raw body — rebuild at new dims
+                    payloads.append(make_png_bytes(width, height, b[33:]))
+                else:
+                    payloads.append(b)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
-                    "payload": pdf["payload"],  # identity: real resize is stubbed
+                    "payload": payloads,
                     "target_width": width,
                     "target_height": height,
                 }

@@ -95,11 +95,20 @@ def test_pixel_decode_raises(media):
         M.decode_pixels(expected_payload(2))
 
 
-def test_resize_stub_passthrough(media):
+def test_resize_rewrites_png_header_to_target_dims(media):
+    """resize rebuilds PNG payloads as VALID containers at the target
+    size (new IHDR + CRC, body carried) — parse_media_header on the
+    output reads the new dims; WAV payloads pass through unchanged."""
     out = M.resize_stub(media, 224, 224)
     rows = {r.doc_id: r for r in out.collect()}
     assert rows[1].target_width == 224
-    assert bytes(rows[2].payload) == expected_payload(2)
+    # even doc_ids are PNG: header now reports the target size and the
+    # body bytes survive the rewrite
+    h = M.parse_media_header(bytes(rows[2].payload))
+    assert (h["width"], h["height"]) == (224, 224)
+    assert bytes(rows[2].payload)[33:] == expected_payload(2)[33:]
+    # odd doc_ids are WAV: untouched
+    assert bytes(rows[1].payload) == expected_payload(1)
 
 
 def test_frame_sample_explodes(media):
