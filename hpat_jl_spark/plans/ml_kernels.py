@@ -212,22 +212,197 @@ def kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.join(F.broadcast(cdf), "cluster")
 
 
-@register("multimodal_features", oracle=None, tags=("multimodal",))
+# --- multimodal: REAL compressed-pixel decode, fully oracle-gated (r5) ---
+#
+# The fabricator plants every pixel/sample as a pure integer formula of
+# (doc_id, r, c, ch) — functions/multimodal.attach_pixel_payload — and
+# ENCODES it through the real codec: scanline filters r % 5 (all five
+# PNG filter types incl. Paeth) + zlib IDAT for even doc_ids, 16-bit
+# PCM WAV for odd. The Spark side then runs the real DECODER (zlib
+# inflate + sequential de-filter) and aggregates exact-integer value
+# stats; the oracle recomputes the planted formulas over
+# generate_series. A bug anywhere in encode, deflate, inflate,
+# de-filter, or stats breaks the value hash. Exact integers throughout —
+# no float/rounding traps (CLAUDE.md).
+#   PNG:  w = 4 + doc_id % 13, h = 4 + (doc_id*3) % 11,
+#         v(r,c,ch) = (doc_id*7 + r*5 + c*3 + ch*11) % 256
+#   WAV:  n = 8 + doc_id % 32, s(i) = ((doc_id*31 + i*17) % 65536) - 32768
+_PIXEL_PNG_CTE = """
+png AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + (doc_id*3) % 11 AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+pngv AS (
+  SELECT p.doc_id, p.w, p.h, ch.ch,
+         (p.doc_id*7 + r.r*5 + c.c*3 + ch.ch*11) % 256 AS v
+  FROM png p,
+       LATERAL (SELECT unnest(generate_series(0, p.h-1)) AS r) r,
+       LATERAL (SELECT unnest(generate_series(0, p.w-1)) AS c) c,
+       (SELECT unnest(generate_series(0, 2)) AS ch) ch
+)
+"""
+
+_PIXEL_STATS_ORACLE = (
+    "WITH "
+    + _PIXEL_PNG_CTE
+    + """,
+png_stats AS (
+  SELECT doc_id, 'png' AS format, max(w)::INT AS width, max(h)::INT AS height,
+         count(*)::BIGINT AS n_vals, sum(v)::BIGINT AS v_sum,
+         min(v)::BIGINT AS v_min, max(v)::BIGINT AS v_max,
+         sum(v) FILTER (ch = 0)::BIGINT AS ch0_sum,
+         sum(v) FILTER (ch = 1)::BIGINT AS ch1_sum,
+         sum(v) FILTER (ch = 2)::BIGINT AS ch2_sum
+  FROM pngv GROUP BY doc_id
+),
+wav AS (
+  SELECT doc_id, 8 + doc_id % 32 AS n FROM documents WHERE doc_id % 2 = 1
+),
+wavv AS (
+  SELECT w.doc_id, w.n, (w.doc_id*31 + i.i*17) % 65536 - 32768 AS s
+  FROM wav w, LATERAL (SELECT unnest(generate_series(0, w.n-1)) AS i) i
+),
+wav_stats AS (
+  SELECT doc_id, 'wav' AS format, NULL::INT AS width, NULL::INT AS height,
+         count(*)::BIGINT AS n_vals, sum(s)::BIGINT AS v_sum,
+         min(s)::BIGINT AS v_min, max(s)::BIGINT AS v_max,
+         NULL::BIGINT AS ch0_sum, NULL::BIGINT AS ch1_sum,
+         NULL::BIGINT AS ch2_sum
+  FROM wavv GROUP BY doc_id
+)
+SELECT * FROM png_stats UNION ALL SELECT * FROM wav_stats
+"""
+)
+
+
+@register("multimodal_pixel_stats", oracle=_PIXEL_STATS_ORACLE, tags=("multimodal",))
+def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel/PCM decode under a full value-hash oracle (VERDICT r04
+    #1): formula-planted payloads go through the real PNG encoder
+    (varied scanline filters + zlib) and WAV writer, then
+    functions/multimodal.pixel_stats runs the real decoder (stdlib zlib
+    inflate + de-filter incl. Paeth) and emits exact-integer stats the
+    oracle recomputes from the planted formulas. Scale: mapInPandas
+    end-to-end, payloads never shuffle, only fixed-width stats rows."""
+    from hpat_jl_spark.functions.multimodal import attach_pixel_payload, pixel_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    return pixel_stats(attach_pixel_payload(docs))
+
+
+# multimodal_features (upgraded from rows-only in r5): one kernel pass
+# decodes header AND content (decode='full'); the gated projection is
+# the exact-integer feature set (dims, duration, value stats). n_bytes /
+# crc32 / entropy stay available in the function but are NOT projected
+# here: for compressed PNGs the byte length and CRC depend on the zlib
+# stream, which no SQL twin can recompute (unit-tested instead —
+# tests/test_multimodal.py).
+_FEATURES_ORACLE = (
+    "WITH "
+    + _PIXEL_PNG_CTE
+    + """,
+png_stats AS (
+  SELECT doc_id, 'png' AS format, max(w)::INT AS width, max(h)::INT AS height,
+         NULL::BIGINT AS duration_ms,
+         count(*)::BIGINT AS n_vals, sum(v)::BIGINT AS v_sum,
+         min(v)::BIGINT AS v_min, max(v)::BIGINT AS v_max,
+         sum(v) FILTER (ch = 0)::BIGINT AS ch0_sum,
+         sum(v) FILTER (ch = 1)::BIGINT AS ch1_sum,
+         sum(v) FILTER (ch = 2)::BIGINT AS ch2_sum
+  FROM pngv GROUP BY doc_id
+),
+wav AS (
+  SELECT doc_id, 8 + doc_id % 32 AS n FROM documents WHERE doc_id % 2 = 1
+),
+wavv AS (
+  SELECT w.doc_id, w.n, (w.doc_id*31 + i.i*17) % 65536 - 32768 AS s
+  FROM wav w, LATERAL (SELECT unnest(generate_series(0, w.n-1)) AS i) i
+),
+wav_stats AS (
+  SELECT doc_id, 'wav' AS format, NULL::INT AS width, NULL::INT AS height,
+         -- 16-bit mono 8 kHz → byte_rate 16000; data_len = 2n (even, no
+         -- pad); all positive so DuckDB truncating // == floor
+         (2 * max(n) * 1000) // 16000 AS duration_ms,
+         count(*)::BIGINT AS n_vals, sum(s)::BIGINT AS v_sum,
+         min(s)::BIGINT AS v_min, max(s)::BIGINT AS v_max,
+         NULL::BIGINT AS ch0_sum, NULL::BIGINT AS ch1_sum,
+         NULL::BIGINT AS ch2_sum
+  FROM wavv GROUP BY doc_id
+)
+SELECT * FROM png_stats UNION ALL SELECT * FROM wav_stats
+"""
+)
+
+
+@register("multimodal_features", oracle=_FEATURES_ORACLE, tags=("multimodal",))
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload feature extraction over documents: header-valid
-    fabricated PNG/WAV payloads, REAL pure-python container-header
-    decode (PNG IHDR dims, WAV duration — functions/multimodal.
-    parse_media_header; de-stubbed in r4 per VERDICT r03 #5; only
-    compressed pixel decode remains a documented stub). Rows-only:
-    crc32/entropy kernels have no SQL twin; exact header recovery is
-    pinned by tests/test_multimodal.py against planted dimensions."""
+    """Binary-payload feature extraction over documents, now with REAL
+    content decode under a full value-hash oracle (upgraded from
+    rows-only in r5): header parse (PNG IHDR dims, WAV duration) and
+    compressed-content decode (zlib inflate + de-filter / PCM) in ONE
+    mapInPandas pass (decode='full'), projected to the exact-integer
+    feature columns the oracle recomputes from the planted formulas."""
     from hpat_jl_spark.functions.multimodal import (
-        attach_fake_payload,
+        attach_pixel_payload,
         extract_features,
     )
 
     docs = load_table(spark, "documents", sf_dir)
-    return extract_features(attach_fake_payload(docs), decode="real")
+    feats = extract_features(attach_pixel_payload(docs), decode="full")
+    return feats.select(
+        "doc_id", "format", "width", "height", "duration_ms",
+        "n_vals", "v_sum", "v_min", "v_max",
+        "ch0_sum", "ch1_sum", "ch2_sum",
+    )
+
+
+# Resize: nearest-neighbor with the portable integer map src = (dst *
+# src_dim) // dst_dim — the oracle replays the index map over the
+# planted formula. Gates decode → resample → re-encode → re-decode.
+_RESIZE_W, _RESIZE_H = 10, 7
+_RESIZE_ORACLE = f"""
+WITH png AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + (doc_id*3) % 11 AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+rv AS (
+  SELECT p.doc_id, ch.ch,
+         (p.doc_id*7 + ((r.r * p.h) // {_RESIZE_H})*5
+          + ((c.c * p.w) // {_RESIZE_W})*3 + ch.ch*11) % 256 AS v
+  FROM png p,
+       (SELECT unnest(generate_series(0, {_RESIZE_H}-1)) AS r) r,
+       (SELECT unnest(generate_series(0, {_RESIZE_W}-1)) AS c) c,
+       (SELECT unnest(generate_series(0, 2)) AS ch) ch
+)
+SELECT doc_id, {_RESIZE_W}::INT AS width, {_RESIZE_H}::INT AS height,
+       count(*)::BIGINT AS n_vals, sum(v)::BIGINT AS v_sum,
+       min(v)::BIGINT AS v_min, max(v)::BIGINT AS v_max,
+       sum(v) FILTER (ch = 0)::BIGINT AS ch0_sum,
+       sum(v) FILTER (ch = 1)::BIGINT AS ch1_sum,
+       sum(v) FILTER (ch = 2)::BIGINT AS ch2_sum
+FROM rv GROUP BY doc_id
+"""
+
+
+@register("multimodal_resize_stats", oracle=_RESIZE_ORACLE, tags=("multimodal",))
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end under the oracle: planted PNGs are
+    decoded, nearest-neighbor resampled to {W}x{H} with the portable
+    floor index map, re-ENCODED as PNG, then re-decoded for stats — so
+    the hash gates two full codec round-trips plus the resample. WAVs
+    are filtered out up front (resize passes audio through)."""
+    from hpat_jl_spark.functions.multimodal import (
+        attach_pixel_payload,
+        pixel_stats,
+        resize,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 2 == 0)
+    resized = resize(attach_pixel_payload(docs), _RESIZE_W, _RESIZE_H)
+    return pixel_stats(resized).select(
+        "doc_id", "width", "height", "n_vals", "v_sum", "v_min", "v_max",
+        "ch0_sum", "ch1_sum", "ch2_sum",
+    )
 
 
 # The fabricator plants every header field as a pure formula of

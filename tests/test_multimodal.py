@@ -1,14 +1,15 @@
 """Multimodal plumbing tests: binary payload column + mapInPandas
 kernels produce exact deterministic features; the real-decode path
-recovers PLANTED PNG/WAV header values byte-for-byte; only compressed
-pixel decode raises the documented NotImplementedError; frame sampling
-explodes rows correctly.
+recovers PLANTED PNG/WAV header values byte-for-byte; the REAL pixel
+codec (zlib inflate + scanline de-filter incl. Paeth) round-trips
+planted pixel arrays exactly; frame sampling explodes rows correctly.
 """
 
 from __future__ import annotations
 
 import binascii
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -90,9 +91,47 @@ def test_wav_header_parse_is_spec_exact():
     assert h["duration_ms"] == 4 * 1000 // (44100 * 2 * 2)
 
 
-def test_pixel_decode_raises(media):
-    with pytest.raises(NotImplementedError, match="PIL"):
-        M.decode_pixels(expected_payload(2))
+def test_png_codec_round_trips_all_filter_types():
+    """encode_png with filter_mode='varied' assigns filter r % 5, so a
+    tall image exercises None/Sub/Up/Average/Paeth; the decoder must
+    invert every one exactly."""
+    rng_px = (np.arange(11 * 9 * 3) * 37 % 256).reshape(11, 9, 3).astype(np.uint8)
+    assert np.array_equal(M.decode_png(M.encode_png(rng_px)), rng_px)
+    gray = (np.arange(8 * 5) * 91 % 256).reshape(8, 5).astype(np.uint8)
+    assert np.array_equal(M.decode_png(M.encode_png(gray)), gray)
+    assert np.array_equal(
+        M.decode_png(M.encode_png(gray, filter_mode="none")), gray
+    )
+
+
+def test_decode_pixels_dispatch_and_classification():
+    # full PNG → exact planted pixels
+    px = M._formula_pixels(42)
+    assert np.array_equal(M.decode_pixels(M.encode_png(px)), px)
+    # WAV PCM → exact planted int16 samples
+    s = M._formula_samples(7)
+    assert np.array_equal(M.decode_pixels(M.make_wav_bytes(s.tobytes())), s)
+    # filler-body PNG (header-only fabricator) → None, not an exception
+    assert M.decode_pixels(expected_payload(2)) is None
+    assert M.decode_pixels(b"garbage") is None
+
+
+def test_real_resize_resamples_pixels(spark):
+    """resize decodes, nearest-neighbor resamples with the portable
+    floor map src = (dst * src_dim) // dst_dim, and re-encodes; the
+    output PNG decodes to exactly the index-mapped pixels."""
+    did = 10
+    px = M._formula_pixels(did)
+    df = spark.createDataFrame(
+        [(did, bytearray(M.encode_png(px)))], "doc_id long, payload binary"
+    )
+    out = M.resize(df, 6, 5).first()
+    got = M.decode_png(bytes(out.payload))
+    h, w = px.shape[:2]
+    expect = px[np.ix_(np.arange(5) * h // 5, np.arange(6) * w // 6)]
+    assert np.array_equal(got, expect)
+    hdr = M.parse_media_header(bytes(out.payload))
+    assert (hdr["width"], hdr["height"]) == (6, 5)
 
 
 def test_resize_rewrites_png_header_to_target_dims(media):
