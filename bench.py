@@ -131,7 +131,11 @@ def main() -> None:
     # Spark work is done: stop the JVM NOW so its shutdown noise cannot
     # land after the final JSON line (the driver records a 2000-char
     # tail of combined output; r3's line was evicted past the window —
-    # VERDICT r03 #7).
+    # VERDICT r03 #7). Log4j OFF first (VERDICT r04 #4): the r4 tail
+    # carried an executor-shutdown ScheduledThreadPoolExecutor stack
+    # trace, which Spark logs at ERROR during local-executor teardown —
+    # with the root logger off, teardown is silent.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
 
     # DuckDB twin: time the oracle SQL for every headline query that has
@@ -209,6 +213,10 @@ def main() -> None:
         slim = dict(out)
         slim.pop("errors", None)
         line = json.dumps(slim)
+    # Let any straggler JVM-teardown output land BEFORE the JSON line so
+    # the line stays the true tail of combined stdout+stderr.
+    sys.stderr.flush()
+    time.sleep(1.0)
     print(line, flush=True)
 
 

@@ -258,6 +258,13 @@ def simhash_signatures(
     meaningful vs Manku's 64 (collision scale is governed by the band
     width, still 15 bits at the default 4 bands).
 
+    The signature is a single PACKED LONG (bit i of ``sig`` = majority
+    vote of token-hash bit i), not an array<int> of 0/1 (r5, VERDICT
+    r04 #2): band keys become shift/mask long arithmetic and Hamming
+    distance becomes bit_count(a XOR b) — all whole-stage codegen,
+    where the array form paid interpreted zip_with/filter higher-order
+    functions per pair and a 60-element array through every shuffle.
+
     Physical shape: explode tokens → md5 hash (JVM codegen — hashing
     never touches Python) → one collect_list shuffle of (id, hashes) →
     numpy majority vote per doc in an Arrow kernel. The shuffle carries
@@ -286,14 +293,15 @@ def simhash_signatures(
             sigs = []
             for hs in pdf["hs"]:
                 if len(hs) == 0:
-                    sigs.append([0] * bits)
+                    sigs.append(0)
                     continue
                 arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
                 counts = ((arr[:, None] >> bit_idx) & np.uint64(1)).sum(axis=0)
-                sigs.append((2 * counts > len(arr)).astype(np.int32).tolist())
+                packed = ((2 * counts > len(arr)).astype(np.uint64) << bit_idx).sum()
+                sigs.append(int(packed))  # < 2^60, fits a signed long
             yield pd.DataFrame({"id": pdf["id"].astype("int64"), "sig": sigs})
 
-    return hashed.mapInPandas(kernel, "id long, sig array<int>")
+    return hashed.mapInPandas(kernel, "id long, sig long")
 
 
 def simhash_candidates(
@@ -342,7 +350,11 @@ def simhash_candidates(
     if bits % bands:
         raise ValueError(f"bands={bands} must divide bits={bits}")
     per_band = bits // bands
+    mask = (1 << per_band) - 1
     sigs = simhash_signatures(docs, text_col, id_col, bits)
+    # Packed-long banding (r5): band b's key is bits [b*per_band,
+    # (b+1)*per_band) extracted by shift/mask — two long ops per band in
+    # codegen, vs the old per-element array concat.
     banded = sigs.select(
         "id",
         "sig",
@@ -351,13 +363,9 @@ def simhash_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "",
-                            *[
-                                F.element_at(F.col("sig"), b * per_band + r + 1)
-                                for r in range(per_band)
-                            ],
-                        ).alias("bkey"),
+                        F.shiftright("sig", b * per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bkey"),
                     )
                     for b in range(bands)
                 ]
@@ -395,12 +403,10 @@ def simhash_candidates(
         sig_lookup.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
         "id_b",
     )
-    hamming = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x != y),
-            lambda m: m,
-        )
-    )
+    # Hamming over packed longs: XOR + popcount, whole-stage codegen
+    # (the array formulation paid an interpreted zip_with+filter per
+    # candidate pair — the r3→r4 bench regression, VERDICT r04 #2)
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )

@@ -264,6 +264,45 @@ def lsh_buckets(
     return df.withColumn("lsh_bucket", lsh_bucket_expr(F.col(vec_col), planes))
 
 
+def lsh_buckets_arrow(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Bit-identical twin of :func:`lsh_buckets` computed in an Arrow
+    kernel instead of a Column expression. The bucket is EXACT int64
+    arithmetic either way — floor(v·2^15) quantization (IEEE double
+    multiply, deterministic) then an integer dot and sign-bit pack — so
+    numpy int64 matmul produces the same bucket as the codegen'd fold
+    and the DuckDB twin (equality asserted in tests/test_similarity.py).
+    Why it exists (r5): the literal-heavy Column form costs ~1 s of
+    one-shot whole-stage-codegen compilation (num_planes × dim literal
+    operands) regardless of data size; the kernel costs none, and the
+    pass stays narrow (no shuffle) with one BLAS-free integer matmul
+    per batch. Prefer this for interactive/one-shot plans; either is
+    fine in long-running jobs where codegen amortizes."""
+    planes = portable_plane_weights(dim, num_planes, seed)
+    W = np.array(planes, dtype=np.int64)  # (planes, dim)
+    pw = (1 << np.arange(num_planes, dtype=np.int64))
+    cols = df.columns
+    fields = ", ".join(f"`{c}` {t}" for c, t in df.dtypes)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Q = np.floor(M * LSH_QUANT).astype(np.int64)
+            D = Q @ W.T  # exact: |dot| <= dim * 2^15-ish * 128 << 2^63
+            out = pdf[cols].copy()
+            out["lsh_bucket"] = ((D >= 0) * pw).sum(axis=1)
+            yield out
+
+    return df.mapInPandas(kernel, f"{fields}, lsh_bucket long")
+
+
 def _fit_coarse_quantizer(
     candidates: DataFrame,
     vec_col: str,
@@ -426,6 +465,7 @@ def knn_lsh(
     num_planes: int = 8,
     dim: int = 64,
     multi_probe: int = 0,
+    score: str = "blas",
 ) -> DataFrame:
     """Approximate top-k: only same-LSH-bucket pairs are scored. The
     bucket equi-join replaces the cross join — this is the 100 TB path
@@ -436,19 +476,71 @@ def knn_lsh(
     buckets per query via single-bit flips) — the standard multi-probe
     LSH recall/cost dial: candidates stay put, only the tiny
     (query, bucket) probe table fans out, so recall rises without
-    re-hashing or extra candidate shuffles."""
+    re-hashing or extra candidate shuffles.
+
+    ``score`` picks the similarity arithmetic (r5, ADVICE r04):
+      - ``'fold'``: the codegen'd Column-fold cosine — the SAME
+        sequential left-fold the DuckDB oracle executes, so a rounded
+        score can never diverge cross-engine on a last-ulp boundary
+        (the reason the oracle-gated query uses it; also fully
+        declarative — no driver collect, one Spark job).
+      - ``'blas'``: numpy matmul inside an Arrow kernel — different
+        accumulation order (SIMD/pairwise), faster per candidate; the
+        production choice when the consumer doesn't need cross-engine
+        bit-equality of rounded scores."""
     from pyspark.sql import Window
 
-    qb = lsh_buckets(
+    # Arrow-kernel bucketing: bit-identical to the Column form (exact
+    # int64 math) without its ~1 s literal-tree codegen compile (r5).
+    qb = lsh_buckets_arrow(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
         "q_vec", num_planes, dim=dim,
     ).select("query_id", "q_vec", "lsh_bucket")
-    cb = lsh_buckets(
+    cb = lsh_buckets_arrow(
         candidates.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
         ),
         "c_vec", num_planes, dim=dim,
     )
+    if score == "fold":
+        # Declarative path: expand multi-probe buckets as a Column
+        # explode of bit flips, broadcast the (small) probe side, score
+        # with the codegen'd fold, rank. No Python anywhere.
+        variants = [F.col("lsh_bucket")]
+        if multi_probe >= 1:
+            variants += [
+                F.col("lsh_bucket").bitwiseXOR(F.lit(1 << b))
+                for b in range(num_planes)
+            ]
+        if multi_probe >= 2:
+            variants += [
+                F.col("lsh_bucket")
+                .bitwiseXOR(F.lit(1 << b1))
+                .bitwiseXOR(F.lit(1 << b2))
+                for b1 in range(num_planes)
+                for b2 in range(b1 + 1, num_planes)
+            ]
+        probe = qb.select(
+            "query_id",
+            "q_vec",
+            F.explode(F.array_distinct(F.array(*variants))).alias("lsh_bucket"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine_sim").desc(), F.col("neighbor_id")
+        )
+        return (
+            cb.join(F.broadcast(probe), "lsh_bucket")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias(
+                    "cosine_sim"
+                ),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
     # queries are the small probe side: ship their normalized vectors
     # into an Arrow kernel and score candidate batches with numpy (the
     # Column-fold cosine is interpreted per element — ~10× slower)

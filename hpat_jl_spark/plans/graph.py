@@ -88,9 +88,17 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded by the orientation); two equi-joins attach them to edges.
     No Python, nothing quadratic in hubs, shuffles keyed on node ids
     only."""
+    from pyspark import StorageLevel
+
     li = load_table(spark, "lineitem", sf_dir)
     edges = _copurchase_edges(li)
-    edges = edges.localCheckpoint()  # reused 4×; cut the build lineage
+    # persist, not localCheckpoint (r5): the eager checkpoint was an
+    # extra materialization JOB before the real one (2× wall-clock at
+    # sf0.1 — 5.5s → 1.8s warm); a lazy persist fills during the single
+    # composed job and ReusedExchange covers branches that share the
+    # groupBy. No explicit unpersist (lazy-persist trap, CLAUDE.md):
+    # ContextCleaner reclaims the blocks.
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
 
     deg = (
         edges.select(F.col("u").alias("n"))
@@ -110,7 +118,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented = ann.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).localCheckpoint()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # Edge-iterator: per oriented edge (u,v), triangles through it =
     # |N_out(u) ∩ N_out(v)|. Out-adjacency lists are bounded at
@@ -123,24 +131,31 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     au = adj.select(F.col("src").alias("src"), F.col("nbrs").alias("nbrs_u"))
     av = adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nbrs_v"))
+    # LEFT joins keep every oriented edge in the stream (an edge whose
+    # dst is a sink has no adjacency row), so ONE aggregate pass yields
+    # both n_triangles and n_edges (r5, VERDICT r04 #2 — was a separate
+    # count branch re-scanning the checkpoint). size() is NULL on a
+    # missing adjacency under non-legacy semantics → coalesce to 0.
     tri = (
-        oriented.join(au, "src")
-        .join(av, "dst")
+        oriented.join(au, "src", "left")
+        .join(av, "dst", "left")
         .select(
-            F.size(F.array_intersect("nbrs_u", "nbrs_v")).alias("c")
+            F.coalesce(
+                F.size(F.array_intersect("nbrs_u", "nbrs_v")), F.lit(0)
+            ).alias("c")
         )
-        .agg(F.sum("c").cast("bigint").alias("n_triangles"))
+        .agg(
+            F.sum("c").cast("bigint").alias("n_triangles"),
+            F.count(F.lit(1)).alias("n_edges"),
+        )
     )
-    ne = oriented.agg(F.count(F.lit(1)).alias("n_edges"))
-    nn = (
-        edges.select(F.col("u").alias("n"))
-        .unionAll(edges.select(F.col("v").alias("n")))
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("n_nodes"))
-    )
-    # three 1-row aggregates — crossJoin composes them lazily into one
+    # n_nodes = rows of the degree table (every endpoint of any edge
+    # has a degree row) — reuses deg's exchange instead of a third
+    # union-distinct scan of the checkpoint.
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    # two 1-row aggregates — crossJoin composes them lazily into one
     # DataFrame (no driver-side collect in the plan itself)
-    return nn.crossJoin(ne).crossJoin(tri)
+    return nn.crossJoin(tri.select("n_edges", "n_triangles"))
 
 
 _clustering_oracle = """
@@ -186,8 +201,11 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization; per-node attribution adds one node-keyed shuffle.
     The id-ordered oracle enumerates each triangle once as a<b<c —
     count-equivalent to the orientation used here."""
+    from pyspark import StorageLevel
+
     li = load_table(spark, "lineitem", sf_dir)
-    edges = _copurchase_edges(li).localCheckpoint()
+    # persist, not localCheckpoint — same reasoning as triangle_count
+    edges = _copurchase_edges(li).persist(StorageLevel.MEMORY_AND_DISK)
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionAll(edges.select(F.col("v").alias("n")))
@@ -203,7 +221,7 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented = ann.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).localCheckpoint()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     adj = oriented.groupBy("src").agg(
         F.array_sort(F.collect_list("dst")).alias("nbrs")
     )
@@ -288,7 +306,10 @@ def link_prediction_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
-        .localCheckpoint()  # reused 3× (degree + two wedge sides)
+        # persist, not localCheckpoint — reused 3× (degree + two wedge
+        # sides) within the one composed job; the eager checkpoint was
+        # an extra materialization job (triangle_count r5 measurement)
+        .persist()
     )
     centers = (
         cp.groupBy("p")

@@ -308,20 +308,12 @@ def _ivf_cell_expr(cents: list[tuple[int, int]], px, py):
     return best
 
 
-@register("knn_ivf_portable", oracle=_ivf_oracle(), tags=("similarity",))
-def knn_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with every stage hash-gated (see module comment above):
-    integer-projection coarse quantizer fit by fixed-point Lloyd, probe
-    of the n_probe nearest cells, exact cosine + rank on candidates.
-
-    Scale shape: the fit iterates a K-row collect over the (projected)
-    corpus — at 100 TB you fit on a capped sample exactly like knn_ivf
-    does (the quantizer is a model, not a query); assignment and
-    scoring are one cell-keyed equi-join each, candidates never leave
-    their cell, and the scoring fold is codegen'd Column math — the
-    whole query plan is UDF-free."""
-    from pyspark.sql import Window
-
+def _ivf_fit(spark: SparkSession, sf_dir: str):
+    """Shared portable-IVF coarse-quantizer fit: integer projections +
+    fixed-point Lloyd (bounded K-row collect per iteration). Returns
+    (persisted projection frame, final centroid list) — used by both
+    the in-memory knn_ivf_portable and the storage-backed
+    knn_ivf_persisted, which must agree exactly."""
     emb = load_table(spark, "embeddings", sf_dir)
     px, py = _ivf_proj_cols()
     proj = emb.select("vec_id", "embedding", px.alias("px"), py.alias("py")).persist()
@@ -349,6 +341,24 @@ def knn_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 new_cents.append(old)
         cents = new_cents
+    return proj, cents
+
+
+@register("knn_ivf_portable", oracle=_ivf_oracle(), tags=("similarity",))
+def knn_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with every stage hash-gated (see module comment above):
+    integer-projection coarse quantizer fit by fixed-point Lloyd, probe
+    of the n_probe nearest cells, exact cosine + rank on candidates.
+
+    Scale shape: the fit iterates a K-row collect over the (projected)
+    corpus — at 100 TB you fit on a capped sample exactly like knn_ivf
+    does (the quantizer is a model, not a query); assignment and
+    scoring are one cell-keyed equi-join each, candidates never leave
+    their cell, and the scoring fold is codegen'd Column math — the
+    whole query plan is UDF-free."""
+    from pyspark.sql import Window
+
+    proj, cents = _ivf_fit(spark, sf_dir)
     cells = proj.select(
         "vec_id",
         "embedding",
@@ -376,6 +386,74 @@ def knn_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache when the returned frame executes; ContextCleaner reclaims it
     cand = (
         cells.join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(S.cosine(F.col("q_vec"), F.col("embedding")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    wrank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("knn_rank", F.row_number().over(wrank))
+        .filter(F.col("knn_rank") <= _K)
+        .select("query_id", "neighbor_id", "cosine_sim", "knn_rank")
+    )
+
+
+@register("knn_ivf_persisted", oracle=_ivf_oracle(), tags=("similarity",))
+def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index IVF path end-to-end under the SAME oracle as
+    knn_ivf_portable (VERDICT r04 #7): fit the portable quantizer,
+    WRITE the cell assignments as a hive-partitioned parquet index
+    (partitionBy cell), probe by reading back ONLY the probed
+    partitions (`cell IN (...)` becomes PartitionFilters — directories
+    outside the probe set are never listed or read; asserted in
+    tests/test_similarity.py), then score the candidates with the
+    codegen'd cosine fold. The value hash proves storage-layer pruning
+    returns answers identical to the in-memory path and to DuckDB.
+
+    Scale shape: this IS the 100 TB deployment — the index write is
+    one partitioned shuffle-free pass, and every later query touches
+    n_probe directories, not the corpus."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    proj, cents = _ivf_fit(spark, sf_dir)
+    cells = proj.select(
+        "vec_id",
+        "embedding",
+        _ivf_cell_expr(cents, F.col("px"), F.col("py")).alias("cell"),
+    )
+    path = tempfile.mkdtemp(prefix="hpat_ivf_index_")
+    cells.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+    # Driver-side probe from the (bounded) query rows: exact integer
+    # centroid distances with the same (distance, index) tiebreak as
+    # the oracle's row_number ORDER BY d, j.
+    q_rows = proj.filter(F.col("vec_id") < _N_QUERIES).select(
+        "vec_id", "embedding", "px", "py"
+    ).collect()
+    probes = []
+    for r in q_rows:
+        ranked = sorted(
+            ((r.px - cx) ** 2 + (r.py - cy) ** 2, j)
+            for j, (cx, cy) in enumerate(cents)
+        )
+        for _, j in ranked[:_IVF_PROBE]:
+            probes.append((int(r.vec_id), list(r.embedding), int(j)))
+    probe = spark.createDataFrame(
+        probes, "query_id long, q_vec array<float>, cell int"
+    )
+    probed_cells = sorted({p[2] for p in probes})
+    data = spark.read.parquet(path).filter(F.col("cell").isin(probed_cells))
+    cand = (
+        data.join(F.broadcast(probe), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -438,7 +516,12 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3 planes = 8 buckets: the fixture embeddings are near-isotropic
     # noise (top-5 cosine ≈ 0.37), so recall needs generous buckets;
     # clustered real-world embeddings support far more planes.
-    out = S.knn_lsh(queries, emb, k=_K, num_planes=3, dim=_DIM)
+    # score='fold' (r5, ADVICE r04): the gated query scores with the
+    # SAME codegen'd left-fold the oracle executes, so a 6dp-rounded
+    # score cannot flip cross-engine on a last-ulp boundary; it is also
+    # one declarative job (no driver collect / Arrow exchange), which
+    # recovered the r3→r4 bench regression on this query.
+    out = S.knn_lsh(queries, emb, k=_K, num_planes=3, dim=_DIM, score="fold")
     return out.select(
         "query_id", "neighbor_id", "cosine_sim", F.col("rank").alias("knn_rank")
     )
@@ -584,9 +667,10 @@ def embedding_scale_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- hash-gated product quantization: the last ANN family member ----
-# knn_pq's float sub-codebooks (numpy k-means per 16-dim subspace) have
+# knn_pq's float sub-codebooks (numpy k-means per 8-dim subspace) have
 # no SQL twin. This variant is PQ with every stage in portable integer
-# arithmetic: each of the 4 subspaces projects to 2-D int64 through its
+# arithmetic: each of the 8 subspaces (8 dims each, 8 codes — see
+# _PQ_NSUB/_PQ_SUBDIM/_PQ_INIT) projects to 2-D int64 through its
 # own md5-derived integer planes (an OPQ-style fixed sketch), the
 # per-subspace codebooks are fit by fixed-point Lloyd (floor-div
 # centroids, index tiebreak), codes are the per-subspace argmins, ADC

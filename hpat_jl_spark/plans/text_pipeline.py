@@ -1165,7 +1165,29 @@ def quality_model_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the noise-broken weak-label problem far inside 3dp. The scoring/
     keep-rate query (quality_model_filter) stays rows-only — its gate
     compares model scores at a threshold, where a last-ulp coefficient
-    difference could legitimately flip a boundary doc."""
+    difference could legitimately flip a boundary doc.
+
+    Known fragility (ADVICE r04): the gate compares two different float
+    optimizers on exact 3dp equality, which is sound only while every
+    coefficient sits clear of a 0.0005 rounding boundary. That margin
+    is ASSERTED per fixture in tests/test_ml.py
+    (test_quality_model_coefs_rounding_margin) — if a future scale
+    factor lands a coefficient within 1e-5 of a boundary (10x the
+    optimizers' mutual agreement), the margin test fails with a
+    'tolerance, not regression' message instead of the hash flaking
+    silently."""
+    raw = fit_quality_model_raw(spark, sf_dir)
+    return spark.createDataFrame(
+        [tuple(round(v, 3) for v in raw)],
+        "coef_stopword double, coef_punct double, coef_len double, intercept double",
+    )
+
+
+def fit_quality_model_raw(spark: SparkSession, sf_dir: str) -> tuple:
+    """The quality_model_coefs fit, returning UNROUNDED
+    (coef_stopword, coef_punct, coef_len, intercept) — shared by the
+    registered plan and the rounding-margin assertion in
+    tests/test_ml.py."""
     from pyspark.ml.classification import LogisticRegression as MLLogReg
 
     from hpat_jl_spark.functions.dedup import portable_hash
@@ -1197,16 +1219,11 @@ def quality_model_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
         standardization=False,
     ).fit(assembled)
     c = model.coefficients
-    return spark.createDataFrame(
-        [
-            (
-                round(float(c[0]), 3),
-                round(float(c[1]), 3),
-                round(float(c[2]), 3),
-                round(float(model.intercept), 3),
-            )
-        ],
-        "coef_stopword double, coef_punct double, coef_len double, intercept double",
+    return (
+        float(c[0]),
+        float(c[1]),
+        float(c[2]),
+        float(model.intercept),
     )
 
 
@@ -1295,6 +1312,119 @@ def bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_merged_symbols"),
         )
+    )
+
+
+# ---- hash-gated BPE TRAINING (bounded rounds) ----
+# bpe_train_merges (64 merges) stays rows-only, but the merge LOOP
+# itself is now under the value-hash gate (VERDICT r04 #3): this twin
+# replays an 8-round training run as a GENERATED unrolled CTE chain —
+# the quality_model_coefs technique (iterative driver state gated by a
+# generated SQL program) applied to symbol-table training. Per round r:
+#   pc_r    adjacent-pair frequencies over the segmented vocab
+#           (self-join on (word, pos+1), weighted by word freq)
+#   best_r  argmax by (freq DESC, pair lexicographic) — exactly the
+#           python loop's min((-freq, pair)) tiebreak
+#   g_r     GREEDY leftmost non-overlapping application: the python
+#           scanner merges at i then skips i+1, so within each maximal
+#           run of consecutive match positions only EVEN offsets merge
+#           — gaps-and-islands (pos - row_number) finds the runs
+#   s_{r+1} rows consumed as a merge's right half are anti-joined away;
+#           positions renumbered dense by row_number
+# All state is exact integers/strings; both engines sort strings in
+# codepoint order (binary UTF-8), so ties cannot diverge. 8 rounds × a
+# ~200k-row symbol table is trivial for DuckDB; the Spark side runs the
+# SAME bounded-vocab driver loop as production training (num_merges is
+# the only difference), so a merge-loop bug breaks this hash.
+# Every CTE is AS MATERIALIZED: s_{r+1} references g_r twice and g_r
+# chains back through m_r/s_r, so plain (inlinable) CTEs replicate the
+# base scan ~3^rounds times — measured as a 20k-fd "Too many open
+# files" blowup before materialization, 0.24 s after.
+_BPE_TRAIN_ROUNDS = 8
+
+
+def _bpe_train_oracle(num_merges: int, max_words: int = 65536) -> str:
+    parts = [
+        f"""
+wc AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+  GROUP BY w
+  QUALIFY row_number() OVER (ORDER BY freq DESC, w) <= {max_words}
+),
+s0 AS MATERIALIZED (
+  SELECT w, freq, i.i - 1 AS pos, substr(w, i.i, 1) AS sym
+  FROM wc, LATERAL (SELECT unnest(generate_series(1, length(w))) AS i) i
+  UNION ALL
+  SELECT w, freq, length(w) AS pos, '</w>' AS sym FROM wc
+)"""
+    ]
+    for r in range(num_merges):
+        parts.append(
+            f"""
+pc{r} AS MATERIALIZED (
+  SELECT a.sym AS l, b.sym AS r2, sum(a.freq) AS c
+  FROM s{r} a JOIN s{r} b ON a.w = b.w AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+),
+best{r} AS MATERIALIZED (SELECT l, r2 FROM pc{r} ORDER BY c DESC, l, r2 LIMIT 1),
+m{r} AS MATERIALIZED (
+  SELECT a.w, a.freq, a.pos, a.sym,
+         CASE WHEN b.sym IS NOT NULL
+              AND a.sym = (SELECT l FROM best{r})
+              AND b.sym = (SELECT r2 FROM best{r}) THEN 1 ELSE 0 END AS is_m
+  FROM s{r} a LEFT JOIN s{r} b ON a.w = b.w AND b.pos = a.pos + 1
+),
+g{r} AS MATERIALIZED (
+  SELECT w, freq, pos, sym,
+         CASE WHEN is_m = 1 AND
+              (row_number() OVER (PARTITION BY w, grp_m ORDER BY pos) - 1) % 2 = 0
+         THEN 1 ELSE 0 END AS do_m
+  FROM (
+    SELECT *, CASE WHEN is_m = 1
+                   THEN pos - row_number() OVER (PARTITION BY w, is_m ORDER BY pos)
+              END AS grp_m
+    FROM m{r})
+),
+s{r + 1} AS MATERIALIZED (
+  SELECT g.w, g.freq,
+         row_number() OVER (PARTITION BY g.w ORDER BY g.pos) - 1 AS pos,
+         CASE WHEN g.do_m = 1
+              THEN (SELECT l FROM best{r}) || (SELECT r2 FROM best{r})
+              ELSE g.sym END AS sym
+  FROM g{r} g
+  LEFT JOIN g{r} prev
+    ON prev.w = g.w AND prev.pos = g.pos - 1 AND prev.do_m = 1
+  WHERE prev.w IS NULL
+)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r}::BIGINT AS merge_rank, l AS left, r2 AS right FROM best{r}"
+        for r in range(num_merges)
+    )
+    return "WITH " + ",".join(parts) + "\n" + sel
+
+
+@register(
+    "bpe_train_bounded",
+    oracle=_bpe_train_oracle(_BPE_TRAIN_ROUNDS),
+    tags=("text", "ml"),
+)
+def bpe_train_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING under the value-hash gate (module comment
+    above): the production train_bpe loop (distributed word count →
+    bounded-vocab driver merge loop) limited to 8 rounds, vs a
+    generated unrolled-CTE replay of the same algorithm in DuckDB.
+    Output: (merge_rank, left, right) in learned order."""
+    from hpat_jl_spark.functions.bpe import train_bpe
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = train_bpe(docs, num_merges=_BPE_TRAIN_ROUNDS, max_words=65536)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank long, left string, right string",
     )
 
 

@@ -44,60 +44,62 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Driver-gate ordering. The correctness driver consumes ``queries()`` in
 # dict order and records rows for roughly the first 50 entries per round.
 # Names listed here are emitted FIRST (in this order); everything else
-# follows in registration order. Round 4 policy (VERDICT r03 #1): the 11
-# queries never driver-checked in r1-r3 lead, headed by dedup_minhash /
-# dedup_cluster, which upgraded from rows-only to a full DuckDB twin of
-# the portable-hash MinHash pipeline this round. Then the queries whose
-# plans or oracles changed this round (re-verification of the change),
-# then the rest of the registry in registration order (all have a green
-# r1-r3 row; extra windows re-confirm them).
+# follows in registration order. Round 5 policy: new/upgraded gated
+# queries lead (real PNG pixel decode, BPE-training twin, persisted-IVF
+# equivalence), then every plan whose physical strategy changed this
+# round (re-verification under the driver gate), then the remaining
+# rows-only queries (continued driver evidence), then the rest of the
+# registry (all have a green r1-r4 row; extra windows re-confirm).
 # Names not (yet) registered are skipped, so new plans can be pre-listed.
 DRIVER_PRIORITY: list[str] = [
-    # Upgraded rows-only → full oracle this round (VERDICT r03 #1/#3):
-    # MinHash+LSH candidate set + transitive clusters, exact DuckDB twin.
-    "dedup_minhash",
-    "dedup_cluster",
-    # Never driver-checked in r1-r3 (the remaining rows-only queries).
+    # New/upgraded to full oracle in r5 (VERDICT r04 #1/#3/#7):
+    "multimodal_pixel_stats",
+    "multimodal_features",
+    "multimodal_resize_stats",
+    "bpe_train_bounded",
+    "knn_ivf_persisted",
+    "bloom_prefilter_ingest",
+    # Plans whose physical strategy changed in r5 (VERDICT r04 #2):
+    # simhash → packed-long signatures; knn_lsh → Arrow buckets +
+    # fold scoring; graph plans → persist instead of localCheckpoint.
     "dedup_simhash",
     "knn_lsh",
+    "triangle_count",
+    "clustering_coefficient",
+    "link_prediction_customers",
+    "corpus_prep_pipeline",
+    "multimodal_header_recovery",
+    # Remaining rows-only queries — keep their driver rows warm.
     "knn_ivf",
     "knn_pq",
     "ml_kmeans_clusters",
-    "multimodal_features",
     "quality_model_filter",
     "stratified_sample_sources",
     "approx_distinct",
     "monte_carlo_pi",
-    # Plans touched this round — re-verify under the driver gate:
-    # tokenize_to_ids (vocab-rank window rewritten for scale, VERDICT #2),
-    # sequence_packing (chunked prefix-sum wiring, VERDICT #4),
-    # sax_similarity_candidates (floor-div/zero-pad hardening, ADVICE).
-    "tokenize_to_ids",
-    "sequence_packing",
-    "sax_similarity_candidates",
-    "corpus_prep_pipeline",
-    # New this round: HDF5 source parity (VERDICT r03 #6) and the
-    # oracle-gated slice of the de-stubbed multimodal header decode.
-    "hdf5_ingest_agg",
-    "multimodal_header_recovery",
-    "quasi_monte_carlo_pi",
-    "embedding_dedup_clusters",
     "bpe_train_merges",
     "bpe_encode_stats",
-    "duplicate_span_report",
-    "stream_foreach_batch_upsert",
-    "incremental_dedup_ingest",
-    # Round-4 session 2: new gated sketch/sampling surfaces (the
-    # knn_lsh and hdf5_ingest_agg upgrades are already listed above).
-    "hll_distinct_portable",
-    "stratified_sample_hash",
+    # Their gated family twins (hash evidence for the same kernels).
     "kmeans_lloyd_exact",
     "knn_ivf_portable",
     "knn_pq_portable",
+    "hll_distinct_portable",
+    "stratified_sample_hash",
     "quality_model_coefs",
+    "quasi_monte_carlo_pi",
     "bpe_encode_fixed",
+    # Round-4 cohort re-confirmation window.
+    "dedup_minhash",
+    "dedup_cluster",
     "fuzzy_decontaminate",
     "mix_rebalance_plan",
+    "hdf5_ingest_agg",
+    "embedding_dedup_clusters",
+    "duplicate_span_report",
+    "incremental_dedup_ingest",
+    "stream_foreach_batch_upsert",
+    "tokenize_to_ids",
+    "sequence_packing",
     "csv_ingest_agg",
     "json_ingest_agg",
     "orc_ingest_agg",

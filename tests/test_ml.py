@@ -105,6 +105,30 @@ def test_quality_model_recovers_teacher(spark):
     assert agree / total >= 0.85, (agree, total)
 
 
+def test_quality_model_coefs_rounding_margin(spark):
+    """quality_model_coefs gates two float optimizers on exact 3dp
+    equality (ADVICE r04): that is sound only while each coefficient
+    sits clear of a 0.0005 rounding boundary. Assert a >=1e-5 margin on
+    every fixture the gate runs at — 10x the headroom the optimizers
+    need (L-BFGS at tol=1e-12 and a 25-step Newton refit of a ridge-
+    unique optimum agree to well under 1e-6; the sf0.001 fit measures
+    6.6e-5 from a boundary and has never flaked). If this fails after a
+    fixture regeneration, the diagnosis is TOLERANCE (coefficient on a
+    rounding boundary), not an engine regression."""
+    from hpat_jl_spark.plans.text_pipeline import fit_quality_model_raw
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        for v in fit_quality_model_raw(spark, sf_dir):
+            frac = abs(v) * 1000 % 1  # position inside the 3dp cell
+            # distance from the x.xxx5 half-boundary, in units of 1e-3:
+            # require >= 0.01 (i.e. 1e-5 in coefficient units)
+            assert abs(frac - 0.5) >= 0.01, (
+                f"coefficient {v} at {sf_dir} is within 1e-5 of a 3dp "
+                "rounding boundary - the oracle hash may flake; this is "
+                "a tolerance issue, not a regression"
+            )
+
+
 def test_kmeans_lloyd_exact_partitions_all_rows_and_moves_centroids(spark):
     """kmeans_lloyd_exact: the clusters partition lineitem exactly (no
     row lost or double-counted) and the fixed-point centroids actually

@@ -51,6 +51,32 @@ def test_lsh_identical_vectors_collide(vectors):
         assert buckets[vid] == buckets[vid + 1000]
 
 
+def test_lsh_arrow_buckets_bit_identical(vectors):
+    """lsh_buckets_arrow (numpy int64 kernel) must equal lsh_buckets
+    (codegen Column fold) exactly — same floor-quantize, same integer
+    dot, same sign-pack; the kernel exists purely to skip the literal
+    tree's codegen compile cost."""
+    col = {r.vec_id: r.lsh_bucket
+           for r in S.lsh_buckets(vectors, num_planes=6, dim=8).collect()}
+    arw = {r.vec_id: r.lsh_bucket
+           for r in S.lsh_buckets_arrow(vectors, num_planes=6, dim=8).collect()}
+    assert col == arw
+
+
+def test_lsh_fold_and_blas_same_candidates(vectors):
+    """score='fold' and score='blas' must agree on the retrieved
+    neighbor sets (same buckets → same candidates; scores may differ in
+    the last ulp before rounding)."""
+    q = vectors.filter("vec_id IN (0, 2)")
+    fold = {(r.query_id, r.neighbor_id)
+            for r in S.knn_lsh(q, vectors, k=3, num_planes=3, dim=8,
+                               score="fold").collect()}
+    blas = {(r.query_id, r.neighbor_id)
+            for r in S.knn_lsh(q, vectors, k=3, num_planes=3, dim=8,
+                               score="blas").collect()}
+    assert fold == blas
+
+
 def test_ivf_finds_planted_twin(vectors):
     """knn_ivf must place an identical twin in the same IVF cell and
     retrieve it at rank 1 with cosine 1.0."""
@@ -373,10 +399,26 @@ def test_ivf_portable_probes_own_cell_and_finds_neighbors(spark):
     assert approx == approx2
 
 
+def test_ivf_persisted_equals_in_memory_and_prunes(spark):
+    """knn_ivf_persisted must return EXACTLY knn_ivf_portable's rows
+    (same quantizer, storage-backed probe) and its candidate scan must
+    prune at the storage layer (PartitionFilters on the cell directory
+    column, not a post-scan filter)."""
+    from hpat_jl_spark import registry
+
+    registry.load_all_plans()
+    sf = "/root/testdata/sf0.001"
+    mem = registry.REGISTRY["knn_ivf_portable"].fn(spark, sf)
+    disk = registry.REGISTRY["knn_ivf_persisted"].fn(spark, sf)
+    assert sorted(map(tuple, mem.collect())) == sorted(map(tuple, disk.collect()))
+    plan = disk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+
 def test_pq_portable_shortlist_contains_topk_and_deterministic(spark):
     """knn_pq_portable: ADC + rerank returns exactly k rows per query,
-    overlaps the exact top-k (recall floor for 4x4 integer codebooks on
-    noise), and is bit-stable across runs."""
+    overlaps the exact top-k (recall floor for 8-subspace × 8-code
+    integer codebooks on noise), and is bit-stable across runs."""
     from pyspark.sql import functions as F
 
     from hpat_jl_spark import registry
