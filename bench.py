@@ -106,7 +106,10 @@ def main() -> None:
     # A query that succeeds on some rep but throws on another is
     # recorded in ``flaky`` alongside its timing (ADVICE r03: the error
     # was previously discarded, hiding intermittent crashes).
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    # 3 reps (r5, was 2): the first rep pays whole-stage-codegen JIT for
+    # the whole plan; min-of-3 converges on the plan's steady cost with
+    # one extra sample against this box's 1.5-2x noise.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     flaky: dict[str, str] = {}
@@ -158,6 +161,11 @@ def main() -> None:
                     con.execute(sql).fetchall()
                     dt = time.perf_counter() - t0
                     best = dt if best is None else min(best, dt)
+                    if dt > 10:
+                        # a >10s twin (fuzzy_name_pairs' quadratic plan
+                        # is ~2 min) is far past JIT/noise resolution;
+                        # re-running it only stalls the bench
+                        break
             except Exception as exc:
                 print(f"# duckdb {name}: ERROR {exc}", file=sys.stderr)
                 continue
@@ -229,19 +237,26 @@ def _read_scaling_tiers() -> list[dict]:
         with open(path) as fh:
             for ln in fh:
                 parts = [p.strip() for p in ln.strip().strip("|").split("|")]
-                if len(parts) == 5 and parts[1] not in ("sf0.01 (s)", "---"):
+                if len(parts) in (5, 7) and parts[1] not in ("sf0.01 (s)", "---"):
                     try:
-                        rows.append(
-                            {
-                                "query": parts[0],
-                                "sf0.01_s": float(parts[1]),
-                                "sf0.1_s": float(parts[2]),
-                                "x10_s": float(parts[3]),
-                                "growth_x10": float(parts[4].rstrip("×x")),
-                            }
-                        )
+                        row = {
+                            "query": parts[0],
+                            "sf0.01_s": float(parts[1]),
+                            "sf0.1_s": float(parts[2]),
+                            "x10_s": float(parts[3]),
+                            "growth_x10": float(parts[4].rstrip("×x")),
+                        }
                     except ValueError:
                         continue
+                    # ×100 tier (r5): present for the top-10 headline
+                    # queries, "—" otherwise
+                    if len(parts) == 7:
+                        try:
+                            row["x100_s"] = float(parts[5])
+                            row["growth_x100"] = float(parts[6].rstrip("×x"))
+                        except ValueError:
+                            pass
+                    rows.append(row)
     except OSError:
         pass
     return rows

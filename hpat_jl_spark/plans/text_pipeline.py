@@ -546,6 +546,55 @@ def incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bloom_prefilter_ingest", oracle=_incr_dedup_oracle, tags=("text", "dedup")
+)
+def bloom_prefilter_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """incremental_dedup_ingest's documented 100 TB companion made
+    concrete and RESULT-GATED (VERDICT r04 #8, same oracle as the plain
+    anti-join — the value hash proves the pre-filter never changes the
+    answer): a one-hash bloom filter over the corpus, realized as the
+    DISTINCT 16-bit prefix set of portable_hash(fingerprint) — bounded
+    at ≤ 65536 rows REGARDLESS of corpus size, so it broadcasts.
+
+    Batch rows whose prefix is absent from the set provably have no
+    corpus match (a hash of an equal fingerprint is equal) and skip the
+    fingerprint anti-join entirely — a broadcast anti-join, narrow for
+    the batch; only the maybe-present remainder pays the (fingerprint,
+    id) shuffle. At a mostly-novel daily crawl that remainder is a
+    sliver of the batch; the false-positive rate is corpus_distinct /
+    2^16 per the one-hash bloom bound, and false positives only cost
+    the shuffle they would have paid anyway. In production the prefix
+    set is maintained incrementally alongside the corpus (it is a
+    monotone union), not re-derived per batch — re-deriving here keeps
+    the registered query self-contained."""
+    from pyspark.sql import Window
+
+    from hpat_jl_spark.functions.dedup import portable_hash
+
+    docs = load_table(spark, "documents", sf_dir)
+    fp = docs.select(
+        "doc_id", "source", X.fingerprint("text").alias("fingerprint")
+    )
+    corpus = fp.filter(F.col("doc_id") % 5 != 0).select("fingerprint").distinct()
+    bloom = corpus.select(
+        (portable_hash("fingerprint") % 65536).alias("bloom_bit")
+    ).distinct()
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    batch = (
+        fp.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .withColumn("bloom_bit", portable_hash("fingerprint") % 65536)
+    )
+    fresh = batch.join(F.broadcast(bloom), "bloom_bit", "left_anti")
+    maybe = batch.join(F.broadcast(bloom), "bloom_bit", "left_semi")
+    survived = maybe.join(corpus, "fingerprint", "left_anti")
+    return survived.select("doc_id", "source", "fingerprint").unionByName(
+        fresh.select("doc_id", "source", "fingerprint")
+    )
+
+
 # Exact-substring duplicate spans (Lee et al. 2022, "Deduplicating
 # Training Data Makes Language Models Better"): 50-token windows whose
 # EXACT content recurs across documents — the candidate step of

@@ -69,6 +69,31 @@ QUERIES = [
 REPLICAS = 10
 _KEY_SHIFT = 10_000_000  # keeps replicated keys disjoint
 
+# ×100 tier (VERDICT r04 #5): sf0.1 replicated 100× with disjoint keys
+# (~60M lineitem rows) for the TOP-10 headline queries, so the "still
+# linear at 100×" claim is measured, not extrapolated from ×10. Nine
+# relational queries + the near-dup representative (dedup_minhash,
+# whose candidate-PAIR output is quadratic in duplicate multiplicity:
+# 100 verbatim copies per doc → C(100,2) = 4950 pairs per doc, ~110×
+# the ×10 tier's 45 — the output bound itself, not a plan defect).
+# triangle_count is deliberately NOT here: replicating orders over the
+# SAME part catalog densifies the co-purchase graph, and triangle work
+# grows O(m^1.5) in edge count by problem definition — a densification
+# artifact of the replication scheme, not a scan-scaling signal.
+REPLICAS_X100 = 100
+X100_QUERIES = [
+    "q1_pricing_summary",
+    "q26",
+    "q25",
+    "q05",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q21_waiting_supplier",
+    "q9_product_type_profit",
+    "dedup_minhash",
+]
+
 
 def _amplified(spark: SparkSession, sf_dir: str, name: str, i: int) -> DataFrame:
     df = load_table(spark, name, sf_dir)
@@ -83,12 +108,14 @@ def _amplified(spark: SparkSession, sf_dir: str, name: str, i: int) -> DataFrame
     return df
 
 
-def _stage_amplified(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
-    """Write the 10× tables as real parquet so the probe measures query
-    time, not union-plan construction."""
+def _stage_amplified(
+    spark: SparkSession, sf_dir: str, out_dir: str, replicas: int = REPLICAS
+) -> None:
+    """Write the replicated tables as real parquet so the probe measures
+    query time, not union-plan construction."""
     for name in ["lineitem", "orders", "customer", "part", "supplier",
                  "nation", "region", "events", "documents", "embeddings"]:
-        parts = [_amplified(spark, sf_dir, name, i) for i in range(REPLICAS)]
+        parts = [_amplified(spark, sf_dir, name, i) for i in range(replicas)]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -109,12 +136,16 @@ def main() -> None:
     big_dir = tempfile.mkdtemp(prefix="sf1x_")
     print(f"# staging {REPLICAS}x sf0.1 at {big_dir}", file=sys.stderr)
     _stage_amplified(spark, "/root/testdata/sf0.1", big_dir)
+    big100_dir = tempfile.mkdtemp(prefix="sf100x_")
+    print(f"# staging {REPLICAS_X100}x sf0.1 at {big100_dir}", file=sys.stderr)
+    _stage_amplified(spark, "/root/testdata/sf0.1", big100_dir, REPLICAS_X100)
 
     tiers = [
         ("sf0.01", "/root/testdata/sf0.01"),
         ("sf0.1", "/root/testdata/sf0.1"),
         (f"sf0.1x{REPLICAS}", big_dir),
     ]
+    x100_tier = f"sf0.1x{REPLICAS_X100}"
     results: dict[str, dict[str, float]] = {}
     for name in QUERIES:
         fn = registry.REGISTRY[name].fn
@@ -123,12 +154,19 @@ def main() -> None:
         for tier, d in tiers:
             results[name][tier] = _time(fn, spark, d)
             print(f"# {name} @ {tier}: {results[name][tier]}s", file=sys.stderr)
+        if name in X100_QUERIES:
+            results[name][x100_tier] = _time(fn, spark, big100_dir)
+            print(
+                f"# {name} @ {x100_tier}: {results[name][x100_tier]}s",
+                file=sys.stderr,
+            )
 
     lines = [
-        "# SCALING — headline query times across 3 data tiers (local[32])",
+        "# SCALING — headline query times across 4 data tiers (local[32])",
         "",
         "Generated by `python scripts/scaling_probe.py`. Tier 3 is sf0.1",
-        f"replicated {REPLICAS}× with disjoint keys (~6M lineitem rows, ~50k docs).",
+        f"replicated {REPLICAS}× with disjoint keys (~6M lineitem rows, ~50k docs);",
+        f"tier 4 is sf0.1 replicated {REPLICAS_X100}× (top-10 headline queries only).",
         "The signal is the growth RATE between tiers (10× data each step):",
         "sub-10× growth = fixed overhead still dominates; ~10× = linear scan",
         "bound; >>10× would indicate a quadratic/driver bottleneck.",
@@ -144,13 +182,29 @@ def main() -> None:
         "output itself implies, and the same discipline applies to",
         "fuzzy_decontaminate's exact-verify join.",
         "",
-        "| query | sf0.01 (s) | sf0.1 (s) | ×10 (s) | sf0.1→×10 growth |",
-        "|---|---|---|---|---|",
+        "The ×100 column (top-10 headline queries, ~60M lineitem rows)",
+        "measures the next decade directly: ×10→×100 growth ≤ ~10× is",
+        "linear in data. dedup_minhash's ×100 row is bounded by its pair",
+        "OUTPUT (C(100,2)=4950 pairs per 100-way-replicated doc, ~110×",
+        "the ×10 tier's 45 pairs), not by its candidate join — read that",
+        "row against the output bound. triangle_count has no ×100 row:",
+        "replicating orders over the same part catalog DENSIFIES the",
+        "graph, and triangle work is O(m^1.5) in edges by definition —",
+        "a replication artifact, not a scan-scaling signal.",
+        "",
+        "| query | sf0.01 (s) | sf0.1 (s) | ×10 (s) | sf0.1→×10 growth | ×100 (s) | ×10→×100 growth |",
+        "|---|---|---|---|---|---|---|",
     ]
     for name, r in results.items():
         growth = round(r[tiers[2][0]] / max(r["sf0.1"], 1e-9), 1)
+        if x100_tier in r:
+            g100 = round(r[x100_tier] / max(r[tiers[2][0]], 1e-9), 1)
+            x100_cells = f" {r[x100_tier]} | {g100}× |"
+        else:
+            x100_cells = " — | — |"
         lines.append(
             f"| {name} | {r['sf0.01']} | {r['sf0.1']} | {r[tiers[2][0]]} | {growth}× |"
+            + x100_cells
         )
     with open("SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
