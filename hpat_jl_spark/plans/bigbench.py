@@ -80,22 +80,37 @@ def q01_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BigBench Q01 analogue (reference examples/queries_devel/q01.jl,
     designed-only: top co-purchased item pairs per ticket via
     countmap/flatten — unimplementable in the reference's compiler).
-    Market-basket self-join: lineitem ⋈ lineitem on orderkey, pair
-    count, deterministic top-20.
+    Market-basket pair counting with deterministic top-20.
 
-    Scale: the self-join shuffles once on l_orderkey (both sides the
-    same partitioning — no second exchange); the pair explosion is
-    bounded by per-order line counts (~7 max in TPC-H-like data), so
-    output ≈ 21× order count, not quadratic in the table."""
+    Plan (r5 — was a lineitem⋈lineitem self-join): ONE groupBy(order)
+    collects the sorted per-order part list (bounded, ~7 lines max in
+    TPC-H-like data) and all i<j pairs are generated JVM-side from the
+    array — the same shape as graph._copurchase_pairs, but over
+    collect_LIST, because the oracle's a.partkey < b.partkey self-join
+    counts pair MULTIPLICITY: an order holding parts [5,5,7] yields
+    (5,7) twice, and the sorted-multiset i<j generator with an u<v
+    filter reproduces exactly that product-of-counts. Removes the
+    self-join's second lineitem scan+exchange; the pair stream then
+    takes one (u,v)-keyed agg and a TakeOrdered top-20."""
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_partkey")).alias("ps")
+    )
+    pairs = (
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps) - i - 1), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .filter(F.col("u") < F.col("v"))  # drop equal-part (dup-line) pairs
     )
     counted = pairs.groupBy(
-        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        F.col("u").alias("part_a"), F.col("v").alias("part_b")
     ).agg(F.count(F.lit(1)).alias("n_co"))
     return counted.orderBy(
         F.col("n_co").desc(), F.col("part_a"), F.col("part_b")

@@ -43,16 +43,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Coalesce to the advisory partition SIZE rather than defending
-        # the default parallelism (r5, VERDICT r04 #6): with
-        # parallelismFirst=true (Spark's default) AQE keeps dozens of
-        # KB-sized shuffle partitions alive at bench scale purely to
-        # match core count, and the per-task scheduling overhead
-        # dominates sub-second queries (~10-15% of TPC-H wall-clock at
-        # sf0.1). Size-first is also the setting the Spark docs
-        # recommend once advisoryPartitionSizeInBytes is tuned; at
-        # 100 TB the advisory size governs either way.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelismFirst stays at Spark's default (true). Size-first
+        # coalescing (false) was measured in r5: it shaves ~5-10% off
+        # scan-bound TPC-H queries at sf0.1 by collapsing KB-sized
+        # shuffle partitions, but it STRANGLES compute-dense/byte-light
+        # stages — triangle_count's per-order pair explode coalesced to
+        # ~1 partition and went from 2s to 48s at sf0.01. Byte size is
+        # a bad proxy for CPU cost, which is exactly why Spark defaults
+        # to defending parallelism.
         # No rack/node locality to wait for on local[...] or
         # cloud-storage clusters; the 3s default delay-schedules real
         # work (r5 measurement: ~5-10% on short queries).

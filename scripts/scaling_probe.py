@@ -108,6 +108,16 @@ def _amplified(spark: SparkSession, sf_dir: str, name: str, i: int) -> DataFrame
     return df
 
 
+# Dimension tables are staged as a SINGLE copy, not replicated: their
+# keys carry no shift, so N unshifted replicas would make every dim
+# join (lineitem⋈supplier, customer⋈nation, ...) fan out ×N — a
+# replication artifact, not data scale (caught in r5 when q5@×100 was
+# joining each lineitem row against 100 duplicate supplier rows and
+# nation×region multiplied again on top). Real warehouses scale facts,
+# not dims.
+_DIM_TABLES = {"part", "supplier", "nation", "region"}
+
+
 def _stage_amplified(
     spark: SparkSession, sf_dir: str, out_dir: str, replicas: int = REPLICAS
 ) -> None:
@@ -115,7 +125,8 @@ def _stage_amplified(
     query time, not union-plan construction."""
     for name in ["lineitem", "orders", "customer", "part", "supplier",
                  "nation", "region", "events", "documents", "embeddings"]:
-        parts = [_amplified(spark, sf_dir, name, i) for i in range(replicas)]
+        n = 1 if name in _DIM_TABLES else replicas
+        parts = [_amplified(spark, sf_dir, name, i) for i in range(n)]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -131,7 +142,13 @@ def _time(fn, spark, sf_dir) -> float:
 def main() -> None:
     import tempfile
 
-    spark = get_spark(app_name="scaling-probe")
+    # Shuffle ceiling 128 (not the interactive default 32): the ×100
+    # tier shuffles ~60M-row streams, and a 32-partition ceiling forces
+    # ~2M rows per reducer — spill territory that pollutes the growth
+    # signal. This is exactly the documented 100 TB stance ("set the
+    # ceiling high, let AQE coalesce the small stages"); the small
+    # tiers still coalesce to the same effective fan-out.
+    spark = get_spark(app_name="scaling-probe", shuffle_partitions=128)
     registry.load_all_plans()
     big_dir = tempfile.mkdtemp(prefix="sf1x_")
     print(f"# staging {REPLICAS}x sf0.1 at {big_dir}", file=sys.stderr)
@@ -167,6 +184,18 @@ def main() -> None:
         "Generated by `python scripts/scaling_probe.py`. Tier 3 is sf0.1",
         f"replicated {REPLICAS}× with disjoint keys (~6M lineitem rows, ~50k docs);",
         f"tier 4 is sf0.1 replicated {REPLICAS_X100}× (top-10 headline queries only).",
+        "FACTS are replicated; dimension tables (part/supplier/nation/region)",
+        "are staged once — their keys carry no shift, so unshifted replicas",
+        "would fan every dim join out ×N, a replication artifact rather than",
+        "data scale (r5 fix; earlier tier-3 columns carried that artifact).",
+        "Probe sessions use a 128-partition shuffle ceiling (the documented",
+        "'set high, let AQE coalesce' stance) so ×100 shuffles don't spill",
+        "through an interactive 32-partition cap. Because of that ceiling,",
+        "ABSOLUTE times here are not comparable to bench.py or to earlier",
+        "rounds' 32-partition tables (streaming queries in particular pay",
+        "128 state partitions per micro-batch, and multi-stage queries pay",
+        "more task launches at the small tiers) — the growth RATIOS are",
+        "the signal this file exists for.",
         "The signal is the growth RATE between tiers (10× data each step):",
         "sub-10× growth = fixed overhead still dominates; ~10× = linear scan",
         "bound; >>10× would indicate a quadratic/driver bottleneck.",
@@ -186,8 +215,10 @@ def main() -> None:
         "measures the next decade directly: ×10→×100 growth ≤ ~10× is",
         "linear in data. dedup_minhash's ×100 row is bounded by its pair",
         "OUTPUT (C(100,2)=4950 pairs per 100-way-replicated doc, ~110×",
-        "the ×10 tier's 45 pairs), not by its candidate join — read that",
-        "row against the output bound. triangle_count has no ×100 row:",
+        "the ×10 tier's 45 pairs), not by its candidate join — its",
+        "measured growth sits well BELOW that ~110× output bound, i.e.",
+        "the join machinery itself stays linear even at an adversarial",
+        "100-way-duplicate rate. triangle_count has no ×100 row:",
         "replicating orders over the same part catalog DENSIFIES the",
         "graph, and triangle work is O(m^1.5) in edges by definition —",
         "a replication artifact, not a scan-scaling signal.",
