@@ -356,6 +356,63 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Video frame sampling over REAL animated-PNG payloads: the fabricator
+# encodes formula frames through the full APNG chunk layout (acTL /
+# fcTL / IDAT / fdAT, one zlib stream per frame), sample_frames decodes
+# and keeps frames 0, 2, 4, ... (≤ 4 sampled), and the oracle
+# recomputes the planted per-frame formula. Exact integers throughout.
+_FRAME_EVERY, _FRAME_MAX = 2, 4
+_FRAME_STATS_ORACLE = f"""
+WITH vids AS (
+  SELECT doc_id, 2 + doc_id % 6 AS n, 4 + doc_id % 9 AS w,
+         4 + (doc_id*3) % 7 AS h
+  FROM documents
+),
+fr AS (
+  SELECT v.doc_id, v.w, v.h, f.f
+  FROM vids v,
+       LATERAL (SELECT unnest(generate_series(0, v.n - 1, {_FRAME_EVERY}))
+                AS f) f
+  WHERE f.f // {_FRAME_EVERY} < {_FRAME_MAX}
+),
+px AS (
+  SELECT fr.doc_id, fr.f,
+         (fr.doc_id*7 + fr.f*13 + r.r*5 + c.c*3 + ch.ch*11) % 256 AS v
+  FROM fr,
+       LATERAL (SELECT unnest(generate_series(0, fr.h-1)) AS r) r,
+       LATERAL (SELECT unnest(generate_series(0, fr.w-1)) AS c) c,
+       (SELECT unnest(generate_series(0, 2)) AS ch) ch
+)
+SELECT doc_id, f::INT AS frame_idx, count(*)::BIGINT AS n_vals,
+       sum(v)::BIGINT AS v_sum, min(v)::BIGINT AS v_min,
+       max(v)::BIGINT AS v_max
+FROM px GROUP BY doc_id, f
+"""
+
+
+@register(
+    "multimodal_frame_stats", oracle=_FRAME_STATS_ORACLE, tags=("multimodal",)
+)
+def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-frame sampling under a full value-hash oracle:
+    formula-planted frames go through the real APNG encoder, then
+    functions/multimodal.sample_frames walks the chunk stream, inflates
+    and de-filters each sampled frame, and emits exact-integer stats
+    the oracle recomputes. The frame arrays never leave the Arrow
+    kernel; only fixed-width stats rows flow — the shape a 100 TB
+    video-feature pipeline needs (frame decode at the partition, never
+    a shuffle of raw frames)."""
+    from hpat_jl_spark.functions.multimodal import (
+        attach_video_payload,
+        sample_frames,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return sample_frames(
+        attach_video_payload(docs), every=_FRAME_EVERY, max_frames=_FRAME_MAX
+    )
+
+
 # Resize: nearest-neighbor with the portable integer map src = (dst *
 # src_dim) // dst_dim — the oracle replays the index map over the
 # planted formula. Gates decode → resample → re-encode → re-decode.

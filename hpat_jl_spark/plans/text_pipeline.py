@@ -1022,15 +1022,178 @@ def udtf_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bpe_train_merges", oracle=None, tags=("text", "ml"))
+def _bpe_train_oracle(num_merges: int, max_words: int = 65536) -> str:
+    parts = [
+        f"""
+wc AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+  GROUP BY w
+  QUALIFY row_number() OVER (ORDER BY freq DESC, w) <= {max_words}
+),
+s0 AS MATERIALIZED (
+  SELECT w, freq, i.i - 1 AS pos, substr(w, i.i, 1) AS sym
+  FROM wc, LATERAL (SELECT unnest(generate_series(1, length(w))) AS i) i
+  UNION ALL
+  SELECT w, freq, length(w) AS pos, '</w>' AS sym FROM wc
+)"""
+    ]
+    for r in range(num_merges):
+        parts.append(
+            f"""
+pc{r} AS MATERIALIZED (
+  SELECT a.sym AS l, b.sym AS r2, sum(a.freq) AS c
+  FROM s{r} a JOIN s{r} b ON a.w = b.w AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+),
+best{r} AS MATERIALIZED (SELECT l, r2 FROM pc{r} ORDER BY c DESC, l, r2 LIMIT 1),
+m{r} AS MATERIALIZED (
+  SELECT a.w, a.freq, a.pos, a.sym,
+         CASE WHEN b.sym IS NOT NULL
+              AND a.sym = (SELECT l FROM best{r})
+              AND b.sym = (SELECT r2 FROM best{r}) THEN 1 ELSE 0 END AS is_m
+  FROM s{r} a LEFT JOIN s{r} b ON a.w = b.w AND b.pos = a.pos + 1
+),
+g{r} AS MATERIALIZED (
+  SELECT w, freq, pos, sym,
+         CASE WHEN is_m = 1 AND
+              (row_number() OVER (PARTITION BY w, grp_m ORDER BY pos) - 1) % 2 = 0
+         THEN 1 ELSE 0 END AS do_m
+  FROM (
+    SELECT *, CASE WHEN is_m = 1
+                   THEN pos - row_number() OVER (PARTITION BY w, is_m ORDER BY pos)
+              END AS grp_m
+    FROM m{r})
+),
+s{r + 1} AS MATERIALIZED (
+  SELECT g.w, g.freq,
+         row_number() OVER (PARTITION BY g.w ORDER BY g.pos) - 1 AS pos,
+         CASE WHEN g.do_m = 1
+              THEN (SELECT l FROM best{r}) || (SELECT r2 FROM best{r})
+              ELSE g.sym END AS sym
+  FROM g{r} g
+  LEFT JOIN g{r} prev
+    ON prev.w = g.w AND prev.pos = g.pos - 1 AND prev.do_m = 1
+  WHERE prev.w IS NULL
+)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r}::BIGINT AS merge_rank, l AS left, r2 AS right FROM best{r}"
+        for r in range(num_merges)
+    )
+    return "WITH " + ",".join(parts) + "\n" + sel
+
+
+def _bpe_train_ctes(num_merges: int) -> tuple[str, str]:
+    """(CTE body, merge-list SELECT) of :func:`_bpe_train_oracle`, for
+    oracles that COMPOSE with the trained merge table (encode)."""
+    full = _bpe_train_oracle(num_merges)
+    body, sel = full[len("WITH ") :].rsplit(")\n", 1)
+    return body + ")", sel
+
+
+def _bpe_encode_trained_oracle(num_merges: int = 64) -> str:
+    """DuckDB twin of bpe_encode_trained: the full 64-round training
+    replay feeds a RECURSIVE chained-replace encode — per document,
+    iteration k applies merge k as the literal replace
+    ' l r ' → ' lr ' (leftmost non-overlapping in both engines, the
+    bpe_encode_fixed semantics), so a bug anywhere in train OR encode
+    breaks the hash."""
+    body, sel = _bpe_train_ctes(num_merges)
+    return f"""WITH RECURSIVE {body},
+merges AS MATERIALIZED ({sel}),
+d0 AS MATERIALIZED (
+  SELECT doc_id, len(words)::BIGINT AS n_words,
+         ' ' || array_to_string(list_transform(words, w ->
+             array_to_string(list_transform(range(1, length(w) + 1),
+                                            i -> substr(w, i, 1)), ' ')
+             || ' </w>'), ' ') || ' ' AS s
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           w -> w <> '') AS words
+        FROM documents)
+),
+e(iter, doc_id, n_words, s) AS (
+  SELECT 0, doc_id, n_words, s FROM d0
+  UNION ALL
+  SELECT e.iter + 1, e.doc_id, e.n_words,
+         replace(e.s, ' ' || m."left" || ' ' || m."right" || ' ',
+                 ' ' || m."left" || m."right" || ' ')
+  FROM e JOIN merges m ON m.merge_rank = e.iter
+  WHERE e.iter < {num_merges}
+)
+SELECT doc_id, n_words,
+       len(regexp_extract_all(s, '[^ ]+'))::BIGINT AS n_subwords
+FROM e WHERE iter = {num_merges}
+"""
+
+
+def _bpe_train_full_oracle() -> str:
+    # The full 64-round unrolled replay costs DuckDB ~5 s at sf0.1 —
+    # affordable, so the PRODUCTION training run is gated, not just the
+    # 8-round bounded twin.
+    return _bpe_train_oracle(64)
+
+
+@register(
+    "bpe_encode_trained",
+    oracle=_bpe_encode_trained_oracle(64),
+    tags=("text", "ml"),
+)
+def bpe_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 64 BPE merges on the corpus, then encode the corpus with
+    them — the full tokenizer lifecycle under ONE value hash (r5;
+    bpe_encode_stats' priority-order encode stays rows-only). Encode
+    semantics are bpe_encode_fixed's chained leftmost-non-overlapping
+    replaces, identical in Spark (F.replace) and DuckDB (replace); for
+    a SELF-trained merge list that equals priority-order encoding
+    except on overlapping same-pair runs (' a b a b '), which both
+    engines resolve identically here. Output: (doc_id, n_words,
+    n_subwords).
+
+    Scale shape: training is the gated bounded-vocab loop; encoding is
+    one codegen'd projection over the raw scan (the 64 replaces and
+    the word render never leave the JVM), no shuffle at all."""
+    from hpat_jl_spark.functions.bpe import train_bpe
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = train_bpe(docs, num_merges=64, max_words=65536)
+    words = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != ""
+    )
+    spaced = F.transform(
+        words,
+        lambda w: F.concat(
+            F.trim(F.regexp_replace(w, "(.)", "$1 ")), F.lit(" </w>")
+        ),
+    )
+    s = F.concat(F.lit(" "), F.array_join(spaced, " "), F.lit(" "))
+    for left, right in merges:
+        s = F.replace(
+            s, F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
+        )
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.regexp_extract_all(s, F.lit("[^ ]+"), 0))
+        .cast("long")
+        .alias("n_subwords"),
+    )
+
+
+@register("bpe_train_merges", oracle=_bpe_train_full_oracle(), tags=("text", "ml"))
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING on the corpus (functions/bpe: distributed
     word count → bounded-vocab driver merge loop — the subword-nmt /
     HF-tokenizers architecture). Output: (merge_rank, left, right) in
-    learned order. Rows-only driver check: the merge loop is iterative
-    symbol-table state with no SQL twin; determinism is exercised by
-    the determinism sweep (no RNG — ties break lexicographically) and
-    the Sennrich-fixture golden in tests/test_bpe.py."""
+    learned order. FULLY value-hash gated since r5: the oracle replays
+    all 64 merge rounds as a generated unrolled CTE (see the
+    bpe_train_bounded module comment — same generator, 64 rounds,
+    ~5 s in DuckDB). Determinism additionally exercised by the sweep
+    (no RNG — ties break lexicographically) and the Sennrich-fixture
+    golden in tests/test_bpe.py."""
     from hpat_jl_spark.functions.bpe import train_bpe
 
     docs = load_table(spark, "documents", sf_dir)
@@ -1392,68 +1555,6 @@ def bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_TRAIN_ROUNDS = 8
 
 
-def _bpe_train_oracle(num_merges: int, max_words: int = 65536) -> str:
-    parts = [
-        f"""
-wc AS MATERIALIZED (
-  SELECT w, count(*)::BIGINT AS freq
-  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
-        FROM documents)
-  WHERE w <> ''
-  GROUP BY w
-  QUALIFY row_number() OVER (ORDER BY freq DESC, w) <= {max_words}
-),
-s0 AS MATERIALIZED (
-  SELECT w, freq, i.i - 1 AS pos, substr(w, i.i, 1) AS sym
-  FROM wc, LATERAL (SELECT unnest(generate_series(1, length(w))) AS i) i
-  UNION ALL
-  SELECT w, freq, length(w) AS pos, '</w>' AS sym FROM wc
-)"""
-    ]
-    for r in range(num_merges):
-        parts.append(
-            f"""
-pc{r} AS MATERIALIZED (
-  SELECT a.sym AS l, b.sym AS r2, sum(a.freq) AS c
-  FROM s{r} a JOIN s{r} b ON a.w = b.w AND b.pos = a.pos + 1
-  GROUP BY 1, 2
-),
-best{r} AS MATERIALIZED (SELECT l, r2 FROM pc{r} ORDER BY c DESC, l, r2 LIMIT 1),
-m{r} AS MATERIALIZED (
-  SELECT a.w, a.freq, a.pos, a.sym,
-         CASE WHEN b.sym IS NOT NULL
-              AND a.sym = (SELECT l FROM best{r})
-              AND b.sym = (SELECT r2 FROM best{r}) THEN 1 ELSE 0 END AS is_m
-  FROM s{r} a LEFT JOIN s{r} b ON a.w = b.w AND b.pos = a.pos + 1
-),
-g{r} AS MATERIALIZED (
-  SELECT w, freq, pos, sym,
-         CASE WHEN is_m = 1 AND
-              (row_number() OVER (PARTITION BY w, grp_m ORDER BY pos) - 1) % 2 = 0
-         THEN 1 ELSE 0 END AS do_m
-  FROM (
-    SELECT *, CASE WHEN is_m = 1
-                   THEN pos - row_number() OVER (PARTITION BY w, is_m ORDER BY pos)
-              END AS grp_m
-    FROM m{r})
-),
-s{r + 1} AS MATERIALIZED (
-  SELECT g.w, g.freq,
-         row_number() OVER (PARTITION BY g.w ORDER BY g.pos) - 1 AS pos,
-         CASE WHEN g.do_m = 1
-              THEN (SELECT l FROM best{r}) || (SELECT r2 FROM best{r})
-              ELSE g.sym END AS sym
-  FROM g{r} g
-  LEFT JOIN g{r} prev
-    ON prev.w = g.w AND prev.pos = g.pos - 1 AND prev.do_m = 1
-  WHERE prev.w IS NULL
-)"""
-        )
-    sel = "\nUNION ALL\n".join(
-        f"SELECT {r}::BIGINT AS merge_rank, l AS left, r2 AS right FROM best{r}"
-        for r in range(num_merges)
-    )
-    return "WITH " + ",".join(parts) + "\n" + sel
 
 
 @register(

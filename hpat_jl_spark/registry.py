@@ -56,7 +56,10 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_pixel_stats",
     "multimodal_features",
     "multimodal_resize_stats",
+    "multimodal_frame_stats",
     "bpe_train_bounded",
+    "bpe_train_merges",
+    "bpe_encode_trained",
     "knn_ivf_persisted",
     "bloom_prefilter_ingest",
     # Plans whose physical strategy changed in r5 (VERDICT r04 #2):
@@ -77,7 +80,6 @@ DRIVER_PRIORITY: list[str] = [
     "stratified_sample_sources",
     "approx_distinct",
     "monte_carlo_pi",
-    "bpe_train_merges",
     "bpe_encode_stats",
     # Their gated family twins (hash evidence for the same kernels).
     "kmeans_lloyd_exact",

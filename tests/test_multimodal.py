@@ -150,6 +150,36 @@ def test_resize_rewrites_png_header_to_target_dims(media):
     assert bytes(rows[1].payload) == expected_payload(1)
 
 
+def test_apng_codec_round_trips_frames():
+    """encode_apng → decode_apng_frames must return every frame
+    exactly; decode_png on an APNG returns frame 0 (IDAT only); a
+    plain PNG is not an animation (no acTL → None)."""
+    frames = M._formula_frames(12)
+    b = M.encode_apng(frames)
+    dec = M.decode_apng_frames(b)
+    assert dec is not None and len(dec) == len(frames)
+    for a, c in zip(frames, dec):
+        assert np.array_equal(a, c)
+    assert np.array_equal(M.decode_png(b), frames[0])
+    assert M.decode_apng_frames(M.encode_png(frames[0])) is None
+
+
+def test_sample_frames_keeps_stride_and_cap(spark):
+    """sample_frames must emit exactly frames 0, every, 2·every, ...
+    capped at max_frames, with exact per-frame stats."""
+    did = 5  # n_frames = 2 + 5 % 6 = 7 → sampled {0, 2, 4} at cap 3
+    frames = M._formula_frames(did)
+    df = spark.createDataFrame(
+        [(did, bytearray(M.encode_apng(frames)))], "doc_id long, payload binary"
+    )
+    rows = {r.frame_idx: r for r in M.sample_frames(df, every=2, max_frames=3).collect()}
+    assert sorted(rows) == [0, 2, 4]
+    for idx, r in rows.items():
+        v = frames[idx].astype("int64")
+        assert (r.n_vals, r.v_sum, r.v_min, r.v_max) == (
+            v.size, int(v.sum()), int(v.min()), int(v.max()))
+
+
 def test_frame_sample_explodes(media):
     out = M.frame_sample_stub(media)
     counts = {
