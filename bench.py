@@ -73,6 +73,18 @@ HEADLINE = [
     "knn_pq_portable",
     "fuzzy_decontaminate",
     "bpe_encode_fixed",
+    # round 5 additions (same tail discipline): fully-gated BPE
+    # training + composed encode, persisted IVF, bloom-prefiltered
+    # ingest. The new multimodal codec queries are NOT here: their
+    # oracles replay a planted FORMULA over generate_series rather
+    # than performing the codec work, so a Spark-vs-DuckDB time ratio
+    # on them compares real zlib/de-filter decode against arithmetic —
+    # meaningless as a baseline (they are correctness gates in the
+    # sweep, like hdf5's codec-vs-parquet asymmetry already noted).
+    "bpe_train_merges",
+    "bpe_encode_trained",
+    "knn_ivf_persisted",
+    "bloom_prefilter_ingest",
 ]
 
 
