@@ -308,6 +308,35 @@ def _ivf_cell_expr(cents: list[tuple[int, int]], px, py):
     return best
 
 
+def _ivf_project_arrow(emb):
+    """(vec_id, embedding, px, py) via an Arrow kernel — bit-identical
+    to _ivf_proj_cols (floor(v·2^15) quantize is a deterministic IEEE
+    double multiply; the plane dot is exact int64 matmul) without the
+    2-plane × 64-literal fold's whole-stage-codegen compile cost (the
+    lsh_buckets_arrow rationale, functions/similarity.py)."""
+    import numpy as np
+
+    W = np.array(_IVF_PLANES, dtype=np.int64)  # (2, 64)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Q = np.floor(M * S.LSH_QUANT).astype(np.int64)
+            D = Q @ W.T  # (n, 2), exact
+            out = pdf[["vec_id", "embedding"]].copy()
+            out["px"] = D[:, 0]
+            out["py"] = D[:, 1]
+            yield out
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        kernel, "vec_id long, embedding array<float>, px long, py long"
+    )
+
+
 def _ivf_fit(spark: SparkSession, sf_dir: str):
     """Shared portable-IVF coarse-quantizer fit: integer projections +
     fixed-point Lloyd (bounded K-row collect per iteration). Returns
@@ -315,8 +344,7 @@ def _ivf_fit(spark: SparkSession, sf_dir: str):
     the in-memory knn_ivf_portable and the storage-backed
     knn_ivf_persisted, which must agree exactly."""
     emb = load_table(spark, "embeddings", sf_dir)
-    px, py = _ivf_proj_cols()
-    proj = emb.select("vec_id", "embedding", px.alias("px"), py.alias("py")).persist()
+    proj = _ivf_project_arrow(emb).persist()
     cents = list(_IVF_INIT)
     for _ in range(_IVF_ITERS):
         rows = (
@@ -823,6 +851,45 @@ def _pq_proj_exprs(s: int):
     return out[0], out[1]
 
 
+def _pq_project_arrow(emb):
+    """LONG-format (vec_id, s, px, py) subspace projections via an
+    Arrow kernel — bit-identical to the _pq_proj_exprs Column folds
+    (exact int64 math after the deterministic floor-quantize) without
+    8 subspaces × 2 planes of fold codegen AND without the posexplode
+    pass (the kernel emits long format directly). Equality with the
+    Column form asserted in tests/test_similarity.py."""
+    import numpy as np
+
+    # (nsub, 2, subdim) integer plane stack
+    W = np.array(_PQ_PLANES, dtype=np.int64)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Q = np.floor(M * S.LSH_QUANT).astype(np.int64)
+            n = len(pdf)
+            # einsum over per-subspace slices: (n, nsub, 2), exact int64
+            Qs = Q.reshape(n, _PQ_NSUB, _PQ_SUBDIM)
+            D = np.einsum("nsd,spd->nsp", Qs, W)
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, _PQ_NSUB),
+                    "s": np.tile(np.arange(_PQ_NSUB, dtype=np.int32), n),
+                    "px": D[:, :, 0].ravel(),
+                    "py": D[:, :, 1].ravel(),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        kernel, "vec_id long, s int, px long, py long"
+    )
+
+
 @register("knn_pq_portable", oracle=_pq_oracle(), tags=("similarity",))
 def knn_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with every stage hash-gated (module
@@ -842,22 +909,7 @@ def knn_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, "embeddings", sf_dir)
-    sel = ["vec_id", "embedding"]
-    for s_ in range(_PQ_NSUB):
-        px, py = _pq_proj_exprs(s_)
-        sel += [px.alias(f"px{s_}"), py.alias(f"py{s_}")]
-    wide = emb.select(*sel)
-    plong = wide.select(
-        "vec_id",
-        F.posexplode(
-            F.arrays_zip(
-                F.array(*[F.col(f"px{s_}") for s_ in range(_PQ_NSUB)]),
-                F.array(*[F.col(f"py{s_}") for s_ in range(_PQ_NSUB)]),
-            )
-        ).alias("s", "z"),
-    ).select(
-        "vec_id", "s", F.col("z.0").alias("px"), F.col("z.1").alias("py")
-    ).persist()
+    plong = _pq_project_arrow(emb).persist()
 
     def book_df(books):
         return spark.createDataFrame(

@@ -399,6 +399,33 @@ def test_ivf_portable_probes_own_cell_and_finds_neighbors(spark):
     assert approx == approx2
 
 
+def test_ivf_pq_arrow_projections_bit_identical(spark):
+    """The Arrow-kernel integer projections used by knn_ivf_portable /
+    knn_pq_portable must equal their Column-fold twins exactly (same
+    floor-quantize, same int64 dots) — the kernels exist purely to skip
+    fold-codegen compile cost, never to change a value."""
+    from pyspark.sql import functions as F
+
+    import hpat_jl_spark.plans.similarity as P
+    from hpat_jl_spark.tables import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    px, py = P._ivf_proj_cols()
+    col = {r.vec_id: (r.px, r.py) for r in emb.select(
+        "vec_id", px.alias("px"), py.alias("py")).collect()}
+    arw = {r.vec_id: (r.px, r.py)
+           for r in P._ivf_project_arrow(emb).collect()}
+    assert col == arw
+    pq_col = {}
+    for s_ in range(P._PQ_NSUB):
+        qx, qy = P._pq_proj_exprs(s_)
+        for r in emb.select("vec_id", qx.alias("px"), qy.alias("py")).collect():
+            pq_col[(r.vec_id, s_)] = (r.px, r.py)
+    pq_arw = {(r.vec_id, r.s): (r.px, r.py)
+              for r in P._pq_project_arrow(emb).collect()}
+    assert pq_col == pq_arw
+
+
 def test_ivf_persisted_equals_in_memory_and_prunes(spark):
     """knn_ivf_persisted must return EXACTLY knn_ivf_portable's rows
     (same quantizer, storage-backed probe) and its candidate scan must
