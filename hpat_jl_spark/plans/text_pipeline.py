@@ -689,6 +689,83 @@ def quality_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- exact-integer linear quality gate ----
+# quality_model_filter's THRESHOLD decision is rows-only (a last-ulp
+# score difference can flip a boundary doc). This twin shows the
+# deployed-filter decision CAN be gated exactly: with fixed RATIONAL
+# coefficients (milli-units, the form a deployed model ships in after
+# quantization) every feature is a ratio of integer counts, so the
+# keep rule
+#   b0 + b1·(n_stop/n_tok) + b2·(n_punct/n_char) + b3·min(n_tok,100)/100 ≥ θ
+# clears denominators (n_tok, n_char > 0 by the non-empty filter;
+# ×100·n_tok·n_char preserves the inequality) into ONE int64
+# comparison — no float anywhere in the verdict, so the kept set and
+# its margins hash-match. |terms| ≤ 2000·500·10^4·100 ≈ 10^12, far
+# inside int64 (and the ANSI-overflow trap's reach).
+_QG = {"b0": -200, "b_stop": 2000, "b_punct": -1500, "b_len": 800, "theta": 300}
+_QG_STOP_SQL = ", ".join(f"'{w}'" for w in X.STOPWORDS)
+
+_quality_gate_oracle = f"""
+WITH feats AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tok,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         t -> t IN ({_QG_STOP_SQL})))::BIGINT AS n_stop,
+         length(lower(text))::BIGINT AS n_char,
+         length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::BIGINT
+           AS n_punct
+  FROM documents
+), margins AS (
+  SELECT doc_id, source, n_tok, n_stop, n_punct,
+         ({_QG["b0"]} - {_QG["theta"]}) * n_tok * n_char * 100
+         + {_QG["b_stop"]} * n_stop * n_char * 100
+         + {_QG["b_punct"]} * n_punct * n_tok * 100
+         + {_QG["b_len"]} * least(n_tok, 100) * n_tok * n_char AS margin
+  FROM feats WHERE n_tok > 0 AND n_char > 0
+)
+SELECT doc_id, source, n_tok, n_stop, n_punct, margin
+FROM margins WHERE margin >= 0
+"""
+
+
+@register(
+    "quality_linear_gate_exact", oracle=_quality_gate_oracle, tags=("text", "ml")
+)
+def quality_linear_gate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployed linear quality filter with an EXACT integer decision
+    (module comment above): fixed milli-unit coefficients, denominators
+    cleared, one int64 comparison per doc — the gated-decision twin of
+    quality_model_filter's float threshold. Pure Column math at scan
+    time, one narrow filter, no shuffle (the output is the kept rows)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    low = F.lower(F.col("text"))
+    feats = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.filter(toks, X._in_stopwords)).cast("long").alias("n_stop"),
+        F.length(low).cast("long").alias("n_char"),
+        F.length(F.regexp_replace(low, r"[a-z0-9\s]", ""))
+        .cast("long")
+        .alias("n_punct"),
+    ).filter((F.col("n_tok") > 0) & (F.col("n_char") > 0))
+    margin = (
+        F.lit(_QG["b0"] - _QG["theta"]) * F.col("n_tok") * F.col("n_char") * 100
+        + F.lit(_QG["b_stop"]) * F.col("n_stop") * F.col("n_char") * 100
+        + F.lit(_QG["b_punct"]) * F.col("n_punct") * F.col("n_tok") * 100
+        + F.lit(_QG["b_len"])
+        * F.least(F.col("n_tok"), F.lit(100))
+        * F.col("n_tok")
+        * F.col("n_char")
+    )
+    return (
+        feats.withColumn("margin", margin.cast("long"))
+        .filter(F.col("margin") >= 0)
+        .select("doc_id", "source", "n_tok", "n_stop", "n_punct", "margin")
+    )
+
+
 _det_sample_oracle = """
 WITH ranked AS (
   SELECT source, doc_id, n_chars,

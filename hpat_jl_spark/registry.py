@@ -62,6 +62,7 @@ DRIVER_PRIORITY: list[str] = [
     "bpe_encode_trained",
     "knn_ivf_persisted",
     "bloom_prefilter_ingest",
+    "quality_linear_gate_exact",
     # Plans whose physical strategy changed in r5 (VERDICT r04 #2):
     # simhash → packed-long signatures; knn_lsh → Arrow buckets +
     # fold scoring; graph plans → persist instead of localCheckpoint.

@@ -150,6 +150,65 @@ def test_resize_rewrites_png_header_to_target_dims(media):
     assert bytes(rows[1].payload) == expected_payload(1)
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        rgb=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+        mode=st.sampled_from(["varied", "none"]),
+    )
+    def test_png_codec_round_trip_property(h, w, rgb, seed, mode):
+        """Any uint8 image — including 1×1 and single-row/col edge
+        shapes — must survive encode→decode exactly, for both filter
+        modes."""
+        rng = np.random.default_rng(seed)
+        shape = (h, w, 3) if rgb else (h, w)
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        dec = M.decode_png(M.encode_png(px, filter_mode=mode))
+        assert dec is not None and np.array_equal(dec, px)
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        n=st.integers(1, 6),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_apng_codec_round_trip_property(h, w, n, seed):
+        rng = np.random.default_rng(seed)
+        frames = [
+            rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            for _ in range(n)
+        ]
+        dec = M.decode_apng_frames(M.encode_apng(frames))
+        assert dec is not None and len(dec) == n
+        for a, c in zip(frames, dec):
+            assert np.array_equal(a, c)
+
+    @settings(max_examples=30, deadline=None)
+    @given(data=st.binary(min_size=0, max_size=512))
+    def test_decoders_never_raise_on_garbage(data):
+        """Arbitrary bytes — including truncated PNG/WAV prefixes — are
+        classified (None), never raised on: corrupt blobs are data at
+        100 TB, not crashes."""
+        for payload in (data, M._PNG_SIG + data, b"RIFF" + data):
+            assert M.decode_pixels(payload) is None or True  # no raise
+            M.decode_apng_frames(payload)
+            M.parse_media_header(payload)
+
+
 def test_apng_codec_round_trips_frames():
     """encode_apng → decode_apng_frames must return every frame
     exactly; decode_png on an APNG returns frame 0 (IDAT only); a
