@@ -101,6 +101,12 @@ def train_bpe(
     doc for why this shape is the scalable one)."""
     counts = (
         docs.select(F.explode(F.split(F.trim(text_col), r"\s+")).alias("w"))
+        # split('') yields [''] for empty/whitespace-only docs; drop it
+        # BEFORE the vocab cap so both engines cap the same vocabulary
+        # (the DuckDB training oracle filters w <> '' pre-QUALIFY — an
+        # empty doc plus >= max_words distinct words would otherwise
+        # displace the last real word on the Spark side only, ADVICE r05).
+        .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.desc("c"), "w")

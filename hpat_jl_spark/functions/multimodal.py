@@ -192,11 +192,22 @@ def decode_apng_frames(b: bytes):
     """REAL APNG frame decode: chunk walk → per-frame zlib inflate +
     scanline de-filter → list of pixel arrays in frame order. Returns
     None for non-APNG payloads (no acTL) or anything outside the
-    supported subset — a plain PNG decodes via decode_png instead."""
+    supported subset — a plain PNG decodes via decode_png instead.
+
+    Supported subset = the full-frame layout encode_apng emits
+    (ADVICE r05 hardening, now VALIDATED rather than assumed): every
+    fcTL must cover the whole canvas (width/height == IHDR dims,
+    offsets 0), fdAT sequence numbers must be strictly increasing, the
+    decoded frame count must equal acTL's num_frames, and a stream
+    whose IDAT precedes the first fcTL (legal APNG where the default
+    image is not animation frame 0) is classified None instead of
+    silently dropping that IDAT and misattributing the frame count."""
     if len(b) < 8 or b[:8] != _PNG_SIG:
         return None
     pos, width = 8, None
     is_apng = False
+    num_frames = None
+    last_seq = -1
     frames: list[bytearray] = []
     try:
         while pos + 8 <= len(b):
@@ -213,17 +224,29 @@ def decode_apng_frames(b: bytes):
                     return None
             elif ctype == b"acTL":
                 is_apng = True
+                (num_frames,) = struct.unpack(">I", data[:4])
             elif ctype == b"fcTL":
+                fw, fh, fx, fy = struct.unpack(">4I", data[4:20])
+                if width is None or (fw, fh, fx, fy) != (width, height, 0, 0):
+                    return None  # sub-region frames: outside the subset
                 frames.append(bytearray())  # next data chunk(s) feed this frame
-            elif ctype == b"IDAT" and frames:
+            elif ctype == b"IDAT":
+                if not frames:
+                    return None  # default-image-only IDAT: not frame 0
                 frames[-1] += data
             elif ctype == b"fdAT" and frames:
+                (seq,) = struct.unpack(">I", data[:4])
+                if seq <= last_seq:
+                    return None  # out-of-order interleave: unsupported
+                last_seq = seq
                 frames[-1] += data[4:]  # strip the sequence number
             elif ctype == b"IEND":
                 break
             pos += 12 + length
         if not is_apng or width is None or not frames:
             return None
+        if num_frames is not None and len(frames) != num_frames:
+            return None  # frame count must match acTL's declaration
         bpp = 1 if color == 0 else 3
         out = []
         for fdata in frames:

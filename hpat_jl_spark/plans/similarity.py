@@ -10,6 +10,8 @@ tests/test_similarity.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -448,6 +450,7 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: this IS the 100 TB deployment — the index write is
     one partitioned shuffle-free pass, and every later query touches
     n_probe directories, not the corpus."""
+    import hashlib
     import tempfile
 
     from pyspark.sql import Window
@@ -458,7 +461,12 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         _ivf_cell_expr(cents, F.col("px"), F.col("py")).alias("cell"),
     )
-    path = tempfile.mkdtemp(prefix="hpat_ivf_index_")
+    # Deterministic per-corpus path (ADVICE r05): mkdtemp() leaked a
+    # full embeddings copy per invocation (3 bench reps × sweeps ×
+    # scaling tiers). Keyed on sf_dir, overwrite mode reuses ONE
+    # directory per corpus — exactly how a deployed index behaves.
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"hpat_ivf_index_{key}")
     cells.write.mode("overwrite").partitionBy("cell").parquet(path)
 
     # Driver-side probe from the (bounded) query rows: exact integer

@@ -4,8 +4,10 @@ kernel is SQL-expressible — including the FULL MinHash+LSH and SimHash
 pipelines (shingle/token → signature → band → candidate → cluster),
 whose md5-derived portable base hash (functions/dedup.portable_hash)
 lets a DuckDB twin reproduce the exact candidate sets. BPE tokenizer
-training registers rows-only (iterative symbol-table state has no SQL
-twin; tests/test_bpe.py pins the literature goldens).
+training is fully gated as of r5 (`bpe_train_merges`: the production
+64-merge run hash-matches a generated unrolled materialized-CTE replay;
+`bpe_train_bounded` is the fast 8-round twin); tests/test_bpe.py pins
+the literature goldens besides.
 """
 
 from __future__ import annotations

@@ -31,6 +31,18 @@ def get_spark(
     coalescing shrink small stages.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Silence pyspark's own worker-side pandas FutureWarning (VERDICT
+    # r05 #7): serializers.py concats Arrow batches per partition and
+    # trips pandas' empty-or-all-NA concat deprecation once per task —
+    # hundreds of identical lines burying every sweep's ok/FAIL output.
+    # It fires in the PYTHON WORKER processes, so a driver-side
+    # warnings.filterwarnings can't reach it; workers inherit the
+    # driver env in local mode (and executorEnv on a cluster), so the
+    # filter rides in via PYTHONWARNINGS, scoped to that one module.
+    _pyspark_noise = "ignore::FutureWarning:pyspark.sql.pandas.serializers"
+    warn_opts = [w for w in os.environ.get("PYTHONWARNINGS", "").split(",") if w]
+    if _pyspark_noise not in warn_opts:
+        os.environ["PYTHONWARNINGS"] = ",".join(warn_opts + [_pyspark_noise])
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")

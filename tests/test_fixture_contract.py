@@ -114,3 +114,26 @@ def test_stream_source_probes_encoding(spark, tmp_path, encoding):
         for r in spark.sql(f"select unix_micros(ts) from {sink}").collect()
     )
     assert got == micros
+
+
+def test_every_registered_query_has_a_coverage_row():
+    """Self-enforcing repo invariant (CLAUDE.md / VERDICT r05 #1): every
+    name in the registry must appear in COVERAGE.md, and the header's
+    registered-query count must equal the registry size — so a query
+    added without its bookkeeping fails loudly instead of rotting."""
+    import re
+
+    from hpat_jl_spark import registry
+
+    names = set(registry.queries())
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "COVERAGE.md")) as fh:
+        coverage = fh.read()
+    missing = sorted(n for n in names if n not in coverage)
+    assert not missing, f"registered queries without a COVERAGE.md row: {missing}"
+    m = re.search(r"\*\*Round-\d+ status:\*\* (\d+) registered queries", coverage)
+    assert m, "COVERAGE.md lost its 'N registered queries' header"
+    assert int(m.group(1)) == len(names), (
+        f"COVERAGE.md header says {m.group(1)} registered queries, "
+        f"registry has {len(names)}"
+    )
