@@ -907,13 +907,18 @@ def knn_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the ADC scan reads CODES only (8 small ints per
     vector, never the 256-byte float vector — PQ's entire point); the
     shortlist join touches ≤ k·rerank vectors per query. Codebook fit
-    and assignment are LONG-format relational plans — (vec, subspace)
-    rows joined to a broadcast codebook and argmin'd via a lexicographic
-    struct-min aggregate — because the wide-format alternative (8
-    nested when-chains over 8 codes each) overflowed the JVM's 64KB
-    codegen method limit and fell back to interpretation (measured 27s
-    at sf0.1; this plan: 3.2s). Every expression stays small enough for
-    whole-stage codegen; no Python anywhere."""
+    runs driver-side in exact int64 numpy over the bounded projection
+    sample (see inline comment — the production knn_pq fits the same
+    way on a 100k-capped collect); corpus-scale ENCODE stays a
+    LONG-format relational plan — (vec, subspace) rows joined to a
+    broadcast codebook and argmin'd via a lexicographic struct-min
+    aggregate — because the wide-format alternative (8 nested
+    when-chains over 8 codes each) overflowed the JVM's 64KB codegen
+    method limit and fell back to interpretation (measured 27s at
+    sf0.1). Every distributed expression stays inside whole-stage
+    codegen."""
+    import numpy as np
+
     from pyspark.sql import Window
 
     emb = load_table(spark, "embeddings", sf_dir)
@@ -929,11 +934,44 @@ def knn_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s int, j int, cx long, cy long",
         )
 
+    # Codebook fit: the projections are a bounded fit sample by design
+    # (the production knn_pq fits numpy k-means on a 100k-capped
+    # collect, functions/similarity.py) — so collect them ONCE and run
+    # the fixed-point Lloyd driver-side in exact int64 numpy. r5 ran
+    # each iteration as a Spark job (broadcast codebook join +
+    # struct-min shuffle + collect): identical arithmetic, ~0.7 s of
+    # plan/codegen/scheduling per round on the same 16k cached rows
+    # (VERDICT r05 #2). np.argmin's first-min tiebreak == the oracle's
+    # ORDER BY d, j; python/numpy // floor-division == DuckDB's
+    # non-negative-count floor-div in the centroid update.
+    fit = plong.toPandas()  # bounded; this job also fills the cache
+    S_ = fit["s"].to_numpy(dtype=np.int64)
+    PX = fit["px"].to_numpy(dtype=np.int64)
+    PY = fit["py"].to_numpy(dtype=np.int64)
+    books = [list(_PQ_INIT) for _ in range(_PQ_NSUB)]
+    for _ in range(_PQ_ITERS):
+        for s_ in range(_PQ_NSUB):
+            m = S_ == s_
+            px, py = PX[m], PY[m]
+            C = np.asarray(books[s_], dtype=np.int64)  # (8, 2)
+            d = (px[:, None] - C[:, 0]) ** 2 + (py[:, None] - C[:, 1]) ** 2
+            a = np.argmin(d, axis=1)
+            books[s_] = [
+                (
+                    (int(px[a == j].sum()) // int((a == j).sum()),
+                     int(py[a == j].sum()) // int((a == j).sum()))
+                    if (a == j).any()
+                    else old
+                )
+                for j, old in enumerate(books[s_])
+            ]
+
     def assign(books):
         """(vec_id, s, px, py, c): per-subspace argmin over the
         broadcast codebook — lexicographic struct-min breaks distance
         ties toward the lowest code index, matching the oracle's
-        ORDER BY d, j."""
+        ORDER BY d, j. This distributed pass is the one that scales
+        with the corpus (encode reads every vector once)."""
         d = (F.col("px") - F.col("cx")) * (F.col("px") - F.col("cx")) + (
             F.col("py") - F.col("cy")
         ) * (F.col("py") - F.col("cy"))
@@ -945,24 +983,6 @@ def knn_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "s", "px", "py", F.col("m.j").alias("c"))
         )
 
-    books = [list(_PQ_INIT) for _ in range(_PQ_NSUB)]
-    for _ in range(_PQ_ITERS):
-        rows = (
-            assign(books)
-            .groupBy("s", "c")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum("px").alias("sx"),
-                F.sum("py").alias("sy"),
-            )
-            .collect()
-        )
-        by_sj = {(r.s, r.c): r for r in rows}
-        for s_ in range(_PQ_NSUB):
-            books[s_] = [
-                ((r.sx // r.n, r.sy // r.n) if (r := by_sj.get((s_, j))) else old)
-                for j, old in enumerate(books[s_])
-            ]
     codes = assign(books).select("vec_id", "s", "c")
     qp = plong.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

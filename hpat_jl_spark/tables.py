@@ -139,6 +139,26 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Catalog-style resolution cache (VERDICT r05 #1 — fixed overhead on
+# sub-second queries). `spark.read.parquet` pays ~80-110 ms per CALL on
+# this box (py4j round-trips + file listing + footer schema read), and
+# a 6-table TPC-H query re-resolved every table on every invocation —
+# ~0.5 s of pure re-analysis a real catalog performs once. DataFrames
+# are immutable logical plans, so handing back the same base relation is
+# exactly `spark.table(name)` semantics over a registered catalog; scans
+# still prune/push per-query because pruning happens at optimization
+# time, not resolution time. The cache holds the session itself: a new
+# session (tests, the driver's vanilla-session probe) misses and
+# resolves fresh; fixtures are immutable per sf_dir, and callers that
+# rewrite a path between loads (none today) can call
+# `invalidate_table_cache()`.
+_TABLE_CACHE: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
+
+
+def invalidate_table_cache() -> None:
+    _TABLE_CACHE.clear()
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Load one fixture table. Parquet scan: Catalyst prunes columns and
     pushes predicates into the reader, so callers should NOT pre-select —
@@ -163,6 +183,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(SCHEMAS)}")
+    cache_key = (os.path.realpath(sf_dir), name)
+    hit = _TABLE_CACHE.get(cache_key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The NTZ branch below and every date_trunc/window downstream assume
     # UTC; a vanilla session inherits the machine tz, so pin it here the
@@ -209,6 +233,8 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
                 f"{field.dataType.simpleString()} but parquet holds "
                 f"{actual.simpleString()}"
             )
+    # Cache only fully-validated loads (error paths above must re-check).
+    _TABLE_CACHE[cache_key] = (spark, df)
     return df
 
 

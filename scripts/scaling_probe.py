@@ -64,6 +64,8 @@ QUERIES = [
     "knn_pq_portable",
     "fuzzy_decontaminate",
     "bpe_encode_fixed",
+    # r6: the corpus-prep chain joins the ×100 set (VERDICT r05 #5)
+    "corpus_prep_pipeline",
 ]
 
 REPLICAS = 10
@@ -92,6 +94,21 @@ X100_QUERIES = [
     "q21_waiting_supplier",
     "q9_product_type_profit",
     "dedup_minhash",
+    # r6 (VERDICT r05 #5): the LLM-pipeline headliners a 100 TB
+    # training-data run actually executes at that scale. Output bounds
+    # under 100-way verbatim replication (documented in the header):
+    # dedup_simhash — same C(100,2) pair-output bound as dedup_minhash;
+    # fuzzy_decontaminate — every eval doc matches all 100 copies of
+    # its training source, so candidate/report output is ×100 by
+    # construction (linear, not quadratic: eval side is NOT replicated);
+    # corpus_prep_pipeline / tokenize_to_ids — linear scan shapes;
+    # knn_lsh — fixed 8-query probe set over a 100× corpus (ANN's
+    # actual deployment shape; bucket candidate lists grow ×100).
+    "dedup_simhash",
+    "fuzzy_decontaminate",
+    "corpus_prep_pipeline",
+    "tokenize_to_ids",
+    "knn_lsh",
 ]
 
 
@@ -102,6 +119,13 @@ def _amplified(spark: SparkSession, sf_dir: str, name: str, i: int) -> DataFrame
         "orders": ["o_orderkey", "o_custkey"],
         "customer": ["c_custkey"],
         "documents": ["doc_id"],
+        # r6: embeddings replicas previously kept their vec_id — N
+        # copies of the same id is an identity artifact (merged query
+        # groups, duplicate "neighbors" with equal ids), not corpus
+        # scale. Shifted ids give a genuinely larger corpus while the
+        # fixed vec_id < 8 probe set stays in replica 0 — ANN's real
+        # deployment shape (fixed queries, growing corpus).
+        "embeddings": ["vec_id"],
     }
     for c in shifts.get(name, []):
         df = df.withColumn(c, F.col(c) + i * _KEY_SHIFT)
@@ -137,6 +161,97 @@ def _time(fn, spark, sf_dir) -> float:
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return round(time.perf_counter() - t0, 2)
+
+
+def _skew_probe(spark: SparkSession, big_dir: str) -> list[str]:
+    """Measured skew evidence at tier scale (VERDICT r05 #6): a
+    zipfian-key variant of the heavy lineitem⋈orders equi-join, run
+    with AQE skew-join off vs on, plus the plan marker proving
+    OptimizeSkewedJoin engaged.
+
+    Shape: ~80% of the ×10 tier's ~6M lineitem rows are remapped onto
+    ONE hot order key (worse than any real zipf head), so the sort-
+    merge join funnels ~4.8M rows through a single reducer unless the
+    skew splitter engages. Broadcast is disabled for the probe — a
+    broadcast-hash join is shuffle-free and therefore skew-immune,
+    which is the FIRST mitigation in practice but would measure
+    nothing here. The skew thresholds are scaled to the tier
+    (threshold 16 MB / advisory 8 MB vs the 256 MB / 64 MB defaults)
+    exactly as the 100 TB stance scales shuffle-partition counts: at
+    production bytes the defaults trigger on the same 5× median
+    factor."""
+    li = load_table(spark, "lineitem", big_dir)
+    orders = load_table(spark, "orders", big_dir)
+    skewed = li.withColumn(
+        "jk",
+        F.when(F.col("l_orderkey") % 5 != 0, F.lit(1).cast("long")).otherwise(
+            F.col("l_orderkey")
+        ),
+    )
+    right = orders.select(F.col("o_orderkey").alias("jk"), "o_custkey")
+
+    joined = skewed.join(right, "jk").groupBy("o_custkey").agg(
+        F.sum("l_quantity").alias("sum_qty")
+    )
+
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    times: dict[str, float] = {}
+    marker = False
+    try:
+        for flag in ("false", "true"):
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", flag)
+            t0 = time.perf_counter()
+            joined.write.format("noop").mode("overwrite").save()
+            times[flag] = round(time.perf_counter() - t0, 2)
+            if flag == "true":
+                plan = joined._jdf.queryExecution().executedPlan().toString()
+                marker = "skew=true" in plan
+            print(
+                f"# skew probe (skewJoin={flag}): {times[flag]}s",
+                file=sys.stderr,
+            )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    speedup = round(times["false"] / max(times["true"], 1e-9), 2)
+    return [
+        "",
+        "## Skew appendix (zipfian hot-key join, ×10 tier)",
+        "",
+        "~80% of ~6M lineitem rows remapped onto ONE hot order key, then",
+        "the lineitem⋈orders sort-merge join + aggregate, broadcast",
+        "disabled (a broadcast join is shuffle-free and skew-immune — the",
+        "first real mitigation, but it would measure nothing). Skew",
+        "thresholds scaled to tier bytes (16 MB/8 MB vs 256 MB/64 MB",
+        "defaults); at production bytes the defaults trigger on the same",
+        "5× median factor. Salting remains the non-AQE fallback and is",
+        "semantics-gated separately (salted_skew_join/aggregate).",
+        "",
+        "| AQE skew-join | wall (s) | OptimizeSkewedJoin in plan |",
+        "|---|---|---|",
+        f"| off | {times['false']} | — |",
+        f"| on | {times['true']} | {'yes (skew=true)' if marker else 'NO'} |",
+        "",
+        f"Speedup with skew splitting: **{speedup}×**.",
+    ]
 
 
 def main() -> None:
@@ -211,14 +326,23 @@ def main() -> None:
         "output itself implies, and the same discipline applies to",
         "fuzzy_decontaminate's exact-verify join.",
         "",
-        "The ×100 column (top-10 headline queries, ~60M lineitem rows)",
-        "measures the next decade directly: ×10→×100 growth ≤ ~10× is",
-        "linear in data. dedup_minhash's ×100 row is bounded by its pair",
+        "The ×100 column (~60M lineitem rows; top-10 relational headliners",
+        "plus, since r6, the LLM-pipeline headliners a 100 TB training-data",
+        "run actually executes: dedup_simhash, fuzzy_decontaminate,",
+        "corpus_prep_pipeline, tokenize_to_ids, knn_lsh) measures the next",
+        "decade directly: ×10→×100 growth ≤ ~10× is linear in data.",
+        "dedup_minhash and dedup_simhash are bounded by their pair",
         "OUTPUT (C(100,2)=4950 pairs per 100-way-replicated doc, ~110×",
-        "the ×10 tier's 45 pairs), not by its candidate join — its",
-        "measured growth sits well BELOW that ~110× output bound, i.e.",
+        "the ×10 tier's 45 pairs), not by their candidate joins — the",
+        "measured growth must sit BELOW that ~110× output bound, i.e.",
         "the join machinery itself stays linear even at an adversarial",
-        "100-way-duplicate rate. triangle_count has no ×100 row:",
+        "100-way-duplicate rate. fuzzy_decontaminate's output is ×100 by",
+        "construction (each eval doc matches every training copy; the",
+        "eval side is not replicated, so candidates grow linearly, not",
+        "quadratically). knn_lsh probes a FIXED 8-query set against the",
+        "grown corpus — embeddings replicas carry shifted vec_ids as of",
+        "r6 (unshifted copies were an identity artifact: merged query",
+        "groups and duplicate neighbor ids). triangle_count has no ×100 row:",
         "replicating orders over the same part catalog DENSIFIES the",
         "graph, and triangle work is O(m^1.5) in edges by definition —",
         "a replication artifact, not a scan-scaling signal.",
@@ -237,6 +361,7 @@ def main() -> None:
             f"| {name} | {r['sf0.01']} | {r['sf0.1']} | {r[tiers[2][0]]} | {growth}× |"
             + x100_cells
         )
+    lines += _skew_probe(spark, big_dir)
     with open("SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote SCALING.md")
