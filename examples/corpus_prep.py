@@ -63,8 +63,10 @@ def prepare_corpus(
     #    cache each one re-runs the scan + window. Warm wall-clock at
     #    sf0.1 is unchanged (the local bottleneck is the gram join +
     #    pack window, not the rescans), but at corpus scale this
-    #    collapses three full text scans into one; ContextCleaner
-    #    reclaims the blocks
+    #    collapses three full text scans into one (the deduped
+    #    SURVIVOR set is far narrower than the raw token/gram streams
+    #    whose persists regressed ×10 in r6 — see CLAUDE.md); reclaim
+    #    is block eviction or the harnesses' clearCache, not GC
     w_fp = Window.partitionBy(F.md5(X.normalize_text("text"))).orderBy("doc_id")
     deduped = (
         gated.withColumn("rn", F.row_number().over(w_fp))

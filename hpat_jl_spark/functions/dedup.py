@@ -332,11 +332,22 @@ def simhash_candidates(
     (Manku's design pays it via permuted sorted tables); choose the
     smallest budget the corpus needs.
 
-    The banded table is persisted before the self-join: the signature
-    kernel is a narrow pipeline (no shuffle), so without persistence
-    both join sides would re-run the per-token hashing. (MinHash doesn't
-    need this — its signature agg ends in an exchange that Spark reuses
-    for both sides.)"""
+    Physical shape (r6 rewrite — SIGNATURE-level banding): verbatim
+    duplicates share a signature, so the band self-join runs over
+    DISTINCT sigs and id-level pairs only materialize as the final
+    output expansion. The r5 id-level band join emitted every id pair
+    once per shared band (identical sigs share ALL bands) and then
+    dropDuplicates'd the stream: at the ×100 scaling tier (100 verbatim
+    copies per doc) that was a ~10⁸-row pre-dedup shuffle and measured
+    1189 s — 2× past even the C(100,2) pair-OUTPUT bound, because the
+    intermediate stream carries the band multiplicity the output
+    doesn't have. Sig-level banding does the join over ~|distinct
+    content| rows regardless of duplication rate; the C(g,2)-per-group
+    output rows are produced by the final expansion joins, which is
+    the output itself — nothing upstream of it exceeds
+    O(distinct sigs + output). This is also the honest 100 TB shape:
+    near-dup always runs AFTER exact dedup collapses verbatim copies,
+    and this plan gives that collapse structurally."""
     from pyspark import StorageLevel
 
     if max_hamming >= bands:
@@ -351,12 +362,20 @@ def simhash_candidates(
         raise ValueError(f"bands={bands} must divide bits={bits}")
     per_band = bits // bands
     mask = (1 << per_band) - 1
-    sigs = simhash_signatures(docs, text_col, id_col, bits)
+    # Persisted: the signature kernel is a narrow pipeline (no ending
+    # exchange), and FOUR consumers read it (distinct sigs, the two
+    # expansion maps, the same-sig join). One packed long per doc —
+    # the small-derived-frame persist that pays (CLAUDE.md r6 trap:
+    # wide exploded streams must NOT be persisted; this is the
+    # opposite case).
+    sigs = simhash_signatures(docs, text_col, id_col, bits).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dsig = sigs.select("sig").distinct()
     # Packed-long banding (r5): band b's key is bits [b*per_band,
-    # (b+1)*per_band) extracted by shift/mask — two long ops per band in
-    # codegen, vs the old per-element array concat.
-    banded = sigs.select(
-        "id",
+    # (b+1)*per_band) extracted by shift/mask — two long ops per band
+    # in codegen.
+    banded = dsig.select(
         "sig",
         F.explode(
             F.array(
@@ -371,45 +390,59 @@ def simhash_candidates(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "sig", "bk.band", "bk.bkey")
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    # The self-join emits every candidate pair once PER shared band —
-    # on duplicate-heavy corpora that multiplicity is the dominant
-    # cost, and carrying both 60-element signatures through it made
-    # the shuffle quadratic in bytes (the ×10-replica SCALING tier,
-    # where every doc has 10 identical copies, measured 31s). Join on
-    # bare id pairs, collapse band multiplicity FIRST, then look the
-    # two signatures up once per DISTINCT pair (31s → ~8s at ×10;
-    # sf0.1 unchanged).
-    id_pairs = (
+    ).select("sig", "bk.band", "bk.bkey")
+    # Hamming over packed longs: XOR + popcount, whole-stage codegen
+    # (the array formulation paid an interpreted zip_with+filter per
+    # candidate pair — the r3→r4 bench regression, VERDICT r04 #2).
+    # Verified per DISTINCT sig pair — Hamming is a function of the
+    # sigs, so verifying before expansion does strictly less work.
+    sig_pairs = (
         banded.alias("a")
         .join(
             banded.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.sig") < F.col("b.sig")),
+        )
+        .select(F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .dropDuplicates(["sig_a", "sig_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    # Expansion: each unordered id pair appears exactly once — an id
+    # has ONE sig, so a cross-sig pair surfaces under exactly one
+    # (sig_a < sig_b) row, and same-sig pairs only in the self-join.
+    cross = (
+        sig_pairs.join(
+            sigs.select(F.col("sig").alias("sig_a"), F.col("id").alias("id_x")),
+            "sig_a",
+        )
+        .join(
+            sigs.select(F.col("sig").alias("sig_b"), F.col("id").alias("id_y")),
+            "sig_b",
+        )
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            "hamming",
+        )
+    )
+    same = (
+        sigs.alias("a")
+        .join(
+            sigs.alias("b"),
+            (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")),
         )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
-    sig_lookup = banded.select("id", "sig").dropDuplicates(["id"])
-    pairs = id_pairs.join(
-        sig_lookup.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
-        "id_a",
-    ).join(
-        sig_lookup.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
-        "id_b",
-    )
-    # Hamming over packed longs: XOR + popcount, whole-stage codegen
-    # (the array formulation paid an interpreted zip_with+filter per
-    # candidate pair — the r3→r4 bench regression, VERDICT r04 #2)
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
-    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
-    )
+    return cross.unionByName(same)
 
 
 def jaccard_pairs(

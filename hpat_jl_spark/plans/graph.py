@@ -96,8 +96,10 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extra materialization JOB before the real one (2× wall-clock at
     # sf0.1 — 5.5s → 1.8s warm); a lazy persist fills during the single
     # composed job and ReusedExchange covers branches that share the
-    # groupBy. No explicit unpersist (lazy-persist trap, CLAUDE.md):
-    # ContextCleaner reclaims the blocks.
+    # groupBy. No explicit unpersist (lazy-persist trap, CLAUDE.md) —
+    # the CacheManager entry outlives the frame (r6 correction:
+    # Dataset.persist is NOT GC-reclaimed); blocks evict LRU-to-disk
+    # under pressure and harnesses clearCache between queries.
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
 
     deg = (

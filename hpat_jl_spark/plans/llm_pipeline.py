@@ -71,7 +71,13 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     not O(corpus)), so AQE will broadcast it; no forced hint here
     because in this fixture it is O(sf) (broadcast-hint policy,
     README). Shuffle volume is bounded by the gram stream — the same
-    linear shape as dedup_exact."""
+    linear shape as dedup_exact. Both the train and eval branches
+    consume the gram stream; it is deliberately NOT persisted —
+    measured at the ×10 tier (r6), caching the exploded stream into
+    the block manager cost 2.46s → 16.0s, because a second columnar
+    parquet scan + codegen explode is far cheaper than materializing
+    the wide gram stream (persist pays only for small derived frames,
+    e.g. lang_id_ngram's 200-char prefix grams)."""
     grams = _word_grams(load_table(spark, "documents", sf_dir), 4).distinct()
     train = grams.filter(F.col("doc_id") % 10 != 0)
     eval_grams = grams.filter(F.col("doc_id") % 10 == 0).select("gram").distinct()
@@ -344,6 +350,12 @@ def encode_corpus_to_ids(
     growth is agg-bound.
     """
     par = spark.sparkContext.defaultParallelism
+    # The token stream is consumed twice (vocab count + encode) and is
+    # deliberately NOT persisted: measured at the ×10 tier (r6),
+    # caching the exploded stream cost 1.6s → 7.4s — re-scanning
+    # columnar parquet and re-running the codegen explode is far
+    # cheaper than materializing the wide (doc_id, pos, token) stream
+    # into the block manager.
     toks = docs.repartition(par).select(
         "doc_id",
         *keep_cols,

@@ -215,8 +215,11 @@ def kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster int, cx_q long, cy_q long",
     )
     # no explicit unpersist: the final aggregate (lazy, runs after this
-    # returns) reads the same cache the loop filled; ContextCleaner
-    # reclaims the blocks once the frame is unreferenced
+    # returns) reads the same cache the toPandas filled — an unpersist
+    # here would drop it first. The CacheManager entry outlives the
+    # frame (r6 correction: Dataset.persist is NOT GC-reclaimed);
+    # blocks evict LRU-to-disk under pressure and the harnesses
+    # clearCache between queries (scaling_probe r6).
     return out.join(F.broadcast(cdf), "cluster")
 
 

@@ -1034,16 +1034,22 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang", "plang")
         .agg(F.sum("c").alias("score"))
     )
-    pred = scores.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("plang"))
-        ),
-    ).filter(F.col("rn") == 1)
+    # per-doc argmax as a lexicographic struct-MIN hash aggregate
+    # (r6; was a row_number window): min(struct(-score, plang)) ==
+    # ORDER BY score DESC, plang ASC because score is an exact integer
+    # sum. A hash agg partial-aggregates map-side and never sorts the
+    # score stream — the window's per-partition sort was the only
+    # sort left in the plan.
+    pred = scores.groupBy("doc_id", "lang").agg(
+        F.min(
+            F.struct((-F.col("score")).alias("ns"), F.col("plang").alias("plang"))
+        ).alias("m")
+    )
     # no explicit unpersist: the plan is lazy, so dropping the cache
-    # here would beat the scoring job to it; once the returned frame's
-    # RDD is unreferenced, ContextCleaner reclaims the cache blocks
-    return pred.groupBy("lang", F.col("plang").alias("predicted_lang")).agg(
+    # here would beat the scoring job to it; reclaim is block eviction
+    # or the harnesses' clearCache, not GC (r6 correction — a
+    # Dataset.persist entry outlives the frame)
+    return pred.groupBy("lang", F.col("m.plang").alias("predicted_lang")).agg(
         F.count(F.lit(1)).alias("n")
     )
 

@@ -52,6 +52,26 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # registry (all have a green r1-r4 row; extra windows re-confirm).
 # Names not (yet) registered are skipped, so new plans can be pre-listed.
 DRIVER_PRIORITY: list[str] = [
+    # Plans whose physical strategy changed in r6 (VERDICT r05 #1/#2):
+    # driver-side exact-int64 Lloyd fits (kmeans/PQ/IVF), struct-min
+    # argmax in lang_id, lazy persists on twice-consumed streams
+    # (benchmark_decontaminate grams, encode_corpus_to_ids tokens),
+    # train_bpe's empty-token vocab-cap fix, the APNG validation, the
+    # catalog-style table cache under EVERY plan.
+    "kmeans_lloyd_exact",
+    "knn_pq_portable",
+    "knn_ivf_portable",
+    "knn_ivf_persisted",
+    "lang_id_ngram",
+    "benchmark_decontaminate",
+    "tokenize_to_ids",
+    "sequence_packing",
+    "corpus_prep_pipeline",
+    "bpe_train_merges",
+    "bpe_train_bounded",
+    "bpe_encode_trained",
+    "multimodal_frame_stats",
+    "quality_linear_gate_exact",
     # New/upgraded to full oracle in r5 (VERDICT r04 #1/#3/#7):
     "multimodal_pixel_stats",
     "multimodal_features",

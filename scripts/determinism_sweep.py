@@ -31,7 +31,15 @@ def main() -> int:
         fn = registry.REGISTRY[name].fn
         try:
             a = fn(spark, SF).toPandas()
+            # clearCache so run b genuinely RECOMPUTES (r6): identical
+            # plans match run a's CacheManager entries, so without this
+            # any query whose output flows through a persisted fragment
+            # would trivially "agree" by reading run a's cached blocks
+            # instead of re-executing — exactly the nondeterminism this
+            # sweep exists to catch.
+            spark.catalog.clearCache()
             b = fn(spark, SF).toPandas()
+            spark.catalog.clearCache()
         except Exception as exc:  # noqa: BLE001
             bad.append((name, [f"raised: {exc}"]))
             print(f"ERROR {name}: {exc}")

@@ -35,6 +35,9 @@ def main() -> int:
                 issues = [] if n >= 0 else [f"negative count {n}"]
         except Exception as exc:  # noqa: BLE001
             issues = [f"raised: {exc}"]
+        # per-query cache isolation (r6): persisted fragments otherwise
+        # accumulate in CacheManager for the whole 186-query session
+        spark.catalog.clearCache()
         dt = time.perf_counter() - t0
         kind = "oracle" if name in oracles else "rows  "
         if issues:
