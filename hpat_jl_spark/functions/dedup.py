@@ -210,28 +210,72 @@ def minhash_candidates(
     (band_index, band_hash). Returns candidate pairs (id_a < id_b) with
     the fraction of matching minhashes (estimated Jaccard).
 
-    Scale: the exploded band table is (bands × n_docs) rows of two longs;
-    the self-join groups by band key — only same-bucket docs pair up.
-    A degenerate bucket (e.g. empty docs) is the skew hazard; cap with
-    AQE skew-join or a bucket-size guard upstream.
+    Physical shape (r6 — SIGNATURE-level banding, the same rationale as
+    simhash_candidates): verbatim duplicates share a full signature, so
+    the band self-join runs over DISTINCT signatures — keyed by an md5
+    fingerprint of the 32 values (128-bit, collision-free at any corpus
+    size; joining on the 32-long array itself would work but shuffles
+    4× the bytes) — and id-level pairs only materialize as the final
+    output expansion. The previous id-level band join shipped both
+    32-long signatures once per shared band and deduped afterwards: at
+    the ×100 scaling tier (100 verbatim copies per doc, which share all
+    8 bands) that pre-dedup stream measured 241 s. Sig-level banding
+    joins over ~|distinct content| rows regardless of duplication rate;
+    nothing upstream of the output expansion exceeds O(distinct sigs +
+    output). est_jaccard is a function of the two sigs, so it is
+    computed once per DISTINCT sig pair before expansion; same-sig
+    pairs are exactly 32/32 = 1.0 by definition. A degenerate band
+    bucket (e.g. empty docs) remains the skew hazard; cap with AQE
+    skew-join or a bucket-size guard upstream.
     """
-    banded = minhash_banded(docs, text_col, id_col, num_hashes, bands, shingle_n)
-    left = banded.alias("a")
-    right = banded.alias("b")
-    pairs = (
-        left.join(
-            right,
+    from pyspark import StorageLevel
+
+    # Persisted: four consumers (distinct sigs + two expansion maps +
+    # the same-sig self-join) over one narrow (id, fp, sig) row per doc
+    # — the small-derived-frame persist that pays (CLAUDE.md r6 trap;
+    # wide exploded streams must NOT be persisted, this is the
+    # opposite case).
+    base = (
+        minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+        .select(
+            "id",
+            F.md5(
+                F.concat_ws(",", *[F.col(f"mh{i}") for i in range(num_hashes)])
+            ).alias("fp"),
+            F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dsig = base.select("fp", "sig").dropDuplicates(["fp"])
+    rows_per_band = num_hashes // bands
+    band_keys = [
+        F.struct(
+            F.lit(b).alias("band"),
+            portable_hash(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(F.col("sig"), b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("bhash"),
+        )
+        for b in range(bands)
+    ]
+    banded = dsig.select("fp", F.explode(F.array(*band_keys)).alias("bk")).select(
+        "fp", "bk.band", "bk.bhash"
+    )
+    fp_pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bhash") == F.col("b.bhash"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.fp") < F.col("b.fp")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
+        .dropDuplicates(["fp_a", "fp_b"])
     )
     est = F.size(
         F.filter(
@@ -239,7 +283,45 @@ def minhash_candidates(
             lambda m: m,
         )
     ).cast("double") / F.lit(float(num_hashes))
-    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+    scored = (
+        fp_pairs.join(
+            dsig.select(F.col("fp").alias("fp_a"), F.col("sig").alias("sig_a")),
+            "fp_a",
+        )
+        .join(
+            dsig.select(F.col("fp").alias("fp_b"), F.col("sig").alias("sig_b")),
+            "fp_b",
+        )
+        .select("fp_a", "fp_b", est.alias("est_jaccard"))
+    )
+    cross = (
+        scored.join(
+            base.select(F.col("fp").alias("fp_a"), F.col("id").alias("id_x")),
+            "fp_a",
+        )
+        .join(
+            base.select(F.col("fp").alias("fp_b"), F.col("id").alias("id_y")),
+            "fp_b",
+        )
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            "est_jaccard",
+        )
+    )
+    same = (
+        base.alias("a")
+        .join(
+            base.alias("b"),
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.lit(1.0).alias("est_jaccard"),
+        )
+    )
+    return cross.unionByName(same)
 
 
 def simhash_signatures(
