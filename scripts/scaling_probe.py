@@ -429,12 +429,20 @@ def main() -> None:
         "pairs), not by its candidate join — its measured growth must",
         "sit BELOW that ~110× output bound, i.e. the join machinery",
         "itself stays linear even at an adversarial 100-way-duplicate",
-        "rate. dedup_simhash escapes even the output bound's slope in",
-        "its JOINS (r6 rewrite): verbatim copies share a signature, so",
-        "banding runs over DISTINCT sigs and the C(100,2) id pairs only",
-        "materialize as the final output expansion — the r5 id-level",
-        "band join measured 1189 s at ×100 (2× past the output bound,",
-        "pre-dedup band multiplicity); sig-level banding measures ~9 s.",
+        "rate. Both near-dup queries now escape even the output bound's",
+        "slope in their JOINS (r6 rewrite, simhash first, then minhash):",
+        "verbatim copies share a full signature, so banding runs over",
+        "DISTINCT sigs (minhash keys them by an md5 fingerprint of the",
+        "32 values) and the C(100,2) id pairs only materialize as the",
+        "final output expansion — the r5 id-level simhash band join",
+        "measured 1189 s at ×100 (2× past the output bound, pre-dedup",
+        "band multiplicity) vs ~9 s sig-level; the id-level minhash join",
+        "measured 317 s under the same probe conditions vs 38 s",
+        "sig-level. The sig-level plan carries ~2× more stages, which at",
+        "the toy tiers shows up as single-run codegen-compile + task-launch",
+        "overhead (sf0.1 7.4 s single-run vs 2.5 s warm min-of-3 at bench",
+        "conditions — bench.py is unchanged at ~2.5 s); that fixed cost is",
+        "what buys the 8.4× at ×100 and the flat growth beyond.",
         "fuzzy_decontaminate replicates BOTH",
         "sides (its eval slice is doc_id % 10 == 0 of the same table and",
         "the replica shift preserves membership), so its pair output is",
