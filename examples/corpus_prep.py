@@ -67,11 +67,22 @@ def prepare_corpus(
     #    SURVIVOR set is far narrower than the raw token/gram streams
     #    whose persists regressed ×10 in r6 — see CLAUDE.md); reclaim
     #    is block eviction or the harnesses' clearCache, not GC
-    w_fp = Window.partitionBy(F.md5(X.normalize_text("text"))).orderBy("doc_id")
+    #    r6 shape: min-STRUCT hash aggregate, not a row_number window —
+    #    the window was exchange + SORT of the full text; the agg does
+    #    the same "min doc_id per fingerprint" with map-side partial
+    #    combine (each input split ships at most one candidate row per
+    #    distinct content, the property that matters at a 100 TB
+    #    duplicate rate) and no sort. doc_id leads the struct, is
+    #    unique, and therefore totally orders it.
+    cols = gated.columns
     deduped = (
-        gated.withColumn("rn", F.row_number().over(w_fp))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        gated.groupBy(F.md5(X.normalize_text("text")).alias("fp"))
+        .agg(
+            F.min(
+                F.struct("doc_id", *[c for c in cols if c != "doc_id"])
+            ).alias("r")
+        )
+        .select("r.*")
         .persist()
     )
 
@@ -87,8 +98,15 @@ def prepare_corpus(
         .select("doc_id")
         .distinct()
     )
-    clean = deduped.filter(F.col("doc_id") % 10 != 0).join(
-        dirty, "doc_id", "left_anti"
+    #    PERSISTED (r6): the decontaminated survivor set is read by both
+    #    remaining jobs (the vocabulary fit and the final encode) —
+    #    without the cache the second job re-runs the gram join +
+    #    anti-join from the persisted parents. Doc-level rows, not an
+    #    exploded stream, so this is the persist class that pays.
+    clean = (
+        deduped.filter(F.col("doc_id") % 10 != 0)
+        .join(dirty, "doc_id", "left_anti")
+        .persist()
     )
 
     # 4. tokenize to ids over the SURVIVING corpus's vocabulary —

@@ -349,20 +349,27 @@ def encode_corpus_to_ids(
     was the worst tier-2→3 grower in SCALING.md (6.1×); this plan's
     growth is agg-bound.
     """
-    par = spark.sparkContext.defaultParallelism
     # The token stream is consumed twice (vocab count + encode) and is
     # deliberately NOT persisted: measured at the ×10 tier (r6),
     # caching the exploded stream cost 1.6s → 7.4s — re-scanning
     # columnar parquet and re-running the codegen explode is far
     # cheaper than materializing the wide (doc_id, pos, token) stream
-    # into the block manager.
-    toks = docs.repartition(par).select(
+    # into the block manager. Neither pass repartitions first (r6): the
+    # upstream repartition(defaultParallelism) shuffled the FULL text
+    # once per pass, and both passes already get reduce-side
+    # parallelism from their own shuffle (token partial-agg / doc_id
+    # agg) — measured at sf0.1 the count pass dropped 0.51s → 0.20s
+    # without it, and at 100 TB the scan is already thousands of
+    # splits, so the shuffle bought nothing at either end.
+    toks = docs.select(
         "doc_id",
         *keep_cols,
         F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "token"),
     )
     top = (
-        toks.groupBy("token")
+        # count pass: tokens only — no positions, no carried columns
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), "token")
         .limit(vocab_size)
