@@ -114,6 +114,17 @@ X100_QUERIES = [
     "corpus_prep_pipeline",
     "tokenize_to_ids",
     "knn_lsh",
+    # late r6: the remaining per-doc gating/packing stages of the
+    # training pipeline. All linear under replication: lang_id's
+    # profile stays 5 langs × 50 trigrams however large the corpus
+    # (the distinct-gram side of its broadcast join is content-bound);
+    # benchmark_decontaminate's eval gram set is DISTINCT grams — the
+    # same content replicated contributes nothing new — so its join
+    # output grows ×N with the dirty side, not ×N²; sequence_packing
+    # is one explode + per-source running sum.
+    "lang_id_ngram",
+    "benchmark_decontaminate",
+    "sequence_packing",
 ]
 
 
@@ -422,8 +433,9 @@ def main() -> None:
         "The ×100 column (~60M lineitem rows; top-10 relational headliners",
         "plus, since r6, the LLM-pipeline headliners a 100 TB training-data",
         "run actually executes: dedup_simhash, fuzzy_decontaminate,",
-        "corpus_prep_pipeline, tokenize_to_ids, knn_lsh) measures the next",
-        "decade directly: ×10→×100 growth ≤ ~10× is linear in data.",
+        "corpus_prep_pipeline, tokenize_to_ids, knn_lsh, and — late r6 —",
+        "lang_id_ngram, benchmark_decontaminate, sequence_packing) measures",
+        "the next decade directly: ×10→×100 growth ≤ ~10× is linear in data.",
         "dedup_minhash is bounded by its pair OUTPUT (C(100,2)=4950",
         "pairs per 100-way-replicated doc, ~110× the ×10 tier's 45",
         "pairs), not by its candidate join — its measured growth must",
