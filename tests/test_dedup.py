@@ -195,3 +195,60 @@ def test_fuzzy_decontaminate_finds_planted_eval_near_dup(spark, tmp_path):
     n_inter, n_union = out[(11, 10)]
     assert 2 * n_inter >= n_union and n_inter >= 1
     assert all(c != 13 for c, _ in out)
+
+
+def test_minhash_sig_banding_equals_id_banding(spark):
+    """The r6 sig-level band join (distinct signatures keyed by md5
+    fingerprint, id pairs expanded only at output) must produce EXACTLY
+    the candidate set of the definitional id-level banding — same
+    pairs, no duplicates, same est_jaccard — including through a 4-way
+    verbatim clique where the same-signature expansion does the work."""
+    base = [
+        (i, " ".join(f"t{i}w{j}" for j in range(25)) + " shared tail words")
+        for i in range(12)
+    ]
+    rows = base + [
+        (200, base[2][1]),  # 4-way exact clique: {2, 200, 201, 202}
+        (201, base[2][1]),
+        (202, base[2][1]),
+        (300, base[7][1].replace("t7w3", "ED1")),  # near-dups of doc 7
+        (301, base[7][1].replace("t7w9", "ED2")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    num_hashes, bands = 32, 8
+    rpb = num_hashes // bands
+
+    sigs = {
+        r.id: [r[f"mh{i}"] for i in range(num_hashes)]
+        for r in D.minhash_signatures(df).collect()
+    }
+    from collections import defaultdict
+
+    expected_pairs = set()
+    for b in range(bands):
+        buckets = defaultdict(list)
+        for i, s in sigs.items():
+            buckets[tuple(s[b * rpb : (b + 1) * rpb])].append(i)
+        for ids in buckets.values():
+            expected_pairs.update(
+                (x, y) for x in ids for y in ids if x < y
+            )
+    expected = {
+        (x, y): sum(a == b for a, b in zip(sigs[x], sigs[y])) / num_hashes
+        for (x, y) in expected_pairs
+    }
+
+    out = D.minhash_candidates(df).collect()
+    assert len(out) == len({(r.id_a, r.id_b) for r in out})  # no dup rows
+    got = {(r.id_a, r.id_b): r.est_jaccard for r in out}
+    assert set(got) == set(expected)
+    for pair in expected:
+        assert abs(got[pair] - expected[pair]) < 1e-12, (
+            pair, got[pair], expected[pair],
+        )
+    # the verbatim clique must be fully present at est 1.0
+    clique = {2, 200, 201, 202}
+    for x in clique:
+        for y in clique:
+            if x < y:
+                assert got[(x, y)] == 1.0
