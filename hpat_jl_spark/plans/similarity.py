@@ -137,20 +137,74 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_cluster's shingle-space clustering. Cluster membership
     includes every vertex touched by a pair (size ≥ 2 by construction).
 
-    Scale: pairs come from the bucketed gram kernel (never all-pairs);
-    the CC iterates over the pair EDGES only (operators/iterative —
-    localCheckpoint per round); the summary is one aggregate. Fully
-    oracle-gated: pair set + recursive-CTE fixpoint replayed in DuckDB."""
-    from hpat_jl_spark.operators.iterative import connected_components
+    Physical shape (late r6 — the distinct-signature discipline from
+    minhash/simhash applied to embeddings): the per-bucket gram kernel
+    is O(n²) FLOPs in bucket size, so verbatim duplicate vectors make
+    it quadratic in duplicate multiplicity (the ×10 tier's 10-way
+    replicas measured the worst growth in SCALING.md, 5.7×/decade).
+    Identical vectors have cosine exactly 1.0 — they pair with each
+    other and share every cross neighbor — so the kernel runs over one
+    REPRESENTATIVE per distinct (bucket, vector) and the copies rejoin
+    as rep→copy STAR edges, which give the connected components the
+    same vertex set and connectivity as the full pair clique at O(n)
+    instead of O(n²) edges. Zero vectors are excluded from stars: the
+    kernel's zero-norm guard scores them 0 everywhere (never > θ), so
+    their copies must not link either. The oracle replays the FULL
+    pair set + recursive-CTE fixpoint, which gates the equivalence.
 
+    Scale: rep pairs come from the bucketed gram kernel over distinct
+    content only (never all-pairs, never duplicate-inflated); the CC
+    iterates over the edges only (operators/iterative —
+    lineage-truncated per round); the summary is one aggregate."""
     emb = load_table(spark, "embeddings", sf_dir)
-    pairs = S.neardup_pairs(
-        emb, bucket_col="label", threshold=_NEARDUP_THRESHOLD
-    ).select("id_a", "id_b")
-    comp = connected_components(pairs, "id_a", "id_b")
+    comp = semantic_dedup_components(emb)
     return comp.groupBy(F.col("component").alias("canonical_id")).agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
+
+
+def semantic_dedup_components(emb: DataFrame) -> DataFrame:
+    """(vertex, component) for every vector in a >θ-cosine near-dup
+    cluster, via rep-level gram kernel + star expansion — the body of
+    embedding_dedup_clusters (see its docstring for the equivalence
+    argument); split out so planted-duplicate tests can drive it with
+    a constructed frame. Expects columns (label, vec_id, embedding)."""
+    from pyspark import StorageLevel
+
+    from hpat_jl_spark.operators.iterative import connected_components
+
+    base = emb.select(
+        "label",
+        "vec_id",
+        "embedding",
+        F.md5(F.to_json(F.struct("embedding"))).alias("fp"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    grp = base.groupBy("label", "fp").agg(
+        F.min(F.struct("vec_id", "embedding")).alias("r")
+    )
+    reps = grp.select(
+        "label",
+        F.col("r.vec_id").alias("vec_id"),
+        F.col("r.embedding").alias("embedding"),
+    )
+    rep_pairs = S.neardup_pairs(
+        reps, bucket_col="label", threshold=_NEARDUP_THRESHOLD
+    ).select("id_a", "id_b")
+    stars = (
+        base.select("label", "fp", "vec_id")
+        .join(
+            grp.select(
+                "label",
+                "fp",
+                F.col("r.vec_id").alias("rep_id"),
+                F.exists("r.embedding", lambda x: x != 0).alias("nonzero"),
+            ),
+            ["label", "fp"],
+        )
+        .filter(F.col("nonzero") & (F.col("vec_id") != F.col("rep_id")))
+        .select(F.col("rep_id").alias("id_a"), F.col("vec_id").alias("id_b"))
+    )
+    return connected_components(rep_pairs.unionByName(stars), "id_a", "id_b")
 
 
 @register("knn_ivf", oracle=None, tags=("similarity",))

@@ -125,6 +125,13 @@ X100_QUERIES = [
     "lang_id_ngram",
     "benchmark_decontaminate",
     "sequence_packing",
+    # late r6: SemDeDup joined the sig-dedup family — the per-bucket
+    # gram kernel runs over one representative per distinct (bucket,
+    # vector) and copies rejoin as rep→copy star edges (O(n) edges vs
+    # the full pair clique's O(n²)); the id-level full-pair shape
+    # measured 106 s at ×100 vs 13 s rep-level under identical
+    # conditions.
+    "embedding_dedup_clusters",
 ]
 
 
@@ -455,6 +462,13 @@ def main() -> None:
         "overhead (sf0.1 7.4 s single-run vs 2.5 s warm min-of-3 at bench",
         "conditions — bench.py is unchanged at ~2.5 s); that fixed cost is",
         "what buys the 8.4× at ×100 and the flat growth beyond.",
+        "embedding_dedup_clusters (SemDeDup) joined the same family late in",
+        "r6: its per-bucket gram kernel is O(n²) FLOPs in bucket size, so it",
+        "now runs over one representative per distinct (bucket, vector) and",
+        "verbatim copies rejoin as rep→copy star edges (cosine of identical",
+        "vectors is 1.0, so stars give the same connected components as the",
+        "full pair clique at O(n) edges) — the full-pair shape measured",
+        "106 s at ×100 vs 13 s rep-level under identical conditions.",
         "fuzzy_decontaminate replicates BOTH",
         "sides (its eval slice is doc_id % 10 == 0 of the same table and",
         "the replica shift preserves membership), so its pair output is",

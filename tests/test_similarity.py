@@ -470,3 +470,89 @@ def test_pq_portable_shortlist_contains_topk_and_deterministic(spark):
     assert {(r.query_id, r.neighbor_id, r.knn_rank) for r in rows} == {
         (r.query_id, r.neighbor_id, r.knn_rank) for r in rows2
     }
+
+
+def test_semantic_dedup_star_expansion_equals_full_pairs(spark):
+    """The late-r6 rep-dedup + star-edge shape of
+    embedding_dedup_clusters must produce the same components as the
+    definitional FULL within-bucket pair set — including a 4-way
+    verbatim duplicate clique, a duplicated vector that also bridges to
+    a distinct near neighbor, and zero-vector copies (which must NOT
+    cluster: the kernel scores zero vectors 0 everywhere)."""
+    import numpy as np
+
+    from hpat_jl_spark.plans.similarity import (
+        _NEARDUP_THRESHOLD,
+        semantic_dedup_components,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    # 8 well-separated random vectors in one bucket
+    vecs = {}
+    for i in range(8):
+        v = rng.normal(size=16)
+        vecs[i] = v / np.linalg.norm(v)
+        rows.append((0, i, [float(x) for x in vecs[i]]))
+    # 4-way verbatim clique of vector 2
+    for j, vid in enumerate((100, 101, 102)):
+        rows.append((0, vid, [float(x) for x in vecs[2]]))
+        vecs[vid] = vecs[2]
+    # a near neighbor of vector 2 (bridges the clique to a new vertex)
+    near = vecs[2] + 0.05 * rng.normal(size=16)
+    near /= np.linalg.norm(near)
+    rows.append((0, 200, [float(x) for x in near]))
+    vecs[200] = near
+    # zero-vector copies: identical but must never pair
+    rows += [(0, 300, [0.0] * 16), (0, 301, [0.0] * 16)]
+    vecs[300] = np.zeros(16)
+    vecs[301] = np.zeros(16)
+    # same vector content in a DIFFERENT bucket must not link buckets
+    rows.append((1, 400, [float(x) for x in vecs[2]]))
+    vecs[400] = vecs[2]
+    emb = spark.createDataFrame(
+        rows, "label int, vec_id long, embedding array<float>"
+    )
+
+    # brute-force reference: full within-bucket pair set at float32
+    # input precision (match the kernel's round-6 cosine), then
+    # union-find
+    by_bucket = {}
+    for lbl, vid, v in rows:
+        by_bucket.setdefault(lbl, []).append(vid)
+    def unit(v):
+        v = np.asarray(np.asarray(v, dtype=np.float32), dtype=np.float64)
+        n = np.linalg.norm(v)
+        return v / (n if n else 1.0)
+    parent = {vid: vid for _, vid, _ in rows}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    touched = set()
+    for lbl, ids in by_bucket.items():
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                sim = round(float(unit(vecs[a]) @ unit(vecs[b])), 6)
+                if sim > _NEARDUP_THRESHOLD:
+                    touched |= {a, b}
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for v in touched:
+        expected.setdefault(find(v), set()).add(v)
+    expected_sets = {frozenset(s) for s in expected.values()}
+
+    comp = semantic_dedup_components(emb).collect()
+    got = {}
+    for r in comp:
+        got.setdefault(r.component, set()).add(r.vertex)
+    got_sets = {frozenset(s) for s in got.values()}
+
+    assert got_sets == expected_sets
+    # sanity on the scenario itself: the clique+bridge formed one
+    # cluster of {2,100,101,102,200}; zero vectors clustered nowhere
+    assert frozenset({2, 100, 101, 102, 200}) in got_sets
+    assert all(300 not in s and 301 not in s for s in got_sets)
