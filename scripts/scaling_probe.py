@@ -67,6 +67,8 @@ QUERIES = [
     "bpe_encode_fixed",
     # r6: the corpus-prep chain joins the ×100 set (VERDICT r05 #5)
     "corpus_prep_pipeline",
+    # late r6: the persisted-index ANN deployment shape
+    "knn_ivf_persisted",
 ]
 
 REPLICAS = 10
@@ -132,6 +134,16 @@ X100_QUERIES = [
     # measured 106 s at ×100 vs 13 s rep-level under identical
     # conditions.
     "embedding_dedup_clusters",
+    # late r6, second batch — all linearly bounded under replication:
+    # duplicate_span_report shuffles (window_hash, doc_id) and emits
+    # one row per multi-doc hash (replication multiplies
+    # n_occurrences, not rows); hll_distinct_portable is 512 registers
+    # per group however large the scan; knn_ivf_persisted is the ANN
+    # deployment shape — linear hive-partitioned index build + a
+    # fixed-query probe that reads only n_probe partition directories.
+    "duplicate_span_report",
+    "hll_distinct_portable",
+    "knn_ivf_persisted",
 ]
 
 
@@ -441,8 +453,10 @@ def main() -> None:
         "plus, since r6, the LLM-pipeline headliners a 100 TB training-data",
         "run actually executes: dedup_simhash, fuzzy_decontaminate,",
         "corpus_prep_pipeline, tokenize_to_ids, knn_lsh, and — late r6 —",
-        "lang_id_ngram, benchmark_decontaminate, sequence_packing) measures",
-        "the next decade directly: ×10→×100 growth ≤ ~10× is linear in data.",
+        "lang_id_ngram, benchmark_decontaminate, sequence_packing,",
+        "duplicate_span_report, hll_distinct_portable, and the persisted-index",
+        "ANN deployment shape knn_ivf_persisted) measures the next decade",
+        "directly: ×10→×100 growth ≤ ~10× is linear in data.",
         "dedup_minhash is bounded by its pair OUTPUT (C(100,2)=4950",
         "pairs per 100-way-replicated doc, ~110× the ×10 tier's 45",
         "pairs), not by its candidate join — its measured growth must",
