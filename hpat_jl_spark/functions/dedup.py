@@ -6,9 +6,13 @@ LSH is new surface). Design point is a 100 TB corpus:
 - exact dedup: one hash-aggregate on a 128-bit fingerprint — a single
   shuffle of (fingerprint, doc_id), never of the text payload.
 - MinHash+LSH: signatures are computed scan-side with built-in functions
-  (portable md5 base hash under an affine permutation family), bands
-  hashed and exploded so the candidate join shuffles only
-  (band_key, doc_id) pairs.
+  (portable md5 base hash under an affine permutation family). The
+  SELF-join (minhash_candidates) bands DISTINCT signatures — keyed by
+  an md5 fingerprint — and expands to id pairs only at output (r6:
+  immune to duplicate-multiplicity blowup); the two-sided cross join
+  (minhash_cross_candidates) stays id-level with the small side
+  broadcast, which measured strictly faster for that shape (left ids
+  never meet each other, so there is no quadratic hazard to escape).
   Candidate pairs are then verified with exact shingle Jaccard — only
   candidate docs' shingle arrays are re-joined, never the full corpus
   cross product.
@@ -138,9 +142,11 @@ def minhash_banded(
     bands: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """The shared LSH banding stage: (id, sig, band, bhash), one row
-    per (doc, band). Both the self-join (minhash_candidates) and the
-    two-sided cross join (minhash_cross_candidates) consume this."""
+    """Id-level LSH banding: (id, sig, band, bhash), one row per
+    (doc, band). Consumed by the two-sided cross join
+    (minhash_cross_candidates), whose broadcast-right shape keeps
+    id-level banding optimal; the SELF-join (minhash_candidates) bands
+    distinct signatures instead (see its docstring)."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
     band_keys = [
