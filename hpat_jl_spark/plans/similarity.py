@@ -67,7 +67,17 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NEARDUP_THRESHOLD = 0.9
+# Registered-variant threshold, fixture-tuned for GATE LIVENESS (late
+# r6): the synthetic embeddings are near-isotropic (within-bucket max
+# cosine ≈ 0.47 at sf0.01), so the production-style 0.9 made
+# embedding_neardup AND embedding_dedup_clusters compare EMPTY result
+# sets against their oracles every round — a hash match that could not
+# catch a candidate/cluster bug. 0.4 yields a handful of pairs and
+# clusters at every fixture scale, so the driver gate exercises the
+# real pair → closure → summary path; the threshold is a parameter of
+# the underlying kernels, and the high-threshold semantics stay pinned
+# by the planted-duplicate tests (tests/test_similarity.py).
+_NEARDUP_THRESHOLD = 0.4
 
 _neardup_oracle = f"""
 WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
