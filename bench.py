@@ -241,12 +241,17 @@ def main() -> None:
     # Full payload → repo artifact; stdout carries the compact line only
     # (the driver keeps a 2000-char tail — the r3 line with per-query
     # duckdb ratios inlined was 3.4 kB and lost its head, parsed=null).
+    # BENCH_DETAIL.json is the CANONICAL sf0.1 artifact — a quick run at
+    # another sf (e.g. a sf0.001 smoke) writes a suffixed file so it
+    # cannot clobber the committed sf0.1 numbers (this happened in r6).
+    detail_name = ("BENCH_DETAIL.json" if str(sf_val) == "0.1"
+                   else f"BENCH_DETAIL_sf{sf_val}.json")
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
+                               detail_name)
     try:
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1)
-        out["detail"] = "BENCH_DETAIL.json"
+        out["detail"] = detail_name
     except OSError as exc:
         print(f"# detail write failed: {exc}", file=sys.stderr)
     line = json.dumps(out)
