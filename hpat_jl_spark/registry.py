@@ -52,6 +52,18 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # registry (all have a green r1-r4 row; extra windows re-confirm).
 # Names not (yet) registered are skipped, so new plans can be pre-listed.
 DRIVER_PRIORITY: list[str] = [
+    # Late-r6 rewrites lead: sig-level banding for the near-dup
+    # self-joins (band DISTINCT signatures, expand id pairs at output),
+    # the SemDeDup star-edge gram kernel, the registered cosine
+    # threshold drop to 0.4 (oracle gate now checks non-empty pair
+    # sets), and the corpus-prep/tokenize shuffle cuts.
+    "dedup_minhash",
+    "dedup_simhash",
+    "embedding_neardup",
+    "embedding_dedup_clusters",
+    "corpus_prep_pipeline",
+    "tokenize_to_ids",
+    "fuzzy_decontaminate",
     # Plans whose physical strategy changed in r6 (VERDICT r05 #1/#2):
     # driver-side exact-int64 Lloyd fits (kmeans/PQ/IVF), struct-min
     # argmax in lang_id, lazy persists on twice-consumed streams

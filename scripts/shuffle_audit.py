@@ -219,11 +219,106 @@ def render(tiers: dict[str, dict[str, dict]], names: list[str]) -> str:
     return "\n".join(lines)
 
 
+# Duplicate-saturation byte audit: the near-dup self-joins on the
+# scaling probe's replicated tiers, where every document is a 10-/100-way
+# duplicate — the adversarial case where a candidate join keyed on raw
+# ids squares through the multiplicity. SCALING.md shows the wall-clock;
+# this section shows the BYTES, which is the mechanism: sig-level
+# banding keeps the shuffled stream proportional to DISTINCT content
+# (+ the bounded C(N,2)-per-group pair output), not to id pairs.
+SATURATION_QUERIES = [
+    "dedup_minhash",
+    "dedup_simhash",
+    "embedding_dedup_clusters",
+    "fuzzy_decontaminate",
+    "benchmark_decontaminate",
+]
+_SAT_MARK = "<!-- saturation-audit -->"
+
+
+def render_saturation(tiers: dict[str, dict[str, dict]]) -> str:
+    order = list(tiers)
+    lines = [
+        _SAT_MARK,
+        "## Near-dup byte volumes under duplicate saturation",
+        "",
+        "Same audit on the scaling probe's staged tiers (sf0.1 facts",
+        "replicated with disjoint keys — every doc a 10-/100-way exact",
+        "duplicate, the worst case for near-dup candidate joins; see",
+        "SCALING.md). `shw growth/decade` is the geometric-mean shuffle-",
+        "write growth per 10× of data: ~10× = linear in the corpus, ~100×",
+        "would mean the join squares through duplicate multiplicity (what",
+        "id-level banding did before the r6 sig-level rewrites).",
+        "",
+        "| query | " + " | ".join(f"shw MB {t}" for t in order)
+        + " | shw growth/decade | scan growth/decade |",
+        "|---|" + "---|" * (len(order) + 2),
+    ]
+    for n in SATURATION_QUERIES:
+        cells, shws, scans = [], [], []
+        for t in order:
+            h = tiers[t].get(n, {})
+            if "error" in h or not h:
+                cells.append("err")
+                continue
+            cells.append(_mb(h["shuffle_write_bytes"]))
+            shws.append(h["shuffle_write_bytes"])
+            scans.append(h["scan_bytes"])
+
+        def _per_decade(vals: list[int]) -> str:
+            if len(vals) < 2 or vals[0] <= 0:
+                return "—"
+            decades = len(vals) - 1  # tiers are ×10 apart
+            return f"{(vals[-1] / vals[0]) ** (1 / decades):.1f}×"
+
+        lines.append(
+            f"| {n} | " + " | ".join(cells)
+            + f" | {_per_decade(shws)} | {_per_decade(scans)} |"
+        )
+    lines += [
+        "",
+        "The three near-dup SELF-joins shuffle sub-linearly (6-9×/decade",
+        "under 10-/100-way duplication) because banding runs over DISTINCT",
+        "signatures — duplicate multiplicity re-enters only as the bounded",
+        "C(N,2)-per-group id-pair OUTPUT. The two decontaminate queries sit",
+        "slightly above linear (~13.6×/decade) for a documented reason",
+        "(SCALING.md): they are two-sided joins where the eval slice",
+        "replicates WITH the corpus, so the matched-pair output itself",
+        "grows ×N² per shared content — the measured growth is that output",
+        "stream (vs its ×100/decade worst-case bound), not join machinery.",
+        "",
+    ]
+    return "\n".join(lines)
+
+
+def run_saturation() -> None:
+    from scaling_probe import STAGE_X10, STAGE_X100  # scripts/ sibling
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")  # ×100 OOMs at 8g
+    tiers = {
+        "base": audit_tier("/root/testdata/sf0.1", SATURATION_QUERIES),
+        "×10": audit_tier(STAGE_X10, SATURATION_QUERIES),
+        "×100": audit_tier(STAGE_X100, SATURATION_QUERIES),
+    }
+    section = render_saturation(tiers)
+    path = os.path.join(REPO, "SHUFFLE.md")
+    with open(path) as fh:
+        text = fh.read()
+    if _SAT_MARK in text:
+        text = text[: text.index(_SAT_MARK)].rstrip() + "\n"
+    with open(path, "w") as fh:
+        fh.write(text.rstrip() + "\n\n" + section)
+    print(f"appended saturation section to {path}")
+
+
 def main() -> None:
     import bench  # repo-root bench.py: the canonical headline list
 
     names = list(bench.HEADLINE)
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if "--saturation" in sys.argv:
+        run_saturation()
+        return
     if args:
         print(json.dumps(audit_tier(args[0], names), indent=1))
         return
