@@ -438,6 +438,9 @@ def main() -> None:
         "The signal is the growth RATE between tiers (10× data each step):",
         "sub-10× growth = fixed overhead still dominates; ~10× = linear scan",
         "bound; >>10× would indicate a quadratic/driver bottleneck.",
+        "SHUFFLE.md (scripts/shuffle_audit.py) is the companion BYTE view:",
+        "per-query scan/shuffle volumes from the status API, including a",
+        "duplicate-saturation section on these same staged tiers.",
         "",
         "Note on near-dup queries at this tier: the replicas repeat every",
         "doc VERBATIM, so each doc has 10 exact copies — candidate-PAIR",
