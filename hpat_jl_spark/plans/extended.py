@@ -270,7 +270,14 @@ def hll_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, "lineitem", sf_dir)
     wbits1 = _HLL_WBITS + 1  # rank when the suffix is all zeros
-    h = li.select(
+    # ONE distinct (flag, orderkey) exchange feeds BOTH branches:
+    # register max is idempotent under duplicate keys, so the sketch
+    # over distinct pairs is value-identical to the sketch over raw
+    # rows, and the exact count is the distinct frame's row count —
+    # ReusedExchange makes the fact scan run once instead of twice
+    # (r6; was two full lineitem scans, 20.6 MB vs 10.3 in SHUFFLE.md).
+    d = li.select("l_returnflag", "l_orderkey").distinct()
+    h = d.select(
         "l_returnflag",
         portable_hash(F.col("l_orderkey").cast("string")).alias("hv"),
     )
@@ -302,8 +309,8 @@ def hll_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         (e_raw <= F.lit(2.5 * _HLL_M)) & (F.col("nb") < _HLL_M),
         F.lit(_HLL_M) * F.log(F.lit(float(_HLL_M)) / v),
     ).otherwise(e_raw)
-    ex = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("exact_orders")
+    ex = d.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("exact_orders")
     )
     return est.join(ex, "l_returnflag").select(
         "l_returnflag",

@@ -102,9 +102,10 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # under pressure and harnesses clearCache between queries.
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
 
+    # degree: ONE pass over the cached edges (explode both endpoints),
+    # not a unionAll of two scans — halves the edge cache reads (r6)
     deg = (
-        edges.select(F.col("u").alias("n"))
-        .unionAll(edges.select(F.col("v").alias("n")))
+        edges.select(F.explode(F.array("u", "v")).alias("n"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -127,7 +128,10 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(sqrt(m)) by the orientation, so each array_intersect is small
     # and JVM-side; the 35M-row wedge stream of the join formulation is
     # never materialized (measured 10× faster at sf0.1: 14.9s → below
-    # 2s compute on local[32]).
+    # 2s compute on local[32]). (r6 note: regenerating the edge stream
+    # by exploding adj — edge+nbrs_u with no join — measured 2.5→3.4s:
+    # the exploded rows materialize the full wedge bytes even without a
+    # shuffle; the narrow-stream join is cheaper. Reverted.)
     adj = oriented.groupBy("src").agg(
         F.array_sort(F.collect_list("dst")).alias("nbrs")
     )
@@ -208,9 +212,10 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     # persist, not localCheckpoint — same reasoning as triangle_count
     edges = _copurchase_edges(li).persist(StorageLevel.MEMORY_AND_DISK)
+    # degree: ONE pass over the cached edges (explode both endpoints),
+    # not a unionAll of two scans — halves the edge cache reads (r6)
     deg = (
-        edges.select(F.col("u").alias("n"))
-        .unionAll(edges.select(F.col("v").alias("n")))
+        edges.select(F.explode(F.array("u", "v")).alias("n"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
     )
