@@ -52,7 +52,13 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # registry (all have a green r1-r4 row; extra windows re-confirm).
 # Names not (yet) registered are skipped, so new plans can be pre-listed.
 DRIVER_PRIORITY: list[str] = [
-    # Late-r6 rewrites lead: sig-level banding for the near-dup
+    # r6 scan-cut rewrites lead (single-pass degree table for the graph
+    # kernels; HLL sketch + exact count off one shared distinct
+    # exchange): re-verify under the driver gate first.
+    "triangle_count",
+    "clustering_coefficient",
+    "hll_distinct_portable",
+    # Late-r6 rewrites: sig-level banding for the near-dup
     # self-joins (band DISTINCT signatures, expand id pairs at output),
     # the SemDeDup star-edge gram kernel, the registered cosine
     # threshold drop to 0.4 (oracle gate now checks non-empty pair
