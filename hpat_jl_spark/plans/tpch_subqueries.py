@@ -201,7 +201,18 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic over the tiny per-(order,supplier) aggregate instead of
     two additional full self-joins of lineitem (the naive plan scans
     and shuffles the fact table three times; this one aggregates it
-    once and re-joins only the line-match step)."""
+    once and re-joins only the line-match step).
+
+    Measured dead end (r6): collecting each (order,supplier)'s shipdate
+    list in the first aggregate and counting qualifiers with an array
+    filter removes the line-match re-join (and the second lineitem
+    scan) but ran 1.10s → 1.32s at sf0.1 — collect_list forces the
+    aggregate off whole-stage codegen into ObjectHashAggregate and the
+    arrays ride through the window sort; a window-free variant
+    (per-order collect of supplier structs, O(k²) array walk) was worse
+    still (1.45s). The two-scan shape keeps both aggregates codegen'd;
+    revisit only if the fact scan itself becomes the measured
+    bottleneck (at 100 TB the one-scan variant halves IO)."""
     li = load_table(spark, "lineitem", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
     supplier = load_table(spark, "supplier", sf_dir)
