@@ -140,6 +140,12 @@ def main() -> None:
     for name in HEADLINE:
         fn = qs[name]
         best = None
+        # Isolate queries from each other's persisted frames (CLAUDE.md
+        # r6 trap: Dataset.persist entries accumulate in CacheManager
+        # for the session lifetime and later queries pay eviction
+        # interference). Reps of the SAME query stay warm — min-of-reps
+        # measures the plan's steady cost including its own caches.
+        spark.catalog.clearCache()
         for _ in range(reps):
             t0 = time.perf_counter()
             try:

@@ -262,10 +262,19 @@ def hll_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     float-accumulation order can flip the value hash. Includes the
     small-range linear-counting correction (m·ln(m/V)).
 
-    Scale shape: identical to production HLL — one shuffle of
-    (group, bucket) pairs, 512 registers per group regardless of input
-    size, registers mergeable by max. The estimate lands within a few
-    σ (σ = 1.04/√512 ≈ 4.6%) of the exact count (asserted in tests)."""
+    Scale shape: the sketch itself is production-HLL — 512 registers
+    per group regardless of input size, mergeable by max, never more
+    than (groups × 512) rows after the map-side partial agg. Because
+    this query ALSO outputs the exact count for comparison, it needs a
+    distinct (group, key) exchange anyway, so both branches consume
+    that one exchange and the fact table is scanned ONCE (r6; register
+    max is idempotent under duplicate keys, so sketching the distinct
+    pairs is value-identical to sketching raw rows — AQE stage reuse
+    collapses the two static scans). A production sketch-only run would
+    drop the exact branch and with it the distinct shuffle entirely —
+    that sketch-without-distinct shape is approx_distinct above. The
+    estimate lands within a few σ (σ = 1.04/√512 ≈ 4.6%) of the exact
+    count (asserted in tests)."""
     from hpat_jl_spark.functions.dedup import portable_hash
 
     li = load_table(spark, "lineitem", sf_dir)
