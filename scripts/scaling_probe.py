@@ -440,7 +440,10 @@ def main() -> None:
         "bound; >>10× would indicate a quadratic/driver bottleneck.",
         "SHUFFLE.md (scripts/shuffle_audit.py) is the companion BYTE view:",
         "per-query scan/shuffle volumes from the status API, including a",
-        "duplicate-saturation section on these same staged tiers.",
+        "duplicate-saturation section on these same staged tiers; CORES.md",
+        "(scripts/strong_scaling.py) is the companion PARALLELISM view:",
+        "fixed-data strong scaling 4→32 threads, calibrated against the",
+        "machine's own deliverable pure-compute speedup.",
         "",
         "Note on near-dup queries at this tier: the replicas repeat every",
         "doc VERBATIM, so each doc has 10 exact copies — candidate-PAIR",

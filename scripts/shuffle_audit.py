@@ -214,6 +214,8 @@ def render(tiers: dict[str, dict[str, dict]], names: list[str]) -> str:
         "corpus_prep, dedup_minhash) is deliberate: an iterative or",
         "multi-pass plan re-reading a persisted frame from the block",
         "manager instead of re-deriving it.",
+        "SCALING.md is the companion wall-clock-vs-data view and CORES.md",
+        "(scripts/strong_scaling.py) the wall-clock-vs-parallelism view.",
         "",
     ]
     return "\n".join(lines)

