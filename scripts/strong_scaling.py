@@ -86,10 +86,19 @@ QUERIES = [
 # ×100 strong-scaling set: strong scaling is input-size-dependent
 # (Amdahl: the serial floor — job scheduling, broadcast builds, AQE
 # stage rounds — is fixed while parallel work grows with data), so the
-# ×10 table alone would understate the plans. These four run at the
-# probe's ×100 tier (~60M lineitem rows / ~500k docs), single cold run
-# per cell (each cell is minutes; rep noise is proportionally small).
-X100_SET = ["q05", "dedup_minhash", "tokenize_to_ids", "lang_id_ngram"]
+# ×10 table alone would understate the plans. These run at the probe's
+# ×100 tier (~60M lineitem rows / ~500k docs), single cold run per
+# cell (each cell is minutes; rep noise is proportionally small) —
+# the LLM-pipeline headliners a 100 TB training-data run executes.
+X100_SET = [
+    "q05",
+    "dedup_minhash",
+    "tokenize_to_ids",
+    "lang_id_ngram",
+    "corpus_prep_pipeline",
+    "knn_lsh",
+    "fuzzy_decontaminate",
+]
 
 
 STAGE_CPU = "/tmp/spark_graft_cpu_x10"
@@ -302,6 +311,18 @@ def main() -> None:
         "## Table 2 — ×100 tier (compute-dominated regime)",
         "",
         *_table(res_x100),
+        "",
+        "Per-query notes: fuzzy_decontaminate (0.7+ of ceiling) is the",
+        "best-scaling plan — banded candidate generation plus verify join",
+        "is almost pure data-parallel work. corpus_prep_pipeline stays",
+        "floor-bound even at ×100 BY DESIGN: its first stage is exact",
+        "dedup, which collapses the tier's 100-way verbatim replicas to",
+        "the ~5k distinct survivors, so every downstream stage (quality",
+        "gate → near-dup → decontaminate → tokenize → pack) does ×1 work",
+        "however much the corpus is replicated — the pipeline's whole",
+        "point; its low fraction is the multi-stage job floor over a",
+        "collapsed stream, not a serial section (SCALING.md shows the",
+        "same signature: ×10→×100 growth 1.0×).",
         "",
         "SCALING.md (data tiers) and SHUFFLE.md (byte volumes) are the",
         "companion axes; all three are regenerated by their scripts with",
