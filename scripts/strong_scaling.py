@@ -1,8 +1,8 @@
 #!/usr/bin/env python
-"""Strong-scaling probe: fixed data (the staged ×10 tier, ~6M lineitem
-rows / ~50k docs), varying executor-thread count — the third axis of
-the repo's scale evidence and the one that directly backs the
-"1000-executor cluster" claim:
+"""Strong-scaling probe: fixed data, varying executor-thread count —
+the third axis of the repo's scale evidence and the one that directly
+backs the "1000-executor cluster" claim (two input regimes: the
+split-rich ×10 staging and the probe's ×100 tier):
 
   SCALING.md  — wall-clock vs DATA tiers   (no hidden quadratics)
   SHUFFLE.md  — BYTES per query            (what crosses the network)
@@ -32,8 +32,9 @@ sizes maxPartitionBytes/openCostInBytes so each file is its own split
 Self-calibration: textbook efficiency (t4·4 / tN·N) presumes the
 machine actually delivers N independent cores. This box does not —
 it is a shared VM where a PURE-COMPUTE 128-task job (range →
-aggregate fold, no IO, no shuffle data) speeds up only ~2.4× from
-local[4] to local[32] (measured 7.7 → 4.4 → 3.4 → 3.2 s). So the
+aggregate fold, no IO, no shuffle data) speeds up only ~4× from
+local[4] to local[32] (warmed, e.g. 5.3 → 2.9 → 1.9 → 1.3 s), an
+8×-threads-for-4×-speedup hypervisor ceiling. So the
 probe measures that calibration job in the same sweep and reports
 each query's speedup AS A FRACTION OF the machine's deliverable
 speedup at the same thread count: 1.0 means the plan extracted every
