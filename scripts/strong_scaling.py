@@ -123,7 +123,11 @@ def _ensure_cpu_staged() -> None:
     from hpat_jl_spark.session import get_spark
     from scaling_probe import _amplified, _DIM_TABLES, REPLICAS
 
-    if os.path.isdir(os.path.join(STAGE_CPU, "lineitem.parquet")):
+    # Completeness marker written LAST (ADVICE r06: keying the skip on
+    # lineitem.parquet — the FIRST table written — silently reused a
+    # killed staging run; scaling_probe's _ensure_staged fixed the same
+    # bug with a .staged marker).
+    if os.path.isfile(os.path.join(STAGE_CPU, ".staged")):
         return
     shutil.rmtree(STAGE_CPU, ignore_errors=True)
     spark = get_spark(app_name="strong-scaling-stage", shuffle_partitions=128)
@@ -138,6 +142,8 @@ def _ensure_cpu_staged() -> None:
             out = out.repartition(_SPLIT_FILES)
         out.write.mode("overwrite").parquet(f"{STAGE_CPU}/{name}.parquet")
     spark.stop()
+    with open(os.path.join(STAGE_CPU, ".staged"), "w") as fh:
+        fh.write("ok\n")
     print(f"# staged {STAGE_CPU}", file=sys.stderr)
 
 
