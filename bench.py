@@ -213,9 +213,17 @@ def main() -> None:
         )
 
     from hpat_jl_spark import registry
-    from hpat_jl_spark.session import get_spark
+    from hpat_jl_spark.session import get_spark, sized_shuffle_partitions
 
-    spark = get_spark(app_name="hpat_jl_spark-bench")
+    # Shuffle-partition ceiling sized by the corpus (VERDICT r06 #1):
+    # one partition per ~2 MB of input, floor 8, cap 4× threads — the
+    # same formula a 100 TB deployment uses (where it saturates the
+    # cap). At sf0.1 this is 8; the fixed per-task scheduling cost on
+    # KB-sized reduce stages was the measured bulk of the sub-second
+    # TPC-H queries' wall time.
+    nparts = sized_shuffle_partitions(sf_dir)
+    print(f"# shuffle partitions: {nparts}", file=sys.stderr)
+    spark = get_spark(app_name="hpat_jl_spark-bench", shuffle_partitions=nparts)
     qs = registry.queries()
 
     # warmup: session + codegen + parquet footer reads
