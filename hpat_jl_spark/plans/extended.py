@@ -285,7 +285,25 @@ def hll_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows, and the exact count is the distinct frame's row count —
     # ReusedExchange makes the fact scan run once instead of twice
     # (r6; was two full lineitem scans, 20.6 MB vs 10.3 in SHUFFLE.md).
-    d = li.select("l_returnflag", "l_orderkey").distinct()
+    # r7: the exchange fan-out is PINNED at defaultParallelism instead
+    # of inheriting the (input-sized, then AQE-coalesced) ceiling: the
+    # reduce side runs the portable md5 hash over every distinct pair —
+    # compute-dense, byte-light, the exact shape size-based coalescing
+    # starves (the r5 parallelismFirst trap). AQE had been coalescing
+    # it to ~2 tasks on a 32-thread box (0.84 s → 0.43 s measured at
+    # sf0.1). dropDuplicates reuses the repartition's hash partitioning
+    # (same keys), so this is still ONE exchange; at 100 TB the distinct
+    # reduce is byte-heavy and the pin is simply the 1-2×-cores setting
+    # a capacity plan would choose for it anyway.
+    d = (
+        li.select("l_returnflag", "l_orderkey")
+        .repartition(
+            spark.sparkContext.defaultParallelism,
+            "l_returnflag",
+            "l_orderkey",
+        )
+        .dropDuplicates()
+    )
     h = d.select(
         "l_returnflag",
         portable_hash(F.col("l_orderkey").cast("string")).alias("hv"),

@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Generate BENCH_BANDS.json from an idle-box BENCH_DETAIL.json
+(VERDICT r06 #7: per-query regression guard).
+
+Bands are ±50% on the vs-DuckDB ratio where an oracle twin exists
+(ratios cancel most box noise since both engines share the box within
+the same minute), absolute seconds ×1.5 otherwise. Only UPPER breaches
+fail `bench.py --check` — a query getting faster is not a regression.
+Refuses to generate from a loaded-box run (the band would bake the
+contention in).
+
+Usage: python scripts/make_bench_bands.py [BENCH_DETAIL.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "BENCH_DETAIL.json")
+    with open(src) as fh:
+        d = json.load(fh)
+    box = d.get("box_before", {})
+    if box.get("loaded"):
+        sys.exit(f"refusing: source run was on a loaded box ({box})")
+    q, duck = d["queries"], d.get("duckdb", {})
+    bands: dict[str, dict] = {}
+    for name, sec in q.items():
+        if duck.get(name):
+            ratio = sec / duck[name]
+            # floor the band at 1.0: sub-0.1-ratio queries (e.g.
+            # fuzzy_name_pairs at 0.02) would otherwise get a band so
+            # tight that duckdb-side noise trips it
+            bands[name] = {"ratio_hi": round(max(ratio * 1.5, 1.0), 2)}
+        else:
+            bands[name] = {"sec_hi": round(max(sec * 1.5, 0.5), 2)}
+    out = {
+        "source": os.path.basename(src),
+        "source_total_s": d.get("value"),
+        "box_before": box,
+        "bands": bands,
+    }
+    path = os.path.join(REPO, "BENCH_BANDS.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(f"wrote {path} ({len(bands)} bands)")
+
+
+if __name__ == "__main__":
+    main()

@@ -69,6 +69,10 @@ QUERIES = [
     "corpus_prep_pipeline",
     # late r6: the persisted-index ANN deployment shape
     "knn_ivf_persisted",
+    # r7: the q01 pair generator (VERDICT r06 #2) and the full BPE
+    # training run join the tier table.
+    "q01_copurchase",
+    "bpe_train_merges",
 ]
 
 REPLICAS = 10
@@ -144,6 +148,26 @@ X100_QUERIES = [
     "duplicate_span_report",
     "hll_distinct_portable",
     "knn_ivf_persisted",
+    # r7 (VERDICT r06 #2): the q01 pair generator — output bounded by
+    # Σ_orders k² with k ≈ lines/order; the replica key shift keeps
+    # per-order line counts unchanged, so pairs grow ×N (linear) and
+    # the self-join's single pinned exchange carries the corpus once.
+    "q01_copurchase",
+    # r7 (VERDICT r06 #4): the remaining gated twins. All fit on
+    # bounded or narrow collected supports by design, so the expected
+    # ×100 shape is near-flat fit cost + linear assignment/scan:
+    # kmeans_lloyd_exact — driver-side exact-int64 Lloyd over a ≤K-cell
+    # quantized histogram (collect capped by construction);
+    # knn_ivf_portable / knn_pq_portable — integer-projection fits over
+    # the full but NARROW projection (2-3 int64 cols; ~100 MB at ×100),
+    # then cell-keyed equi-joins;
+    # bpe_encode_fixed — fixed 16-merge vocab, linear re-encode;
+    # bpe_train_merges — 64 training rounds over a top-64k-capped vocab.
+    "kmeans_lloyd_exact",
+    "knn_ivf_portable",
+    "knn_pq_portable",
+    "bpe_encode_fixed",
+    "bpe_train_merges",
 ]
 
 

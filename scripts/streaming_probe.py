@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Streaming state-size probe (VERDICT r06 #6).
+
+The bench's availableNow replay of a single fixture file runs as ONE
+micro-batch — the watermark never advances mid-run, so nothing about
+state BOUNDEDNESS is demonstrated, and the 17 s constant on
+stream_stream_join_purchases was never decomposed. This probe:
+
+1. stages `events` sorted by ts into N time-sliced parquet files per
+   tier (sf0.01, sf0.1, ×10 via the scaling probe's staged tier), with
+   ascending mtimes so the file source replays them in event-time order;
+2. runs the stateful queries (stream-stream join, watermark dedup,
+   tumbling window) with maxFilesPerTrigger=1 + availableNow → one
+   micro-batch per slice, watermark advancing between slices;
+3. records per-batch stateOperators metrics (numRowsTotal,
+   memoryUsedBytes) and trigger durations from recentProgress.
+
+The scale claim under test: peak state is bounded by (arrival rate ×
+watermark delay), NOT by corpus size — state rows must PLATEAU across
+batches and grow ≈linearly with tier event-RATE (events/hour of event
+time), while total input grows 10×/tier. MUST own the box (CLAUDE.md).
+
+Usage: python scripts/streaming_probe.py [--tiers sf0.01,sf0.1,x10]
+Writes a STREAMING section table to stdout (paste into SCALING.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+import uuid
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+N_SLICES = 12
+STAGE_ROOT = "/tmp/spark_graft_stream_tiers"
+
+TIERS = {
+    "sf0.01": "/root/testdata/sf0.01",
+    "sf0.1": "/root/testdata/sf0.1",
+    "x10": "/tmp/spark_graft_tier_x10",
+}
+
+
+def _stage_sliced(spark, src_dir: str, label: str) -> str:
+    """Write events ordered by ts into N_SLICES equal-row files with
+    ascending mtimes (the file source replays in mod-time order)."""
+    from pyspark.sql import functions as F
+    from hpat_jl_spark.tables import load_table
+
+    out = os.path.join(STAGE_ROOT, label)
+    marker = os.path.join(out, ".staged")
+    if os.path.isfile(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    ev = load_table(spark, "events", src_dir)
+    n = ev.count()
+    per = max(1, n // N_SLICES)
+    # ntile-style slicing by global ts order; one output file per slice.
+    ranked = ev.select(
+        "*", F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"])
+            .Window.orderBy("ts", "event_id")
+        ).alias("_rn")
+    )
+    for i in range(N_SLICES):
+        lo, hi = i * per + 1, (i + 1) * per if i < N_SLICES - 1 else n
+        (ranked.filter((F.col("_rn") >= lo) & (F.col("_rn") <= hi))
+         .drop("_rn").coalesce(1)
+         .write.mode("overwrite").parquet(os.path.join(out, f"slice_{i:03d}")))
+    # flatten: move each slice's single part-file up with an ordered name
+    t0 = time.time()
+    for i in range(N_SLICES):
+        d = os.path.join(out, f"slice_{i:03d}")
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        dst = os.path.join(out, f"events_{i:03d}.parquet")
+        shutil.move(os.path.join(d, part), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+        shutil.rmtree(d)
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return out
+
+
+def _run_stream(spark, make_stream, staged: str, mode: str) -> dict:
+    """Run a stream over the sliced dir, one file per micro-batch, to a
+    noop sink; return batch-level state metrics from recentProgress."""
+    from pyspark.sql import functions as F
+
+    reader = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    out = make_stream(reader)
+    t0 = time.perf_counter()
+    q = (out.writeStream.format("noop")
+         .outputMode(mode)
+         .option("checkpointLocation",
+                 os.path.join(STAGE_ROOT, f"ckpt_{uuid.uuid4().hex[:10]}"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+    prog = q.recentProgress
+    batches = []
+    for p in prog:
+        ops = p.get("stateOperators") or []
+        batches.append({
+            "batchId": p.get("batchId"),
+            "inputRows": p.get("numInputRows"),
+            "trigger_ms": (p.get("durationMs") or {}).get("triggerExecution"),
+            "state_rows": sum(o.get("numRowsTotal", 0) for o in ops),
+            "state_bytes": sum(o.get("memoryUsedBytes", 0) for o in ops),
+            "rows_removed": sum(o.get("numRowsRemoved", 0) for o in ops),
+        })
+    return {
+        "wall_s": round(wall, 2),
+        "n_batches": len([b for b in batches if (b["inputRows"] or 0) > 0
+                          or b["state_rows"] > 0]),
+        "batches": batches,
+        "peak_state_rows": max((b["state_rows"] for b in batches), default=0),
+        "final_state_rows": batches[-1]["state_rows"] if batches else 0,
+        "peak_state_mb": round(max((b["state_bytes"] for b in batches),
+                                   default=0) / 1048576, 2),
+        "rows_evicted": sum(b["rows_removed"] or 0 for b in batches),
+        "median_trigger_ms": sorted(
+            b["trigger_ms"] or 0 for b in batches
+        )[len(batches) // 2] if batches else None,
+    }
+
+
+def _queries():
+    from pyspark.sql import functions as F
+    from hpat_jl_spark.streaming.dedup import dedup_within_watermark
+    from hpat_jl_spark.streaming.windows import (
+        stream_stream_purchase_after_view,
+        tumbling_counts,
+    )
+
+    def join_q(ev):
+        return stream_stream_purchase_after_view(ev, watermark="1 hour")
+
+    def dedup_q(ev):
+        return dedup_within_watermark(ev, keys=["event_id"], delay="1 hour")
+
+    def tumbling_q(ev):
+        return tumbling_counts(ev, window="1 hour", watermark="2 hours")
+
+    return [
+        ("stream_stream_join_purchases", join_q, "append"),
+        ("stream_dedup_events", dedup_q, "append"),
+        ("stream_tumbling_counts", tumbling_q, "append"),
+    ]
+
+
+def main() -> None:
+    from hpat_jl_spark.session import get_spark
+
+    tier_arg = None
+    for i, a in enumerate(sys.argv):
+        if a == "--tiers" and i + 1 < len(sys.argv):
+            tier_arg = sys.argv[i + 1].split(",")
+    tiers = {k: v for k, v in TIERS.items()
+             if (tier_arg is None or k in tier_arg) and os.path.isdir(v)}
+
+    spark = get_spark(app_name="streaming-probe", shuffle_partitions=32)
+    os.makedirs(STAGE_ROOT, exist_ok=True)
+    results: dict[str, dict[str, dict]] = {}
+    for label, src in tiers.items():
+        staged = _stage_sliced(spark, src, label)
+        for name, make, mode in _queries():
+            r = _run_stream(spark, make, staged, mode)
+            results.setdefault(name, {})[label] = r
+            print(f"# {label} {name}: wall={r['wall_s']}s "
+                  f"batches={r['n_batches']} peak_state={r['peak_state_rows']} "
+                  f"final={r['final_state_rows']} evicted={r['rows_evicted']} "
+                  f"median_trigger={r['median_trigger_ms']}ms",
+                  file=sys.stderr)
+    # cleanup checkpoints
+    for d in os.listdir(STAGE_ROOT):
+        if d.startswith("ckpt_"):
+            shutil.rmtree(os.path.join(STAGE_ROOT, d), ignore_errors=True)
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -99,6 +99,14 @@ X100_SET = [
     "corpus_prep_pipeline",
     "knn_lsh",
     "fuzzy_decontaminate",
+    # r7 (VERDICT r06 #5): the relational headliners a 100×-cluster
+    # capacity plan would read, plus the q01 pair generator (#2) and
+    # the sketch twin — ≥12 queries at the compute-dominated tier.
+    "q3_shipping_priority",
+    "q9_product_type_profit",
+    "q25",
+    "hll_distinct_portable",
+    "q01_copurchase",
 ]
 
 
