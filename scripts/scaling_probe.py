@@ -542,8 +542,21 @@ def main() -> None:
             + x100_cells
         )
     lines += _child_json(["--skew"])["skew_lines"]
+    # Preserve the streaming-state section (scripts/streaming_probe.py
+    # splices it between markers; this full-regen must not drop it).
+    streaming_block = ""
+    try:
+        with open("SCALING.md") as f:
+            old = f.read()
+        b, e = "<!-- STREAMING:BEGIN", "<!-- STREAMING:END -->"
+        if b in old and e in old:
+            streaming_block = (
+                "\n" + old[old.index(b): old.index(e) + len(e)] + "\n"
+            )
+    except OSError:
+        pass
     with open("SCALING.md", "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + streaming_block)
     print("wrote SCALING.md")
 
 
