@@ -291,10 +291,12 @@ def main() -> None:
     # A query that succeeds on some rep but throws on another is
     # recorded in ``flaky`` alongside its timing (ADVICE r03: the error
     # was previously discarded, hiding intermittent crashes).
-    # 3 reps (r5, was 2): the first rep pays whole-stage-codegen JIT for
-    # the whole plan; min-of-3 converges on the plan's steady cost with
-    # one extra sample against this box's 1.5-2x noise.
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # 5 reps (r7, was 3): with the per-query medians now decided by
+    # 60-130 ms queries, this box's scheduling noise dominated min-of-3
+    # (back-to-back idle runs: samework median 1.92 / 2.01 at 3 reps vs
+    # 1.58 at 5 — identical code); min-of-5 converges both engines'
+    # timings to their plan cost. The first rep still pays codegen JIT.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     flaky: dict[str, str] = {}
