@@ -52,9 +52,14 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # registry (all have a green r1-r4 row; extra windows re-confirm).
 # Names not (yet) registered are skipped, so new plans can be pre-listed.
 DRIVER_PRIORITY: list[str] = [
-    # r6 scan-cut rewrites lead (single-pass degree table for the graph
+    # r7 physical-strategy changes lead: hll's pinned distinct fan-out
+    # and q01's pinned+reused-exchange self-join (value-identical by
+    # sweep; re-verify under the driver gate first).
+    "hll_distinct_portable",
+    "q01_copurchase",
+    # r6 scan-cut rewrites (single-pass degree table for the graph
     # kernels; HLL sketch + exact count off one shared distinct
-    # exchange): re-verify under the driver gate first.
+    # exchange).
     "triangle_count",
     "clustering_coefficient",
     "hll_distinct_portable",
