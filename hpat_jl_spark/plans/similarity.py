@@ -553,6 +553,21 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"hpat_ivf_{getpass.getuser()}"
     )
     os.makedirs(parent, mode=0o700, exist_ok=True)
+    # ADVICE r07: exist_ok=True means a PRE-CREATED path (attacker dir
+    # or symlink-to-dir on a shared host) survives makedirs with mode=
+    # ignored. Verify the resolved path is a real directory owned by
+    # this uid; tighten perms if loose; fall back to a private mkdtemp
+    # on any mismatch rather than writing the index into foreign space.
+    try:
+        st = os.lstat(parent)
+        import stat as _stat
+
+        if not _stat.S_ISDIR(st.st_mode) or st.st_uid != os.getuid():
+            raise OSError("pre-created or foreign-owned index parent")
+        if _stat.S_IMODE(st.st_mode) != 0o700:
+            os.chmod(parent, 0o700)
+    except OSError:
+        parent = tempfile.mkdtemp(prefix="hpat_ivf_")
     key = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
     path = os.path.join(parent, f"index_{key}")
     cells.write.mode("overwrite").partitionBy("cell").parquet(path)

@@ -33,10 +33,17 @@ def main() -> None:
     for name, sec in q.items():
         if duck.get(name):
             ratio = sec / duck[name]
-            # floor the band at 1.0: sub-0.1-ratio queries (e.g.
+            # floor the ratio band at 1.0: sub-0.1-ratio queries (e.g.
             # fuzzy_name_pairs at 0.02) would otherwise get a band so
-            # tight that duckdb-side noise trips it
-            bands[name] = {"ratio_hi": round(max(ratio * 1.5, 1.0), 2)}
+            # tight that duckdb-side noise trips it — but pair it with
+            # a secondary ABSOLUTE ceiling (ADVICE r07: the floor alone
+            # lets a 0.02x query regress ~50x, to parity with its
+            # ~2-min twin, before breaching), and the sec_hi also backs
+            # the band up when the twin timing is absent at check time.
+            bands[name] = {
+                "ratio_hi": round(max(ratio * 1.5, 1.0), 2),
+                "sec_hi": round(max(sec * 3.0, 0.5), 2),
+            }
         else:
             bands[name] = {"sec_hi": round(max(sec * 1.5, 0.5), 2)}
     out = {

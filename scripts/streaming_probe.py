@@ -55,12 +55,21 @@ def _stage_sliced(spark, src_dir: str, label: str) -> str:
 
     out = os.path.join(STAGE_ROOT, label)
     marker = os.path.join(out, ".staged")
-    if os.path.isfile(marker):
-        return out
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out, exist_ok=True)
     ev = load_table(spark, "events", src_dir)
     n = ev.count()
+    # Marker is keyed on (source row count, N_SLICES) — ADVICE r07: a
+    # bare "ok" marker silently reused stale slices when the fixture
+    # or the slice count changed, reporting numbers for old data.
+    expect = f"rows={n} slices={N_SLICES}\n"
+    if os.path.isfile(marker):
+        try:
+            with open(marker) as fh:
+                if fh.read() == expect:
+                    return out
+        except OSError:
+            pass
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
     per = max(1, n // N_SLICES)
     # ntile-style slicing by global ts order; one output file per slice.
     ranked = ev.select(
@@ -84,7 +93,7 @@ def _stage_sliced(spark, src_dir: str, label: str) -> str:
         os.utime(dst, (t0 + i, t0 + i))
         shutil.rmtree(d)
     with open(marker, "w") as fh:
-        fh.write("ok\n")
+        fh.write(expect)
     return out
 
 

@@ -45,3 +45,41 @@ def test_prepared_builds_run_no_jobs(spark, name):
         "plan construction — remove it from bench.PREPARED or make the "
         "builder lazy"
     )
+
+
+# ---------------------------------------------------------------- bands
+
+def test_band_check_missing_duck_falls_back_to_sec_hi():
+    """ADVICE r07: a missing DuckDB twin timing must not vacuously pass
+    a ratio band — it falls back to the absolute sec_hi ceiling."""
+    bands = {"q": {"ratio_hi": 2.0, "sec_hi": 1.0}}
+    # twin absent, absolute ceiling breached
+    assert bench._check_bands({"q": 1.5}, {}, {}, bands=bands) == [
+        "q: 1.50s > band 1.0s"
+    ]
+    # twin absent, absolute ceiling respected → clean
+    assert bench._check_bands({"q": 0.5}, {}, {}, bands=bands) == []
+
+
+def test_band_check_missing_duck_without_fallback_breaches():
+    bands = {"q": {"ratio_hi": 2.0}}
+    out = bench._check_bands({"q": 0.1}, {}, {}, bands=bands)
+    assert out and "no duckdb timing" in out[0]
+
+
+def test_band_check_sec_hi_guards_even_when_ratio_passes():
+    """ADVICE r07: the 1.0-floored ratio band alone lets a 0.02x query
+    regress ~50x; the paired absolute guard catches it."""
+    bands = {"q": {"ratio_hi": 1.0, "sec_hi": 0.5}}
+    # ratio 0.9 (passes) but absolute 0.9s > 0.5s ceiling
+    assert bench._check_bands({"q": 0.9}, {"q": 1.0}, {}, bands=bands) == [
+        "q: 0.90s > band 0.5s"
+    ]
+    # both fine
+    assert bench._check_bands({"q": 0.4}, {"q": 1.0}, {}, bands=bands) == []
+
+
+def test_band_check_ratio_breach_reported_once():
+    bands = {"q": {"ratio_hi": 1.5, "sec_hi": 10.0}}
+    out = bench._check_bands({"q": 2.0}, {"q": 1.0}, {}, bands=bands)
+    assert out == ["q: vs_duckdb 2.00 > band 1.5"]
