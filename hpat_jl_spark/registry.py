@@ -42,133 +42,84 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # Driver-gate ordering. The correctness driver consumes ``queries()`` in
-# dict order and records rows for roughly the first 50 entries per round.
-# Names listed here are emitted FIRST (in this order); everything else
-# follows in registration order. Round 5 policy: new/upgraded gated
-# queries lead (real PNG pixel decode, BPE-training twin, persisted-IVF
-# equivalence), then every plan whose physical strategy changed this
-# round (re-verification under the driver gate), then the remaining
-# rows-only queries (continued driver evidence), then the rest of the
-# registry (all have a green r1-r4 row; extra windows re-confirm).
-# Names not (yet) registered are skipped, so new plans can be pre-listed.
+# dict order and records rows for roughly the first 50 entries per round,
+# so dict order IS the driver-evidence window.
+#
+# Rotation policy (VERDICT r07 #2 — the window had ossified on ~50 of
+# 186, leaving 136 queries without a fresh driver-side row since r1-r4):
+#   1. DRIVER_PRIORITY (below) leads — ONLY the plans whose physical
+#      strategy or semantics changed THIS round, so changes always
+#      re-earn a driver row first. Reset it each round; history lives
+#      in git, not in the list.
+#   2. Everything else follows ordered by the OLDEST last-driver-green
+#      round, computed at import time from the committed
+#      CORRECTNESS_r*.json artifacts at the repo root (ties broken by
+#      registration order, which is stable). A query the driver has
+#      never recorded sorts first of all.
+# Net effect: each round's ~50-row window = (changed plans) + (the
+# longest-unrefreshed queries), so every registered query re-earns a
+# driver-side CORRECTNESS row every ~3-4 rounds. If no CORRECTNESS
+# artifacts are readable (fresh clone, driver sandbox), the order
+# degrades to DRIVER_PRIORITY + registration order — the pre-r8
+# behavior. Names not (yet) registered are skipped, so new plans can
+# be pre-listed.
 DRIVER_PRIORITY: list[str] = [
-    # r7 physical-strategy changes lead: hll's pinned distinct fan-out
-    # and q01's pinned+reused-exchange self-join (value-identical by
-    # sweep; re-verify under the driver gate first).
-    "hll_distinct_portable",
-    "q01_copurchase",
-    # r6 scan-cut rewrites (single-pass degree table for the graph
-    # kernels; HLL sketch + exact count off one shared distinct
-    # exchange).
-    "triangle_count",
-    "clustering_coefficient",
-    "hll_distinct_portable",
-    # Late-r6 rewrites: sig-level banding for the near-dup
-    # self-joins (band DISTINCT signatures, expand id pairs at output),
-    # the SemDeDup star-edge gram kernel, the registered cosine
-    # threshold drop to 0.4 (oracle gate now checks non-empty pair
-    # sets), and the corpus-prep/tokenize shuffle cuts.
-    "dedup_minhash",
-    "dedup_simhash",
-    "embedding_neardup",
-    "embedding_dedup_clusters",
-    "corpus_prep_pipeline",
-    "tokenize_to_ids",
-    "fuzzy_decontaminate",
-    # Plans whose physical strategy changed in r6 (VERDICT r05 #1/#2):
-    # driver-side exact-int64 Lloyd fits (kmeans/PQ/IVF), struct-min
-    # argmax in lang_id, lazy persists on twice-consumed streams
-    # (benchmark_decontaminate grams, encode_corpus_to_ids tokens),
-    # train_bpe's empty-token vocab-cap fix, the APNG validation, the
-    # catalog-style table cache under EVERY plan.
-    "kmeans_lloyd_exact",
-    "knn_pq_portable",
-    "knn_ivf_portable",
+    # r8 changed plans: knn_ivf_persisted's index-dir hardening
+    # (ADVICE r07 — same plan, new staging-path guard), and the BPE
+    # encode semantics work (VERDICT r07 #6).
     "knn_ivf_persisted",
-    "lang_id_ngram",
-    "benchmark_decontaminate",
-    "tokenize_to_ids",
-    "sequence_packing",
-    "corpus_prep_pipeline",
-    "bpe_train_merges",
-    "bpe_train_bounded",
-    "bpe_encode_trained",
-    "multimodal_frame_stats",
-    "quality_linear_gate_exact",
-    # New/upgraded to full oracle in r5 (VERDICT r04 #1/#3/#7):
-    "multimodal_pixel_stats",
-    "multimodal_features",
-    "multimodal_resize_stats",
-    "multimodal_frame_stats",
-    "bpe_train_bounded",
-    "bpe_train_merges",
-    "bpe_encode_trained",
-    "knn_ivf_persisted",
-    "bloom_prefilter_ingest",
-    "quality_linear_gate_exact",
-    # Plans whose physical strategy changed in r5 (VERDICT r04 #2):
-    # simhash → packed-long signatures; knn_lsh → Arrow buckets +
-    # fold scoring; graph plans → persist instead of localCheckpoint.
-    "dedup_simhash",
-    "knn_lsh",
-    "triangle_count",
-    "clustering_coefficient",
-    "link_prediction_customers",
-    "corpus_prep_pipeline",
-    "multimodal_header_recovery",
-    # Remaining rows-only queries — keep their driver rows warm.
-    "knn_ivf",
-    "knn_pq",
-    "ml_kmeans_clusters",
-    "quality_model_filter",
-    "stratified_sample_sources",
-    "approx_distinct",
-    "monte_carlo_pi",
     "bpe_encode_stats",
-    # Their gated family twins (hash evidence for the same kernels).
-    "kmeans_lloyd_exact",
-    "knn_ivf_portable",
-    "knn_pq_portable",
-    "hll_distinct_portable",
-    "stratified_sample_hash",
-    "quality_model_coefs",
-    "quasi_monte_carlo_pi",
     "bpe_encode_fixed",
-    # Round-4 cohort re-confirmation window.
-    "dedup_minhash",
-    "dedup_cluster",
-    "fuzzy_decontaminate",
-    "mix_rebalance_plan",
-    "hdf5_ingest_agg",
-    "embedding_dedup_clusters",
-    "duplicate_span_report",
-    "incremental_dedup_ingest",
-    "stream_foreach_batch_upsert",
-    "tokenize_to_ids",
-    "sequence_packing",
-    "csv_ingest_agg",
-    "json_ingest_agg",
-    "orc_ingest_agg",
-    "lines_ingest_agg",
-    "compaction_roundtrip_agg",
+    "bpe_encode_trained",
 ]
 
 
-def _ordered_names() -> list[str]:
-    """Registry names with DRIVER_PRIORITY entries first.
+def _driver_round_history(root: str | None = None) -> dict[str, int]:
+    """name -> last round with a driver CORRECTNESS row (0 if never),
+    read from CORRECTNESS_r*.json at the repo root. Best-effort: any
+    unreadable file is skipped; an empty result disables rotation.
+    ``root`` is injectable for tests; None uses the repo root."""
+    import glob
+    import json
+    import os
+    import re
 
-    DRIVER_PRIORITY intentionally re-lists names across its historical
-    cohort blocks, so dedupe here (first occurrence wins) — the driver
-    gate must see each query exactly once (ADVICE r06: the raw list
-    returned 207 entries for 186 queries and re-ran 21 of them).
-    """
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name in rows:
+            last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def _ordered_names() -> list[str]:
+    """Registry names: this round's DRIVER_PRIORITY first (deduped,
+    first occurrence wins), then the rest rotated oldest-driver-round
+    first (see the rotation policy above)."""
     seen: set[str] = set()
     prio = []
     for n in DRIVER_PRIORITY:
         if n in REGISTRY and n not in seen:
             seen.add(n)
             prio.append(n)
-    return prio + [n for n in REGISTRY if n not in seen]
+    rest = [n for n in REGISTRY if n not in seen]
+    last = _driver_round_history()
+    if last:
+        order = {n: i for i, n in enumerate(REGISTRY)}
+        rest.sort(key=lambda n: (last.get(n, 0), order[n]))
+    return prio + rest
 
 
 def load_all_plans() -> None:
