@@ -1230,7 +1230,8 @@ def _bpe_train_full_oracle() -> str:
 def bpe_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train 64 BPE merges on the corpus, then encode the corpus with
     them — the full tokenizer lifecycle under ONE value hash (r5;
-    bpe_encode_stats' priority-order encode stays rows-only). Encode
+    bpe_encode_stats' priority-order encode gated separately since r8).
+    Encode
     semantics are bpe_encode_fixed's chained leftmost-non-overlapping
     replaces, identical in Spark (F.replace) and DuckDB (replace); for
     a SELF-trained merge list that equals priority-order encoding
@@ -1289,14 +1290,66 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bpe_encode_stats", oracle=None, tags=("text", "ml"))
+def _bpe_encode_stats_oracle(num_merges: int = 64) -> str:
+    """DuckDB twin of bpe_encode_stats' PRIORITY-ORDER encode
+    (VERDICT r07 #6 — this closed the last rows-only BPE query).
+
+    Key fact making the priority loop SQL-expressible: for a
+    SELF-trained merge list, every merge's component symbols are
+    created only by strictly-earlier merges, so a later merge can
+    never create an instance of an earlier-rank pair. Hence
+    priority-order encoding (always apply the lowest-rank applicable
+    merge, leftmost first — functions/bpe.apply_merges) equals
+    applying the merges ONCE EACH in rank order with symbol-level
+    greedy leftmost non-overlapping replacement — which is exactly
+    what the training replay's s0..s{{N}} symbol-table chain already
+    computes over the capped vocabulary (the gaps-and-islands greedy
+    merge). s{{N}} therefore IS the priority encoding of every vocab
+    word, mirroring the Arrow kernel's per-word memoization: count
+    subwords per DISTINCT word, join back to the exploded corpus, sum
+    per doc. (tests/test_bpe.py property-checks the priority==rank-
+    order equivalence on randomized self-trained merge lists; the
+    space-string chained replace of bpe_encode_trained is the variant
+    that DIVERGES on overlapping same-pair runs, because consecutive
+    run matches share their delimiter space.)
+
+    Precondition: the corpus vocabulary fits the 65536-word training
+    cap, so every word's encoding appears in s{{N}} (the fixtures have
+    31 distinct words at every sf; a capped deployment would keep the
+    kernel for tail words — the oracle gates the checked regime)."""
+    body, _sel = _bpe_train_ctes(num_merges)
+    return f"""WITH {body},
+sub AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS n_sub FROM s{num_merges} GROUP BY w
+),
+dw AS MATERIALIZED (
+  SELECT doc_id, unnest(list_filter(
+      regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS w
+  FROM documents
+),
+agg AS (
+  SELECT dw.doc_id, count(*)::BIGINT AS n_words,
+         sum(sub.n_sub)::BIGINT AS n_subwords
+  FROM dw JOIN sub USING (w) GROUP BY dw.doc_id
+)
+SELECT d.doc_id, coalesce(a.n_words, 0)::BIGINT AS n_words,
+       coalesce(a.n_subwords, 0)::BIGINT AS n_subwords
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register(
+    "bpe_encode_stats", oracle=_bpe_encode_stats_oracle(64), tags=("text", "ml")
+)
 def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode the corpus with its own trained BPE merges and report
     per-doc word vs subword counts (the compression the tokenizer
     buys). Train = bounded driver loop; encode = broadcast merge table
-    into an Arrow kernel with per-batch word memoization. Rows-only
-    (encode priority loop has no SQL twin); invariants (n_subwords
-    bounds, exact small-vocab goldens) pinned in tests/test_bpe.py."""
+    into an Arrow kernel with per-batch word memoization. Oracle since
+    r8 (was rows-only): the training replay's final symbol table is
+    the priority encoding of every vocab word — see
+    _bpe_encode_stats_oracle for the equivalence argument; exact
+    small-vocab goldens stay pinned in tests/test_bpe.py."""
     from hpat_jl_spark.functions.bpe import bpe_encode_stats as encode
     from hpat_jl_spark.functions.bpe import train_bpe
 
@@ -1525,8 +1578,10 @@ def fit_quality_model_raw(spark: SparkSession, sf_dir: str) -> tuple:
 
 
 # ---- hash-gated BPE encoding under a FIXED merge table ----
-# bpe_train_merges / bpe_encode_stats are rows-only (iterative symbol-
-# table training has no SQL twin). Encoding under a FROZEN merge list,
+# (Historical note: bpe_train_merges / bpe_encode_stats started
+# rows-only; the train replay gained its unrolled-CTE oracle in r5 and
+# the stats encode its s64-lookup oracle in r8 — see
+# _bpe_encode_stats_oracle.) Encoding under a FROZEN merge list,
 # though, is pure string algebra both engines share: render each word
 # as space-separated characters + ' </w>', then apply the merges in
 # rank order as plain replace(' l r ' -> ' lr ') — replace() is

@@ -104,3 +104,79 @@ def test_fixed_merge_encode_matches_python_reference(spark):
         assert r.n_merged_symbols == sum(
             1 for x in ref if len(x) > 1 and x != "</w>"
         )
+
+
+def _rank_order_sequential(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """The oracle's semantics (plans/text_pipeline._bpe_encode_stats_
+    oracle): apply each merge ONCE in rank order, symbol-level greedy
+    leftmost non-overlapping — the training replay's s{r}->s{r+1} step."""
+    from hpat_jl_spark.functions.bpe import END
+
+    syms = list(word) + [END]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (a, b):
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_priority_encode_equals_rank_order_for_self_trained_merges():
+    """The equivalence the r8 bpe_encode_stats oracle rests on: for a
+    SELF-trained merge list (each merge's components created only by
+    earlier merges), priority-order encoding == one-pass-per-merge
+    rank-order application. Randomized over seeded synthetic corpora,
+    including words with overlapping same-pair runs."""
+    import random
+
+    from hpat_jl_spark.functions.bpe import (
+        apply_merges,
+        bpe_merges_from_word_counts,
+    )
+
+    rng = random.Random(8)
+    for trial in range(20):
+        alphabet = "abcd"[: rng.randint(2, 4)]
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+            for _ in range(rng.randint(3, 30))
+        ]
+        counts = {}
+        for w in words:
+            counts[w] = counts.get(w, 0) + rng.randint(1, 5)
+        merges = bpe_merges_from_word_counts(
+            sorted(counts.items()), num_merges=rng.randint(1, 16)
+        )
+        ranks = {p: i for i, p in enumerate(merges)}
+        for w in set(words) | {"aaaa", "abab", "aabbaabb"}:
+            w = "".join(c for c in w if c in alphabet) or alphabet[0]
+            assert apply_merges(w, ranks) == _rank_order_sequential(w, merges), (
+                trial, w, merges
+            )
+
+
+def test_chained_string_replace_diverges_on_same_pair_runs():
+    """The documented divergence that kept bpe_encode_stats rows-only
+    through r7: the space-delimited chained STRING replace (the
+    bpe_encode_trained / bpe_encode_fixed semantics, ' a b ' -> ' ab ')
+    skips alternate occurrences in an overlapping same-pair run because
+    consecutive matches share their delimiter space. Pinned as a golden
+    so the two checked semantics stay deliberately distinct."""
+    from hpat_jl_spark.functions.bpe import END, apply_merges
+
+    merges = [("a", "b")]
+    word = "abab"
+    # priority / rank-order: both (a,b) occurrences merge
+    assert apply_merges(word, {("a", "b"): 0}) == ["ab", "ab", END]
+    # chained string replace: ' a b a b </w> ' -> first match consumes
+    # the shared middle space, second occurrence loses its leading
+    # delimiter and survives unmerged
+    s = " " + " ".join(list(word) + [END]) + " "
+    out = s.replace(" a b ", " ab ")
+    assert out == " ab a b </w> ", out
+    assert len(out.split()) == 3 + 1  # ab, a, b, </w> — one merge only
