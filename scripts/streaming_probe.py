@@ -48,15 +48,15 @@ TIERS = {
 
 
 def _stage_sliced(spark, src_dir: str, label: str) -> str:
-    """Write events ordered by ts into N_SLICES equal-row files with
-    ascending mtimes (the file source replays in mod-time order)."""
-    from pyspark.sql import functions as F
+    """Stage events as N_SLICES time-ordered files (shared helper:
+    hpat_jl_spark/streaming/replay.py, also used by the kill-and-resume
+    tests), memoized behind a content-keyed marker."""
+    from hpat_jl_spark.streaming.replay import stage_time_slices
     from hpat_jl_spark.tables import load_table
 
     out = os.path.join(STAGE_ROOT, label)
     marker = os.path.join(out, ".staged")
-    ev = load_table(spark, "events", src_dir)
-    n = ev.count()
+    n = load_table(spark, "events", src_dir).count()
     # Marker is keyed on (source row count, N_SLICES) — ADVICE r07: a
     # bare "ok" marker silently reused stale slices when the fixture
     # or the slice count changed, reporting numbers for old data.
@@ -69,29 +69,7 @@ def _stage_sliced(spark, src_dir: str, label: str) -> str:
         except OSError:
             pass
     shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out, exist_ok=True)
-    per = max(1, n // N_SLICES)
-    # ntile-style slicing by global ts order; one output file per slice.
-    ranked = ev.select(
-        "*", F.row_number().over(
-            __import__("pyspark.sql.window", fromlist=["Window"])
-            .Window.orderBy("ts", "event_id")
-        ).alias("_rn")
-    )
-    for i in range(N_SLICES):
-        lo, hi = i * per + 1, (i + 1) * per if i < N_SLICES - 1 else n
-        (ranked.filter((F.col("_rn") >= lo) & (F.col("_rn") <= hi))
-         .drop("_rn").coalesce(1)
-         .write.mode("overwrite").parquet(os.path.join(out, f"slice_{i:03d}")))
-    # flatten: move each slice's single part-file up with an ordered name
-    t0 = time.time()
-    for i in range(N_SLICES):
-        d = os.path.join(out, f"slice_{i:03d}")
-        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
-        dst = os.path.join(out, f"events_{i:03d}.parquet")
-        shutil.move(os.path.join(d, part), dst)
-        os.utime(dst, (t0 + i, t0 + i))
-        shutil.rmtree(d)
+    stage_time_slices(spark, src_dir, out, N_SLICES)
     with open(marker, "w") as fh:
         fh.write(expect)
     return out
