@@ -244,14 +244,19 @@ def _check_bands(
         # disable a ratio band (a failed duckdb import would otherwise
         # let --check pass vacuously) — fall back to the absolute
         # guard, and breach loudly if the band has no fallback either.
-        if "ratio_hi" in band and duck.get(name):
+        # ADVICE r08: presence != magnitude — a twin that rounds to
+        # 0.0 s (sub-ms oracle at small sf) RAN fine; it just can't
+        # anchor a ratio, so it falls to sec_hi like an absent twin
+        # instead of emitting a spurious "no duckdb timing" breach.
+        has_twin = name in duck and duck[name] is not None
+        if "ratio_hi" in band and has_twin and duck[name] > 0:
             ratio = timings[name] / duck[name]
             if ratio > band["ratio_hi"]:
                 breaches.append(
                     f"{name}: vs_duckdb {ratio:.2f} > band {band['ratio_hi']}"
                 )
                 continue
-        elif "ratio_hi" in band and "sec_hi" not in band:
+        elif "ratio_hi" in band and not has_twin and "sec_hi" not in band:
             breaches.append(
                 f"{name}: no duckdb timing for ratio-banded query "
                 "(twin failed or skipped) — cannot verify band"
@@ -371,7 +376,126 @@ def _run_duck(names: list[str], reps: int, sf_dir: str) -> dict[str, float]:
     return duck
 
 
+# Concurrent-mode query set (VERDICT r07 #7 / r08 #7): a fixed mix of
+# scan-bound TPC-H, shuffle-heavy pipeline, and cache-using plans —
+# the shapes whose mutual interference the repo already measured
+# qualitatively (CacheManager eviction, CLAUDE.md r6). All PREPARED
+# (pure plan builders), so threads share one session safely: a
+# DataFrame is immutable and job submission is thread-safe by design.
+CONCURRENT_SET = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q05",
+    "q25",
+    "text_stats",
+    "dedup_exact",
+    "tokenize_to_ids",
+    "sessionize_events",
+]
+
+
+def _concurrent_mode(n_way: int) -> None:
+    """`bench.py --concurrent N`: run CONCURRENT_SET once serially,
+    then with N queries in flight at a time (worker threads pulling a
+    shared queue, one Spark session, FAIR scheduler so no query's
+    stages starve). Prints ONE JSON line with per-query slowdown vs
+    serial — the multi-tenant interference number a shared 100 TB
+    cluster pays. Absolute walls here are NOT bench numbers (no
+    min-of-reps warm discipline beyond one warm pass); the SLOWDOWN
+    ratio is the signal."""
+    import queue
+    import threading
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from hpat_jl_spark import registry
+    from hpat_jl_spark.session import get_spark, sized_shuffle_partitions
+
+    spark = get_spark(
+        app_name=f"hpat_jl_spark-bench-concurrent{n_way}",
+        shuffle_partitions=sized_shuffle_partitions(sf_dir),
+        extra_conf={"spark.scheduler.mode": "FAIR"},
+    )
+    qs = registry.queries()
+    spark.range(1000).selectExpr("sum(id)").collect()
+    # Build all plans once, warm each with one untimed pass (codegen).
+    dfs = {name: qs[name](spark, sf_dir) for name in CONCURRENT_SET}
+    for df in dfs.values():
+        df.write.format("noop").mode("overwrite").save()
+
+    def _run(name: str) -> float:
+        t0 = time.perf_counter()
+        dfs[name].write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    serial = {name: _run(name) for name in CONCURRENT_SET}
+
+    work: queue.Queue[str] = queue.Queue()
+    for name in CONCURRENT_SET:
+        work.put(name)
+    conc: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    lock = threading.Lock()
+
+    def worker() -> None:
+        while True:
+            try:
+                name = work.get_nowait()
+            except queue.Empty:
+                return
+            try:
+                dt = _run(name)
+                with lock:
+                    conc[name] = dt
+            except Exception as exc:  # noqa: BLE001
+                with lock:
+                    errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            finally:
+                work.task_done()
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=worker) for _ in range(n_way)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    conc_wall = round(time.perf_counter() - t0, 3)
+    spark.sparkContext.setLogLevel("OFF")
+    spark.stop()
+
+    slow = {
+        n: round(conc[n] / serial[n], 2)
+        for n in conc
+        if serial.get(n, 0) > 0
+    }
+    ranked = sorted(slow.values())
+    serial_wall = round(sum(serial.values()), 3)
+    out = {
+        "metric": "concurrent_slowdown",
+        "n_way": n_way,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "serial": serial,
+        "concurrent": conc,
+        "slowdown": slow,
+        "median_slowdown": ranked[len(ranked) // 2] if ranked else None,
+        # throughput win: wall-clock for the whole set vs serial total —
+        # <1.0 means interleaving pays despite per-query slowdown
+        "set_wall_serial_s": serial_wall,
+        "set_wall_concurrent_s": conc_wall,
+        "throughput_gain": round(serial_wall / conc_wall, 2) if conc_wall else None,
+    }
+    if errors:
+        out["errors"] = errors
+    sys.stderr.flush()
+    time.sleep(1.0)
+    print(json.dumps(out), flush=True)
+
+
 def main() -> None:
+    if "--concurrent" in sys.argv:
+        i = sys.argv.index("--concurrent")
+        n_way = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 2
+        _concurrent_mode(n_way)
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
@@ -423,45 +547,9 @@ def main() -> None:
     # 1.58 at 5 — identical code); min-of-5 converges both engines'
     # timings to their plan cost. The first rep still pays codegen JIT.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    flaky: dict[str, str] = {}
-    plan_build: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        best = None
-        # Isolate queries from each other's persisted frames (CLAUDE.md
-        # r6 trap: Dataset.persist entries accumulate in CacheManager
-        # for the session lifetime and later queries pay eviction
-        # interference). Reps of the SAME query stay warm — min-of-reps
-        # measures the plan's steady cost including its own caches.
-        spark.catalog.clearCache()
-        df = None
-        if name in PREPARED:  # build the immutable plan once (see above)
-            t0 = time.perf_counter()
-            try:
-                df = fn(spark, sf_dir)
-                plan_build[name] = round(time.perf_counter() - t0, 3)
-            except Exception as exc:
-                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-                print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
-                continue
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            try:
-                target = df if df is not None else fn(spark, sf_dir)
-                target.write.format("noop").mode("overwrite").save()
-            except Exception as exc:
-                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-                print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
-                break
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        if best is not None:
-            timings[name] = round(best, 3)
-            if name in errors:  # some rep failed AFTER a success
-                flaky[name] = errors.pop(name)
-            print(f"# {name}: {timings[name]}s (min of {reps})", file=sys.stderr)
+    timings, errors, flaky, plan_build = _run_spark_queries(
+        spark, qs, HEADLINE, reps, sf_dir
+    )
     # Spark work is done: stop the JVM NOW so its shutdown noise cannot
     # land after the final JSON line (the driver records a 2000-char
     # tail of combined output; r3's line was evicted past the window —
@@ -475,37 +563,56 @@ def main() -> None:
     # DuckDB twin: time the oracle SQL for every headline query that has
     # one (rows-only queries have no SQL twin). fetchall() forces full
     # materialization — the moral equivalent of the noop write above.
-    duck: dict[str, float] = {}
-    try:
-        from hpat_jl_spark.testing import duckdb_con
-
-        oracles = registry.oracle_sql()
-        con = duckdb_con(sf_dir)
-        for name in HEADLINE:
-            sql = oracles.get(name)
-            if sql is None:
-                continue
-            best = None
-            try:
-                for _ in range(reps):  # same min-of-reps as the Spark side
-                    t0 = time.perf_counter()
-                    con.execute(sql).fetchall()
-                    dt = time.perf_counter() - t0
-                    best = dt if best is None else min(best, dt)
-                    if dt > 10:
-                        # a >10s twin (fuzzy_name_pairs' quadratic plan
-                        # is ~2 min) is far past JIT/noise resolution;
-                        # re-running it only stalls the bench
-                        break
-            except Exception as exc:
-                print(f"# duckdb {name}: ERROR {exc}", file=sys.stderr)
-                continue
-            duck[name] = round(best, 3)
-            print(f"# duckdb {name}: {duck[name]}s", file=sys.stderr)
-    except Exception as exc:  # bench must still emit its line
-        print(f"# duckdb timing skipped: {exc}", file=sys.stderr)
+    duck = _run_duck(HEADLINE, reps, sf_dir)
 
     box_after = _box_conditions()
+
+    # Band guard + loaded-box self-heal (VERDICT r07 #4 / r08 #6; the
+    # helpers existed since r8 but main() never called them — ADVICE
+    # r08). Breaches measured on a loaded box are re-run ONCE in a
+    # fresh session (both engines, breached subset only): contention
+    # noise heals, real regressions reproduce. Provenance (which
+    # queries re-ran, before/after seconds) lands in the artifacts so
+    # a loaded-box round is machine-distinguishable. Bands are an
+    # sf0.1 artifact — a smoke run at another sf must not compare
+    # against them (every band would spuriously breach).
+    breaches = (
+        _check_bands(timings, duck, errors) if str(sf_val) == "0.1" else []
+    )
+    self_heal: dict = {}
+    loaded_now = box_before["loaded"] or box_after["foreign_spark_jvms"] > 0
+    if breaches and loaded_now:
+        names = [n for n in _breach_names(breaches) if n in HEADLINE]
+        print(
+            f"# box loaded + {len(breaches)} breach(es) — self-heal "
+            f"re-run of {names}",
+            file=sys.stderr,
+        )
+        spark2 = get_spark(
+            app_name="hpat_jl_spark-bench-heal", shuffle_partitions=nparts
+        )
+        spark2.range(1000).selectExpr("sum(id)").collect()
+        t2, e2, _f2, _pb2 = _run_spark_queries(spark2, qs, names, reps, sf_dir)
+        spark2.sparkContext.setLogLevel("OFF")
+        spark2.stop()
+        d2 = _run_duck(names, reps, sf_dir)
+        for n in names:
+            rec = {"before": timings.get(n)}
+            if n in t2:  # keep the better (min-of-more-reps) estimate
+                timings[n] = min(timings.get(n, t2[n]), t2[n])
+                errors.pop(n, None)
+            elif n in e2 and n not in timings:
+                errors[n] = e2[n]
+            if n in d2:
+                duck[n] = min(duck.get(n, d2[n]), d2[n])
+            rec["after"] = timings.get(n)
+            self_heal[n] = rec
+        breaches = _check_bands(timings, duck, errors)
+        box_heal = _box_conditions()
+        loaded_now = box_heal["foreign_spark_jvms"] > 0 or (
+            box_heal["load_avg_1m"] > _LOAD1_IDLE_MAX
+        )
+    exit_code = _check_exit_code(breaches, loaded_now)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -558,10 +665,19 @@ def main() -> None:
     detail["box_before"] = box_before
     detail["box_after"] = box_after
     detail["plan_build"] = plan_build  # prepared-plan build cost, sec
-    # Band guard: always RECORD breaches in the detail artifact; only
-    # `--check` turns them into a nonzero exit (the driver's plain run
-    # stays resilient, the verify recipe gets a hard gate).
-    breaches = _check_bands(timings, duck, errors)
+    # Band verdict (VERDICT r08 #6): the emitted JSON always carries
+    # the exit-code verdict and any self-heal provenance, so a loaded-
+    # box round is machine-distinguishable from a regression. Only
+    # `--check` turns the verdict into a nonzero exit (the driver's
+    # plain run stays resilient, the verify recipe gets a hard gate).
+    out["check"] = {
+        "verdict": {0: "clean", 1: "breach", 2: "withheld"}[exit_code],
+        "exit_code": exit_code,
+    }
+    if self_heal:
+        out["check"]["self_healed"] = sorted(self_heal)
+        detail["self_heal"] = self_heal
+    detail["check"] = out["check"]
     if breaches:
         detail["band_breaches"] = breaches
         out["band_breaches"] = len(breaches)
@@ -598,8 +714,8 @@ def main() -> None:
     sys.stderr.flush()
     time.sleep(1.0)
     print(line, flush=True)
-    if "--check" in sys.argv and breaches:
-        sys.exit(1)
+    if "--check" in sys.argv:
+        sys.exit(exit_code)
 
 
 def _read_scaling_tiers() -> list[dict]:

@@ -135,7 +135,10 @@ def bpe_encode_stats(
         for pdf in batches:
             n_words, n_sub = [], []
             for txt in pdf[text_col]:
-                words = str(txt).strip().split()
+                # NULL text must count as the empty document (0 words),
+                # matching the oracle's left join → 0, not the literal
+                # word "None" (ADVICE r08).
+                words = ("" if pd.isna(txt) else str(txt)).strip().split()
                 total = 0
                 for w in words:
                     n = memo.get(w)

@@ -24,18 +24,32 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # Columns exempt from the exact float compare (VERDICT r08 #2):
+    # raw unquantized floats whose cross-engine agreement is genuinely
+    # tolerance-bounded (order-dependent float math that cannot be
+    # fixed-point quantized without changing the query's semantics).
+    # Every entry is a documented driver-hash RISK — the gate hashes
+    # exact values — so prefer quantizing the plan over tagging it.
+    float_tol: tuple[str, ...] = field(default_factory=tuple)
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    float_tol: tuple[str, ...] = (),
+):
     """Decorator: register a (spark, sf_dir) -> DataFrame query plan."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags)
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, tags=tags, float_tol=float_tol
+        )
         return fn
 
     return deco
@@ -64,13 +78,11 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # behavior. Names not (yet) registered are skipped, so new plans can
 # be pre-listed.
 DRIVER_PRIORITY: list[str] = [
-    # r8 changed plans: knn_ivf_persisted's index-dir hardening
-    # (ADVICE r07 — same plan, new staging-path guard), and the BPE
-    # encode semantics work (VERDICT r07 #6).
-    "knn_ivf_persisted",
-    "bpe_encode_stats",
-    "bpe_encode_fixed",
-    "bpe_encode_trained",
+    # r9 changed plans: q11's fixed-point-cents rewrite (VERDICT r08
+    # #1 — re-earn its driver row first), plus every plan the exact-
+    # mode compare_frames audit forced to quantize (appended below as
+    # the audit flips them).
+    "q11_important_stock",
 ]
 
 

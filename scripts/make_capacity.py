@@ -1,0 +1,307 @@
+#!/usr/bin/env python
+"""CAPACITY.md generator (VERDICT r07 #3 / r08 #4): join the four
+measured scale views — SCALING.md ×100 wall-clock, SHUFFLE.md byte
+volumes, CORES.md of-ceiling fractions, MEMORY_PROBE.json memory
+floors — into one per-query capacity projection: core-hours per input
+TB and a recommended cluster shape for a 100 TB run.
+
+Everything here is derived from committed measurements; the script
+re-reads the artifacts so a probe re-run regenerates the projection
+with zero hand-editing. Projection model (documented in the output):
+
+  core_s_per_TB   = wall_x100 * THREADS / tier_TB        (measured)
+  provisioned/TB  = core_s_per_TB / of_ceiling           (what you buy)
+
+where of_ceiling is the CORES.md ×100 fraction of the machine's own
+deliverable pure-compute speedup — the part of strong scaling that
+transfers to a real cluster (each executor brings its own memory
+channels). Queries with superlinear ×10→×100 growth (pair-output
+bounds) are flagged: their core-hours scale with OUTPUT size, not
+input, and the projection is a lower bound at production duplicate
+rates.
+
+    python scripts/make_capacity.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+THREADS = 32
+X100_DIR = "/tmp/spark_graft_tier_x100"
+# Measured once from the staged tier (du -sb); recorded here so the
+# projection regenerates without the staging present. Refreshed
+# automatically when the staged dir exists at generation time.
+X100_BYTES_DEFAULT = 1_561_000_000  # ~1.45 GiB parquet
+
+
+def _x100_bytes() -> int:
+    total = 0
+    try:
+        for root, _dirs, files in os.walk(X100_DIR):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+    except OSError:
+        total = 0
+    return total or X100_BYTES_DEFAULT
+
+
+def parse_scaling() -> dict[str, dict]:
+    """Tier table rows out of SCALING.md (same shape bench.py reads)."""
+    rows: dict[str, dict] = {}
+    with open(os.path.join(REPO, "SCALING.md")) as fh:
+        for ln in fh:
+            parts = [p.strip() for p in ln.strip().strip("|").split("|")]
+            if len(parts) != 7 or parts[1] in ("sf0.01 (s)", "---"):
+                continue
+            try:
+                rec = {
+                    "sf0.1_s": float(parts[2]),
+                    "x10_s": float(parts[3]),
+                    "growth_x10": float(parts[4].rstrip("×x")),
+                }
+            except ValueError:
+                continue
+            try:
+                rec["x100_s"] = float(parts[5])
+                rec["growth_x100"] = float(parts[6].rstrip("×x"))
+            except ValueError:
+                pass
+            rows[parts[0]] = rec
+    return rows
+
+
+def parse_shuffle() -> dict[str, dict]:
+    """Per-query byte volumes at sf0.1 out of SHUFFLE.md's main table."""
+    rows: dict[str, dict] = {}
+    with open(os.path.join(REPO, "SHUFFLE.md")) as fh:
+        for ln in fh:
+            parts = [p.strip() for p in ln.strip().strip("|").split("|")]
+            if len(parts) != 10 or parts[1] in ("jobs", "---"):
+                continue
+            try:
+                rows[parts[0]] = {
+                    "scan_mb": float(parts[4]),
+                    "shw_mb": float(parts[6]),
+                    "sh_scan": float(parts[8]),
+                }
+            except ValueError:
+                continue
+    return rows
+
+
+def parse_cores() -> dict[str, float]:
+    """of-ceiling per query out of CORES.md; the ×100 table (compute-
+    dominated regime — the transferable number) wins over the ×10 one
+    when a query appears in both."""
+    x10: dict[str, float] = {}
+    x100: dict[str, float] = {}
+    current = x10
+    with open(os.path.join(REPO, "CORES.md")) as fh:
+        for ln in fh:
+            if ln.startswith("## Table 2"):
+                current = x100
+            parts = [p.strip() for p in ln.strip().strip("|").split("|")]
+            if len(parts) != 7 or parts[1].startswith("local[4]") or parts[1] == "---":
+                continue
+            try:
+                current[parts[0]] = float(parts[6])
+            except ValueError:
+                continue
+    return {**x10, **x100}
+
+
+def parse_memory() -> dict[str, dict]:
+    """floor budget + spill out of MEMORY_PROBE.json (may not exist)."""
+    path = os.path.join(REPO, "MEMORY_PROBE.json")
+    out: dict[str, dict] = {}
+    try:
+        with open(path) as fh:
+            grid = json.load(fh)
+    except (OSError, ValueError):
+        return out
+    for name, cells in grid.items():
+        budgets = [b for b, rec in cells.items() if rec.get("ok")]
+        if not budgets:
+            continue
+        floor = min(budgets, key=lambda b: float(re.sub(r"[^\d.]", "", b)))
+        rec = cells[floor]
+        out[name] = {
+            "floor": floor,
+            "floor_gb": float(re.sub(r"[^\d.]", "", floor)),
+            "spill_bytes": rec.get("mem_spill_bytes", 0)
+            + rec.get("disk_spill_bytes", 0),
+            "floor_wall_s": rec.get("wall_s"),
+        }
+    return out
+
+
+# Superlinear ×10→×100 growth documented as an OUTPUT bound of the
+# verbatim-replication scheme (SCALING.md header), not a plan defect;
+# flagged in the table because their production cost tracks duplicate
+# rate, not input TB.
+_OUTPUT_BOUND = {"dedup_minhash", "dedup_simhash", "fuzzy_decontaminate",
+                 "embedding_dedup_clusters"}
+
+
+def build() -> str:
+    scaling = parse_scaling()
+    shuffle = parse_shuffle()
+    cores = parse_cores()
+    memory = parse_memory()
+    tier_bytes = _x100_bytes()
+    tier_tb = tier_bytes / 1e12
+
+    names = [n for n, r in scaling.items() if "x100_s" in r]
+    rows = []
+    for n in names:
+        s = scaling[n]
+        core_s_tb = s["x100_s"] * THREADS / tier_tb
+        oc = cores.get(n)
+        prov = core_s_tb / oc if oc else None
+        sh = shuffle.get(n, {})
+        # shuffle bytes per input TB: sh:scan is scale-free (both sides
+        # grow linearly for linear plans), so TB shuffled per TB scanned
+        mem = memory.get(n, {})
+        rows.append({
+            "name": n,
+            "x100_s": s["x100_s"],
+            "growth": s.get("growth_x100"),
+            "core_h_tb": core_s_tb / 3600,
+            "of_ceiling": oc,
+            "prov_h_tb": prov / 3600 if prov else None,
+            "sh_scan": sh.get("sh_scan"),
+            "mem_floor": mem.get("floor"),
+            "spill": mem.get("spill_bytes"),
+        })
+    rows.sort(key=lambda r: -(r["prov_h_tb"] or r["core_h_tb"]))
+    top3 = rows[:3]
+
+    # Cluster shape: drive from the measured worst memory floor and the
+    # total provisioned core-hours of the full headline pipeline.
+    total_prov = sum(r["prov_h_tb"] or r["core_h_tb"] for r in rows)
+    worst_floor = max(
+        (m["floor_gb"] for m in memory.values()), default=None
+    )
+    gb_per_core = (worst_floor / THREADS) if worst_floor else None
+
+    lines = [
+        "# CAPACITY — projected cost of a 100 TB run",
+        "",
+        "Generated by `python scripts/make_capacity.py` from the four",
+        "measured artifacts (re-run it after any probe refresh):",
+        "SCALING.md (×100 wall), SHUFFLE.md (bytes), CORES.md",
+        "(of-ceiling), MEMORY_PROBE.json (memory floors). Projection:",
+        "",
+        "    core_s/TB      = x100_wall × 32 threads ÷ measured tier bytes"
+        f" ({tier_bytes / 1e9:.2f} GB)",
+        "    provisioned/TB = core_s/TB ÷ of_ceiling   (cores you must BUY",
+        "                     for the plan's achievable parallel fraction)",
+        "",
+        "Caveats, honestly stated: (a) this box's per-core throughput is",
+        "a shared-VM lower bound — real cluster cores are faster, so the",
+        "absolute core-hours are conservative; (b) rows flagged `output-",
+        "bound` have superlinear ×10→×100 growth by OUTPUT size under the",
+        "tier's verbatim 100-way duplication (SCALING.md header) — their",
+        "production cost tracks duplicate rate, not input TB, and the",
+        "projection is a lower bound at adversarial duplicate rates;",
+        "(c) per-TB numbers assume the ×100 tier's compute-dominated",
+        "regime transfers (CORES.md Table 2 shows of-ceiling RISING with",
+        "input size — the fixed serial floor amortizes, so at 100 TB the",
+        "per-TB cost falls below these numbers, again conservative).",
+        "",
+        "| query | ×100 wall (s) | growth/decade | core-h/TB | of-ceiling | provisioned core-h/TB | shuffle:scan | mem floor (32 thr) | spill@floor |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        flag = " ⚠output-bound" if r["name"] in _OUTPUT_BOUND else ""
+        lines.append(
+            f"| {r['name']}{flag} | {r['x100_s']} "
+            f"| {r['growth']}× "
+            f"| {r['core_h_tb']:.2f} "
+            f"| {r['of_ceiling'] if r['of_ceiling'] is not None else '—'} "
+            f"| {f'{r_prov:.2f}' if (r_prov := r['prov_h_tb']) else '—'} "
+            f"| {r['sh_scan'] if r['sh_scan'] is not None else '—'} "
+            f"| {r['mem_floor'] or '—'} "
+            f"| {_fmt_bytes(r['spill']) if r['spill'] is not None else '—'} |"
+        )
+    lines += [
+        "",
+        "## Top-3 cost drivers",
+        "",
+    ]
+    for i, r in enumerate(top3, 1):
+        cost = r["prov_h_tb"] or r["core_h_tb"]
+        lines.append(
+            f"{i}. **{r['name']}** — {cost:.2f} provisioned core-h/TB"
+            f" (of-ceiling {r['of_ceiling'] or '?'}, shuffle:scan"
+            f" {r['sh_scan'] if r['sh_scan'] is not None else '?'})"
+            + (" — output-bound under 100-way verbatim duplication;"
+               " production cost tracks duplicate rate"
+               if r["name"] in _OUTPUT_BOUND else "")
+        )
+    lines += [
+        "",
+        "## Recommended cluster shape (100 TB corpus)",
+        "",
+        f"- Full headline set: **{total_prov:.1f} provisioned core-hours",
+        f"  per input TB** → ~{total_prov * 100:.0f} k-core-hours per 100 TB",
+        "  pass over every headline query (one-query pipelines take their",
+        "  row's share).",
+    ]
+    if worst_floor and gb_per_core:
+        lines += [
+            f"- Memory: the measured floor for the heaviest query is"
+            f" **{worst_floor:.0f} GB per 32 task threads"
+            f" ({gb_per_core:.2f} GB/core)** at ×100 bytes; production"
+            " executors should provision ≥2× that per core (working sets"
+            " grow with partition bytes, and the floor run already pays a"
+            " spill slowdown — see SCALING.md memory appendix).",
+            f"- Shape: 32-core executors with"
+            f" {max(8, int(gb_per_core * 2 * 32))} GB each (2× floor),"
+            " shuffle-partition ceiling ≈ 2 MB/partition of expected",
+            "  shuffle bytes (session.sized_shuffle_partitions), AQE on.",
+        ]
+    else:
+        lines += [
+            "- Memory floors not yet measured (run scripts/memory_probe.py"
+            " first; MEMORY_PROBE.json missing).",
+        ]
+    ex = rows[0] if rows else None
+    if ex:
+        lines += [
+            "",
+            "Cross-check against a measured row: "
+            f"{ex['name']} ran the {tier_bytes / 1e9:.2f} GB ×100 tier in "
+            f"{ex['x100_s']} s on {THREADS} threads = "
+            f"{ex['x100_s'] * THREADS / 3600:.3f} core-h for "
+            f"{tier_tb:.5f} TB → {ex['core_h_tb']:.2f} core-h/TB, the "
+            "table's value, derived from a committed ×100 measurement.",
+        ]
+    return "\n".join(lines) + "\n"
+
+
+def _fmt_bytes(n: int) -> str:
+    if n >= 1 << 30:
+        return f"{n / (1 << 30):.1f} GiB"
+    if n >= 1 << 20:
+        return f"{n / (1 << 20):.1f} MiB"
+    return "0" if not n else f"{n / 1024:.0f} KiB"
+
+
+def main() -> int:
+    text = build()
+    with open(os.path.join(REPO, "CAPACITY.md"), "w") as fh:
+        fh.write(text)
+    print(text)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

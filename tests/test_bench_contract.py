@@ -83,3 +83,46 @@ def test_band_check_ratio_breach_reported_once():
     bands = {"q": {"ratio_hi": 1.5, "sec_hi": 10.0}}
     out = bench._check_bands({"q": 2.0}, {"q": 1.0}, {}, bands=bands)
     assert out == ["q: vs_duckdb 2.00 > band 1.5"]
+
+
+# ------------------------------------------------------- check verdict
+
+def test_check_exit_code_policy():
+    """VERDICT r07 #4 / r08 #6: 0 = clean, 1 = real breach on an idle
+    box, 2 = verdict withheld (breaches measured under load)."""
+    assert bench._check_exit_code([], False) == 0
+    assert bench._check_exit_code([], True) == 0
+    assert bench._check_exit_code(["q: slow"], False) == 1
+    assert bench._check_exit_code(["q: slow"], True) == 2
+
+
+def test_breach_names_dedupes_and_sorts():
+    assert bench._breach_names(["b: x", "a: y", "b: z"]) == ["a", "b"]
+
+
+def test_band_check_zero_duck_timing_is_not_a_missing_twin():
+    """ADVICE r08: a twin that rounds to 0.0s RAN — it just cannot
+    anchor a ratio. It must fall back to sec_hi, not emit the spurious
+    'no duckdb timing' breach."""
+    bands = {"q": {"ratio_hi": 2.0, "sec_hi": 1.0}}
+    assert bench._check_bands({"q": 0.5}, {"q": 0.0}, {}, bands=bands) == []
+    assert bench._check_bands({"q": 1.5}, {"q": 0.0}, {}, bands=bands) == [
+        "q: 1.50s > band 1.0s"
+    ]
+    # genuinely absent twin with no sec_hi still breaches loudly
+    bands2 = {"q": {"ratio_hi": 2.0}}
+    out = bench._check_bands({"q": 0.1}, {}, {}, bands=bands2)
+    assert out and "no duckdb timing" in out[0]
+
+
+def test_main_wires_helpers():
+    """ADVICE r08: main() must call the factored helpers (the r8 copies
+    drifted); pin the call sites so a future inline rewrite fails."""
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    for helper in ("_run_spark_queries", "_run_duck", "_check_bands",
+                   "_check_exit_code", "_breach_names"):
+        assert helper + "(" in src, f"main() no longer calls {helper}()"
+    # the emitted JSON must carry the verdict (VERDICT r08 #6)
+    assert 'out["check"]' in src

@@ -180,3 +180,16 @@ def test_chained_string_replace_diverges_on_same_pair_runs():
     out = s.replace(" a b ", " ab ")
     assert out == " ab a b </w> ", out
     assert len(out.split()) == 3 + 1  # ab, a, b, </w> — one merge only
+
+
+def test_null_text_encodes_as_empty_document(spark):
+    """ADVICE r08: a NULL text must count 0 words / 0 subwords (the
+    oracle's left join yields 0), not encode the literal word 'None'."""
+    from hpat_jl_spark.functions.bpe import bpe_encode_stats
+
+    docs = spark.createDataFrame(
+        [(1, "low lower"), (2, None)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in bpe_encode_stats(docs, [("l", "o")]).collect()}
+    assert rows[2].n_words == 0 and rows[2].n_subwords == 0
+    assert rows[1].n_words == 2
