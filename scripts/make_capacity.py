@@ -257,12 +257,15 @@ def build() -> str:
     ]
     if worst_floor and gb_per_core:
         lines += [
-            f"- Memory: the measured floor for the heaviest query is"
+            f"- Memory: **no probed budget OOM'd** — every heavy query"
+            f" completes at the grid's lowest budget,"
             f" **{worst_floor:.0f} GB per 32 task threads"
-            f" ({gb_per_core:.2f} GB/core)** at ×100 bytes; production"
-            " executors should provision ≥2× that per core (working sets"
-            " grow with partition bytes, and the floor run already pays a"
-            " spill slowdown — see SCALING.md memory appendix).",
+            f" ({gb_per_core:.2f} GB/core)**, at ×100 bytes (so the true"
+            " floor is AT OR BELOW this; the engine degrades by spilling,"
+            " ≤1.5× slowdown — SCALING.md memory appendix). Production"
+            " executors should still provision several× more per core:"
+            " working sets grow with partition bytes, and headroom buys"
+            " back the spill slowdown.",
             f"- Shape: 32-core executors with"
             f" {max(8, int(gb_per_core * 2 * 32))} GB each (2× floor),"
             " shuffle-partition ceiling ≈ 2 MB/partition of expected",

@@ -54,8 +54,12 @@ QUERIES = [
 
 # Walked downward; 32g is the reference the slowdown column normalizes
 # to (the documented known-good budget — CLAUDE.md r6: 8g OOM'd
-# dedup_simhash at ×100 before this probe existed).
-BUDGETS = ["32g", "16g", "12g", "8g", "6g"]
+# dedup_simhash at ×100 before this probe existed; the r9 grid shows
+# that OOM is gone — the sig-level banding rewrites since r6 shrank
+# the working sets — so the walk continues to 4g/3g to find the real
+# edge: at 3g the 32 task threads share <100 MB each against ~300 MB
+# of JVM/broadcast overhead).
+BUDGETS = ["32g", "16g", "12g", "8g", "6g", "4g", "3g"]
 
 X100_DIR = "/tmp/spark_graft_tier_x100"
 
@@ -234,10 +238,21 @@ def main() -> int:
             file=sys.stderr,
         )
         return 1
+    # Resume: cells already measured in a committed MEMORY_PROBE.json
+    # are reused (delete the file or pass --rerun for a full refresh) —
+    # extending BUDGETS only runs the new cells.
     grid: dict[str, dict[str, dict]] = {}
+    if "--rerun" not in sys.argv:
+        try:
+            with open(os.path.join(REPO, "MEMORY_PROBE.json")) as fh:
+                grid = json.load(fh)
+        except (OSError, ValueError):
+            grid = {}
     for name in QUERIES:
-        grid[name] = {}
+        grid.setdefault(name, {})
         for budget in BUDGETS:
+            if budget in grid[name]:
+                continue
             rec = _run_child(name, budget)
             grid[name][budget] = rec
             if rec.get("ok"):
