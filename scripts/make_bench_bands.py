@@ -2,12 +2,21 @@
 """Generate BENCH_BANDS.json from an idle-box BENCH_DETAIL.json
 (VERDICT r06 #7: per-query regression guard).
 
-Bands are ±50% on the vs-DuckDB ratio where an oracle twin exists
-(ratios cancel most box noise since both engines share the box within
-the same minute), absolute seconds ×1.5 otherwise. Only UPPER breaches
-fail `bench.py --check` — a query getting faster is not a regression.
-Refuses to generate from a loaded-box run (the band would bake the
-contention in).
+Bands are ±50% on the vs-DuckDB ratio PLUS an additive 0.35 noise
+allowance where an oracle twin exists (ratios cancel most box noise
+since both engines share the box within the same minute — but for
+sub-second queries the ratio is decided by ~0.1 s quantities on BOTH
+sides, and a purely multiplicative band on a small base ratio leaves
+less absolute slack than one engine's scheduling jitter: three
+back-to-back idle r9 runs each breached a DIFFERENT small query by
+2-10% — dedup_exact 2.82 vs 2.80, q21 10.33 vs 10.11,
+duplicate_span_report 2.84 vs 2.59 — pure noise, different victim
+every run). The paired absolute sec_hi ceiling (×3) stays the real
+regression backstop; a genuine plan regression clears both. Absolute
+seconds ×1.5 band otherwise. Only UPPER breaches fail `bench.py
+--check` — a query getting faster is not a regression. Refuses to
+generate from a loaded-box run (the band would bake the contention
+in).
 
 Usage: python scripts/make_bench_bands.py [BENCH_DETAIL.json]
 """
@@ -41,7 +50,7 @@ def main() -> None:
             # ~2-min twin, before breaching), and the sec_hi also backs
             # the band up when the twin timing is absent at check time.
             bands[name] = {
-                "ratio_hi": round(max(ratio * 1.5, 1.0), 2),
+                "ratio_hi": round(max(ratio * 1.5 + 0.35, 1.0), 2),
                 "sec_hi": round(max(sec * 3.0, 0.5), 2),
             }
         else:
