@@ -264,26 +264,42 @@ WITH toks AS (
          string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
   FROM toks GROUP BY token
 )
-SELECT token, df::BIGINT AS df, postings FROM posting WHERE df <= 100
+SELECT token, df::BIGINT AS df, postings FROM posting
+WHERE df <= greatest(100, (SELECT count(*) FROM documents) // 20)
 """
 
 
 @register("inverted_index", oracle=_inverted_index_oracle, tags=("text",))
 def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index build (token → sorted doc-id posting list) for
-    the selective tail of the vocabulary (df ≤ 100) — the retrieval /
-    attribution side of a corpus store. Head terms are excluded the
-    way real indexes stop-list them: their posting lists are O(corpus)
-    rows and belong in the heavy_hitters aggregate instead, so no
-    single reducer key ever receives an unbounded list (skew guard).
+    the selective tail of the vocabulary — the retrieval / attribution
+    side of a corpus store. Head terms are excluded the way real
+    indexes stop-list them: their posting lists are O(corpus) rows and
+    belong in the heavy_hitters aggregate instead, so no single
+    reducer key ever receives an unbounded list (skew guard).
+
+    The cap is ``df ≤ greatest(100, n_docs/20)`` — the r9 liveness
+    audit found the old fixed ``df ≤ 100`` went VACUOUS at sf0.1 (the
+    synthetic 31-token vocabulary's rarest token appears in ~5% of
+    docs: df 25 of 500 at sf0.01 but 250 of 5000 at sf0.1 — same
+    q11-class bug, a fixed threshold on 1/SF-scaling data). The
+    fractional floor keeps the gate non-empty at every fixture scale
+    (1 row each) and the sf0.01 result bit-identical to the old cap;
+    the absolute 100 keeps the production story — at real corpus
+    sizes you'd hold an absolute cap for buffer bounding and shard
+    anything above it. Integer floor-division is portable here
+    because both operands are positive (DuckDB // truncates, python
+    floors — equal on positives; CLAUDE.md r4 trap).
 
     Plan: tokenize → per-doc distinct (map-side partial dedup) → one
     groupBy(token) with collect_list, sorted numerically THEN
-    serialized (sorting the string list would order '10' < '9'). The
-    df ≤ 100 cap bounds every aggregation buffer; the serialized
-    posting string keeps the oracle hash exact."""
+    serialized (sorting the string list would order '10' < '9'); the
+    1-row doc count broadcasts back as a cross join, so the cap
+    compare is map-side. The df cap bounds every aggregation buffer;
+    the serialized posting string keeps the oracle hash exact."""
     docs = load_table(spark, "documents", sf_dir)
     par = spark.sparkContext.defaultParallelism
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     toks = (
         docs.repartition(par)
         .select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
@@ -299,7 +315,14 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("postings"),
     )
-    return posting.filter(F.col("df") <= 100).select("token", "df", "postings")
+    return (
+        posting.join(F.broadcast(n_docs))
+        .filter(
+            F.col("df")
+            <= F.greatest(F.lit(100).cast("long"), F.floor(F.col("n_docs") / 20))
+        )
+        .select("token", "df", "postings")
+    )
 
 
 _tokenize_oracle = """

@@ -79,10 +79,12 @@ def register(
 # be pre-listed.
 DRIVER_PRIORITY: list[str] = [
     # r9 changed plans: q11's fixed-point-cents rewrite (VERDICT r08
-    # #1 — re-earn its driver row first), plus every plan the exact-
-    # mode compare_frames audit forced to quantize (appended below as
-    # the audit flips them).
+    # #1 — re-earn its driver row first) and inverted_index's
+    # data-derived df cap (the same vacuity class, found by
+    # scripts/liveness_audit.py). The exact-mode compare_frames audit
+    # flipped nothing else (186/186 green at all three scales).
     "q11_important_stock",
+    "inverted_index",
 ]
 
 

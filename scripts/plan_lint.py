@@ -53,6 +53,7 @@ ALLOW: dict[str, dict[str, str]] = {
     "triangle_count": {"BroadcastNestedLoopJoin": "three 1-row aggregates composed"},
     "q6_forecast_revenue": {"BroadcastNestedLoopJoin": "1-row scalar aggregate"},
     "q11_important_stock": {"BroadcastNestedLoopJoin": "1-row threshold aggregate"},
+    "inverted_index": {"BroadcastNestedLoopJoin": "1-row doc-count aggregate (df cap)"},
     "q14_promo_revenue": {"BroadcastNestedLoopJoin": "1-row scalar aggregate"},
     "q15_top_supplier": {"BroadcastNestedLoopJoin": "1-row max-revenue aggregate"},
     "q17_small_quantity_revenue": {"BroadcastNestedLoopJoin": "1-row scalar aggregate"},
