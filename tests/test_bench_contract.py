@@ -126,3 +126,53 @@ def test_main_wires_helpers():
         assert helper + "(" in src, f"main() no longer calls {helper}()"
     # the emitted JSON must carry the verdict (VERDICT r08 #6)
     assert 'out["check"]' in src
+
+
+def test_self_heal_merge_policy():
+    """VERDICT r08 #6: the loaded-box self-heal pass must take the
+    better (min) timing on both engines, clear healed errors, and
+    record before/after provenance."""
+    timings = {"a": 2.0, "b": 1.0}
+    errors = {"c": "Boom"}
+    duck = {"a": 0.5}
+    # re-run: a healed (faster), b got slower (keep original), c ran
+    t2 = {"a": 1.2, "b": 1.5, "c": 0.8}
+    d2 = {"a": 0.6, "c": 0.4}
+    prov = bench._merge_heal_results(
+        ["a", "b", "c"], timings, errors, duck, t2, {}, d2
+    )
+    assert timings == {"a": 1.2, "b": 1.0, "c": 0.8}
+    assert errors == {}                       # c healed
+    assert duck == {"a": 0.5, "c": 0.4}       # min on the duck side too
+    assert prov["a"] == {"before": 2.0, "after": 1.2}
+    assert prov["c"] == {"before": None, "after": 0.8}
+
+
+def test_self_heal_merge_keeps_fresh_error_when_still_failing():
+    timings: dict = {}
+    errors = {"a": "old"}
+    prov = bench._merge_heal_results(
+        ["a"], timings, errors, {}, {}, {"a": "new"}, {}
+    )
+    assert errors == {"a": "new"}
+    assert prov["a"] == {"before": None, "after": None}
+
+
+def test_self_heal_end_to_end_verdict():
+    """Compose the helpers the way main() does: a loaded-box breach
+    that heals on the re-run yields exit 0; one that persists on a
+    still-loaded box yields 2 (withheld), on an idle box 1."""
+    bands = {"q": {"ratio_hi": 2.0, "sec_hi": 3.0}}
+    timings, errors, duck = {"q": 2.5}, {}, {"q": 1.0}
+    breaches = bench._check_bands(timings, duck, errors, bands=bands)
+    assert breaches and bench._breach_names(breaches) == ["q"]
+    # heal pass: contention gone, q is fast again
+    bench._merge_heal_results(["q"], timings, errors, duck, {"q": 1.1}, {}, {})
+    assert bench._check_bands(timings, duck, errors, bands=bands) == []
+    assert bench._check_exit_code([], False) == 0
+    # persistent breach: withheld under load, real when idle
+    timings2, duck2 = {"q": 9.9}, {"q": 1.0}
+    b2 = bench._check_bands(timings2, duck2, {}, bands=bands)
+    assert b2
+    assert bench._check_exit_code(b2, True) == 2
+    assert bench._check_exit_code(b2, False) == 1
