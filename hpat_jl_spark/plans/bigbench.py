@@ -91,23 +91,40 @@ def q01_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole pipeline in whole-stage codegen where the collect_list
     aggregate forced ObjectHashAggregate off codegen (the r6 trap,
     measured here: 0.95 s → 0.54 s at sf0.1, exact value match).
-    SHUFFLE_HASH hint: the per-partition build side is corpus/N (~a few
-    MB even at the ×100 tier), and skipping both SMJ sorts measured
-    another ~10% off. The pinned fan-out (not the AQE-coalesced
-    ceiling) matters because the pair explosion is compute-dense and
-    byte-light — the same starved-reduce shape as
-    hll_distinct_portable; at 100 TB defaultParallelism is the cluster
-    core count, which is the right width for it anyway.
+    r9 change — the pinned width now SCALES WITH INPUT BYTES:
+    ``max(defaultParallelism, sized_shuffle_partitions(sf_dir))``.
+    The memory probe OOM'd the r7 plan (width = defaultParallelism =
+    32) at 4g/32-threads at the ×100 tier, and the first suspect —
+    the SHUFFLE_HASH build relation (corpus/width ≈ 1.9M rows at
+    ×100, NOT the "few MB" the r7 note guessed) — turned out to be
+    only half the story: an SMJ variant ALSO OOM'd at 4g (and ran
+    9.5→49 s at 32g), because the per-task resident is every working
+    set that scales as corpus/width at once (hash build + the pair
+    stream's partial-aggregation map). Widening the exchange to the
+    byte-sized ceiling (128 at ×100) divides them all: measured
+    post-change, every budget 32g→3g completes — 11-12 s un-spilled
+    at ≥6g, 18.8 s with 8.7 GiB graceful spill at 3g, zero OOMs —
+    while sf0.1 keeps the identical width-32 plan (sized ceiling 8 <
+    32; wall 0.52→0.59 s, run noise). The hint stays: hash beats SMJ
+    at every completing budget here, and the sized width keeps its
+    build bounded by the ~2 MB/partition target as bytes grow. The
+    pinned fan-out (not the AQE-coalesced ceiling) still matters
+    because the pair explosion is compute-dense and byte-light — the
+    same starved-reduce shape as hll_distinct_portable.
 
     Pair multiplicity matches the oracle exactly: the a.partkey <
     b.partkey inequality rides the join as a residual, so an order
     holding parts [5,5,7] emits (5,7) twice and never (5,5). Output is
     bounded by Σ_orders k²: ~7 lines/order in TPC-H-like data keeps the
     pair stream linear in the corpus (SCALING.md q01 rows)."""
+    from hpat_jl_spark.session import sized_shuffle_partitions
+
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
-    d = li.repartition(
-        spark.sparkContext.defaultParallelism, "l_orderkey"
+    width = max(
+        spark.sparkContext.defaultParallelism,
+        sized_shuffle_partitions(sf_dir),
     )
+    d = li.repartition(width, "l_orderkey")
     b = d.select(
         F.col("l_orderkey").alias("b_orderkey"),
         F.col("l_partkey").alias("b_partkey"),

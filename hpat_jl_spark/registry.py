@@ -85,6 +85,9 @@ DRIVER_PRIORITY: list[str] = [
     # flipped nothing else (186/186 green at all three scales).
     "q11_important_stock",
     "inverted_index",
+    # late r9: the memory probe drove q01's pinned width to scale with
+    # input bytes (same results at the gate scales, verified exact).
+    "q01_copurchase",
 ]
 
 

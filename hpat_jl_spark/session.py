@@ -95,6 +95,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # NOT set: spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold
+        # (evaluated r9, rejected). It would let AQE convert SMJ →
+        # shuffled-hash join from measured partition bytes, but Spark
+        # only applies the rule when the threshold ≥
+        # advisoryPartitionSizeInBytes (64 MB default) — and a 64 MB
+        # build × 32 concurrent tasks is exactly the ~2 GB unspillable
+        # residency that OOM'd q01_copurchase's static SHUFFLE_HASH
+        # hint at the ×100 tier (memory probe, 4g budget). Hash builds
+        # of corpus/parallelism bytes are anti-scale at fixed executor
+        # memory; sort-merge spills, so SMJ stays the default.
         # parallelismFirst stays at Spark's default (true). Size-first
         # coalescing (false) was measured in r5: it shaves ~5-10% off
         # scan-bound TPC-H queries at sf0.1 by collapsing KB-sized

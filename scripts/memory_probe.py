@@ -43,13 +43,20 @@ sys.path.insert(0, REPO)
 
 # The verdict's heavy set: the two sig-banded near-dup self-joins (the
 # widest shuffles in the repo), the broadcast cross-join decontaminator,
-# and the two heaviest TPC-H-suite pipelines.
+# and the two heaviest TPC-H-suite pipelines. r9 extension: the pair-
+# generating self-join (q01's single pinned+reused exchange) and the
+# SemDeDup rep-level gram kernel — different memory shapes (pair
+# explode through one exchange; Arrow-batched python kernels holding
+# per-bucket state). triangle_count stays out: its ×100 tier is a
+# documented densification artifact, not data scale.
 QUERIES = [
     "dedup_simhash",
     "dedup_minhash",
     "fuzzy_decontaminate",
     "q25",
     "q05",
+    "q01_copurchase",
+    "embedding_dedup_clusters",
 ]
 
 # Walked downward; 32g is the reference the slowdown column normalizes
