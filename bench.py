@@ -214,6 +214,28 @@ def _box_conditions() -> dict:
     }
 
 
+def _wait_for_idle(budget_s: float, poll_s: float = 20.0) -> dict:
+    """VERDICT r09 #3: the committed round artifact must BE an idle
+    run, not a loaded run with a loaded flag. Before starting, poll up
+    to ``budget_s`` for foreign Spark JVMs to exit and the 1-min load
+    to decay below the idle ceiling; give up (and proceed, stamped
+    loaded) only when the budget is spent — the plain run stays
+    resilient for the driver. Returns the final box sample. Override
+    the budget with SPARK_GRAFT_IDLE_WAIT_S (0 disables)."""
+    deadline = time.monotonic() + budget_s
+    box = _box_conditions()
+    while box["loaded"] and time.monotonic() < deadline:
+        print(
+            f"# box loaded ({box}) — waiting up to "
+            f"{deadline - time.monotonic():.0f}s for idle before the "
+            "artifact run",
+            file=sys.stderr,
+        )
+        time.sleep(poll_s)
+        box = _box_conditions()
+    return box
+
+
 def _check_bands(
     timings: dict, duck: dict, errors: dict, bands: dict | None = None
 ) -> list[str]:
@@ -256,10 +278,19 @@ def _check_bands(
                     f"{name}: vs_duckdb {ratio:.2f} > band {band['ratio_hi']}"
                 )
                 continue
-        elif "ratio_hi" in band and not has_twin and "sec_hi" not in band:
+        elif "ratio_hi" in band and "sec_hi" not in band:
+            # ADVICE r09: a twin that ran but timed 0.0 s is as useless
+            # a ratio anchor as an absent twin — without a sec_hi
+            # fallback the query would be checked against NOTHING, a
+            # silent pass. Breach loudly in both cases.
+            why = (
+                "twin timed 0.0s (no ratio anchor)"
+                if has_twin
+                else "twin failed or skipped"
+            )
             breaches.append(
-                f"{name}: no duckdb timing for ratio-banded query "
-                "(twin failed or skipped) — cannot verify band"
+                f"{name}: no usable duckdb timing for ratio-banded query "
+                f"({why}) and no sec_hi fallback — cannot verify band"
             )
             continue
         # Secondary absolute ceiling (ADVICE r07: the 1.0-floored ratio
@@ -467,7 +498,15 @@ def _concurrent_mode(n_way: int) -> None:
     errors: dict[str, str] = {}
     lock = threading.Lock()
 
-    def worker() -> None:
+    def worker(wid: int) -> None:
+        # ADVICE r09: spark.scheduler.mode=FAIR alone is not enough —
+        # with no per-thread pool every job lands in the single default
+        # pool, whose INTERNAL scheduling is FIFO. Pools are created on
+        # demand and FAIR-shared BETWEEN each other, so one pool per
+        # worker thread is what actually delivers "no query's stages
+        # starve". Local properties are per-thread (PySpark pins python
+        # threads to JVM threads), so set it once per worker.
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"bench-w{wid}")
         while True:
             try:
                 name = work.get_nowait()
@@ -484,7 +523,9 @@ def _concurrent_mode(n_way: int) -> None:
                 work.task_done()
 
     t0 = time.perf_counter()
-    threads = [threading.Thread(target=worker) for _ in range(n_way)]
+    threads = [
+        threading.Thread(target=worker, args=(i,)) for i in range(n_way)
+    ]
     for t in threads:
         t.start()
     for t in threads:
@@ -533,12 +574,13 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = None
-    box_before = _box_conditions()
+    idle_wait = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT_S", "600"))
+    box_before = _wait_for_idle(idle_wait) if idle_wait > 0 else _box_conditions()
     if box_before["loaded"]:
         print(
-            f"# WARNING: box not idle at start ({box_before}) — absolute "
-            "timings will overstate; ratios are partially protected "
-            "(both engines share the box)",
+            f"# WARNING: box not idle at start ({box_before}) even after "
+            f"waiting {idle_wait:.0f}s — absolute timings will overstate; "
+            "ratios are partially protected (both engines share the box)",
             file=sys.stderr,
         )
 
@@ -719,6 +761,16 @@ def main() -> None:
     # cannot clobber the committed sf0.1 numbers (this happened in r6).
     detail_name = ("BENCH_DETAIL.json" if str(sf_val) == "0.1"
                    else f"BENCH_DETAIL_sf{sf_val}.json")
+    # VERDICT r09 #3: a loaded-box run must not clobber the committed
+    # idle-box canonical artifact — divert it to a .loaded twin (the
+    # stdout line still carries the stamped box state either way).
+    if detail_name == "BENCH_DETAIL.json" and out["box"]["loaded"]:
+        detail_name = "BENCH_DETAIL.loaded.json"
+        print(
+            "# box loaded — detail diverted to BENCH_DETAIL.loaded.json "
+            "(canonical idle artifact preserved)",
+            file=sys.stderr,
+        )
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                detail_name)
     try:

@@ -7,6 +7,8 @@ twin of length_unique), and the scalar math-function surface.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -873,13 +875,19 @@ def checkpointed_pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_checkpoint_restart.py). The snapshot dir is cleared
     first so each invocation is a fresh, deterministic run. Oracle:
     same recursive-CTE power iteration as pagerank_trade_graph — the
-    checkpoint plumbing must be numerically invisible."""
+    checkpoint plumbing must be numerically invisible.
+
+    The snapshot dir is SESSION-scoped (workdirs.session_workdir —
+    VERDICT r09 #1: the old fixed /tmp name raced across concurrent
+    engine sessions); cross-process resume remains the operator's
+    contract, pinned with caller-owned paths in
+    tests/test_checkpoint_restart.py."""
     import shutil
-    import tempfile
 
     from hpat_jl_spark.operators.iterative import checkpointed_pagerank
+    from hpat_jl_spark.workdirs import session_workdir
 
-    ckpt = f"{tempfile.gettempdir()}/hpat_jl_spark_ckpt_pagerank"
+    ckpt = os.path.join(session_workdir("ckpt_pagerank"), "state")
     shutil.rmtree(ckpt, ignore_errors=True)
     li = load_table(spark, "lineitem", sf_dir)
     orders = load_table(spark, "orders", sf_dir)

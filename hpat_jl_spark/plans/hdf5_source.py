@@ -253,6 +253,77 @@ def lines_ingest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_csv_sink_oracle = """
+WITH derived AS (
+  SELECT n_name, o_orderpriority,
+         count(*)::BIGINT AS n_orders,
+         sum(CAST(floor(o_totalprice * 100.0::DOUBLE) AS BIGINT))::BIGINT
+           AS total_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name,
+       sum(n_orders)::BIGINT AS n_orders,
+       (sum(total_cents) / 100.0::DOUBLE) AS total_price,
+       count(DISTINCT o_orderpriority)::BIGINT AS n_priorities
+FROM derived
+GROUP BY n_name
+"""
+
+
+@register("csv_roundtrip_sink", oracle=_csv_sink_oracle, tags=("source",))
+def csv_roundtrip_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TXT SINK under the gate (VERDICT r09 #7 — the one §2.1 row
+    with no registered query; reference src/domain-pass.jl:889-911
+    emits the write side of the TXT surface): DERIVE a frame (orders ⨝
+    customer ⨝ nation, grouped to per-(nation, priority) counts and
+    fixed-point cent totals), write_csv it, read it BACK distributed
+    with a declared schema, and aggregate the re-read frame to
+    per-nation totals — the oracle computes the same two-level rollup
+    from the untouched parquet, so a quoting/typing/row-loss bug in
+    EITHER direction of the sink round trip breaks the value hash.
+    Money stays BIGINT cents through the CSV hop and the final sum
+    (the r9 exact-hash rule: quantize before any float sum); the
+    write lands in a session-scoped workdir (VERDICT r09 #1) so
+    concurrent engine sessions never clobber each other's sink."""
+    from pyspark.sql import types as T
+
+    from hpat_jl_spark.sources.io import read_csv, write_csv
+    from hpat_jl_spark.workdirs import session_workdir
+
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    derived = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy("n_name", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+            ).alias("total_cents"),
+        )
+    )
+    path = os.path.join(session_workdir("csv_sink", corpus=sf_dir), "out")
+    write_csv(derived, path)
+    schema = T._parse_datatype_string(
+        "n_name string, o_orderpriority string, "
+        "n_orders long, total_cents long"
+    )
+    back = read_csv(spark, path, schema)
+    return back.groupBy("n_name").agg(
+        F.sum("n_orders").alias("n_orders"),
+        (F.sum("total_cents") / F.lit(100.0)).alias("total_price"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
 @register("compaction_roundtrip_agg", oracle=_fmt_oracle, tags=("source",))
 def compaction_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction under the gate: shatter the orders slice

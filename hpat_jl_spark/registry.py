@@ -78,16 +78,57 @@ def register(
 # behavior. Names not (yet) registered are skipped, so new plans can
 # be pre-listed.
 DRIVER_PRIORITY: list[str] = [
-    # r9 changed plans: q11's fixed-point-cents rewrite (VERDICT r08
-    # #1 — re-earn its driver row first) and inverted_index's
-    # data-derived df cap (the same vacuity class, found by
-    # scripts/liveness_audit.py). The exact-mode compare_frames audit
-    # flipped nothing else (186/186 green at all three scales).
-    "q11_important_stock",
-    "inverted_index",
-    # late r9: the memory probe drove q01's pinned width to scale with
-    # input bytes (same results at the gate scales, verified exact).
-    "q01_copurchase",
+    # r10 changed plans first: the session-scoped workdir rewrite
+    # (VERDICT r09 #1) touched these two, and csv_roundtrip_sink is
+    # new (VERDICT r09 #7 — the TXT sink's first registered gate).
+    "checkpointed_pagerank",
+    "knn_ivf_persisted",
+    "csv_roundtrip_sink",
+    # VERDICT r09 #2: the 41 queries with no driver row in ANY r6-r9
+    # window (CORRECTNESS_r0{6..9}.json ∖ registry, computed and
+    # pinned by tests/test_registry_rotation.py). With these in the
+    # r10 window, cumulative r6-r10 driver evidence covers 186/186.
+    "filter_select",
+    "project_rename",
+    "derived_column",
+    "join_dup_keys",
+    "join_left_outer",
+    "join_semi_anti",
+    "agg_sum_count_max",
+    "agg_conditional",
+    "count_distinct_agg",
+    "union_all_vcat",
+    "not_null_filter",
+    "asof_join_views",
+    "asof_join_tolerance",
+    "activity_streaks",
+    "sax_similarity_candidates",
+    "explode_tokens",
+    "json_struct_agg",
+    "map_functions_surface",
+    "approx_percentiles_sketch",
+    "equidepth_binning",
+    "pii_scrub",
+    "heavy_hitters",
+    "tfidf_top_terms",
+    "domain_mix_report",
+    "fuzzy_name_pairs",
+    "weighted_sample_docs",
+    "unigram_logprob_quality",
+    "cms_heavy_hitters",
+    "c4_line_filter",
+    "paragraph_dedup",
+    "js_divergence_sources",
+    "connected_components_repeat_pairs",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_stream_join_purchases",
+    "stream_dedup_events",
+    "stream_running_user_totals",
+    "stream_static_enrichment",
+    "lines_ingest_agg",
+    "compaction_roundtrip_agg",
 ]
 
 

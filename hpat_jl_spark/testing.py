@@ -17,6 +17,7 @@ may therefore flag; every tag is a documented risk, not a default).
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pandas as pd
@@ -27,9 +28,12 @@ from hpat_jl_spark.tables import TABLE_NAMES, table_path
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM '{table_path(sf_dir, name)}'"
-        )
+        path = table_path(sf_dir, name)
+        if os.path.isdir(path):
+            # Spark-written table (e.g. the staged scale tiers): a
+            # directory of part files — glob it for DuckDB.
+            path = os.path.join(path, "*.parquet")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
     return con
 
 

@@ -5,11 +5,20 @@ a fixed threshold over 1/SF-scaling data returns rows at the gate
 scale but 0 at bench scale, so all larger-scale evidence for that
 query shape is trivially green).
 
-DuckDB-only (each registered oracle runs at sf0.01 and sf0.1; row
-counts compared), so it is cheap and needs no Spark session — run it
-whenever a plan's filter threshold changes. Queries that are empty at
-EVERY scale by design (e.g. except_keys) are not flagged: the signal
-is specifically the >0 → 0 transition. Exit 1 if any query flips.
+DuckDB-only (each registered oracle runs at every scale in each pair;
+row counts compared), so it is cheap and needs no Spark session — run
+it whenever a plan's filter threshold changes. Queries that are empty
+at EVERY scale by design (e.g. except_keys) are not flagged: the
+signal is specifically the >0 → 0 transition. Exit 1 if any query
+flips at any audited pair.
+
+Audited pairs (VERDICT r09 #8 — a threshold can go vacuous only ABOVE
+bench scale, where a future probe would silently inherit it):
+
+  * sf0.01 ↔ sf0.1 (always)
+  * sf0.1 ↔ ×10 tier (when scripts/scaling_probe.py's staged amplified
+    parquet is present — DuckDB reads the Spark-written part files
+    directly)
 
 r9 findings (both fixed the same round): q11_important_stock
 (fraction now 60/count(lineitem)) and inverted_index (df cap now
@@ -20,6 +29,7 @@ greatest(100, n_docs/20)).
 
 from __future__ import annotations
 
+import os
 import sys
 
 sys.path.insert(0, ".")
@@ -27,31 +37,57 @@ sys.path.insert(0, ".")
 from hpat_jl_spark import registry  # noqa: E402
 from hpat_jl_spark.testing import duckdb_con  # noqa: E402
 
-SCALES = ("0.01", "0.1")
+X10_DIR = "/tmp/spark_graft_tier_x10"
+
+
+def _audit_pair(
+    oracles: dict[str, str], lo_label: str, lo_dir: str,
+    hi_label: str, hi_dir: str,
+) -> list[str]:
+    print(f"\n== pair {lo_label} -> {hi_label} ==", flush=True)
+    con_lo = duckdb_con(lo_dir)
+    con_hi = duckdb_con(hi_dir)
+    flagged: list[str] = []
+    for name, sql in oracles.items():
+        try:
+            lo = len(con_lo.execute(sql).fetchall())
+            hi = len(con_hi.execute(sql).fetchall())
+        except Exception as exc:  # noqa: BLE001
+            print(f"ERR  {name}: {str(exc)[:100]}", flush=True)
+            flagged.append(f"{name}: oracle raised at {lo_label}/{hi_label}")
+            continue
+        if lo > 0 and hi == 0:
+            line = f"{name}: {lo} rows at {lo_label} but 0 at {hi_label}"
+            flagged.append(line)
+            print(f"VACUOUS {line}", flush=True)
+        else:
+            print(f"ok   {name} ({lo} -> {hi})", flush=True)
+    return flagged
 
 
 def main() -> int:
     registry.load_all_plans()
     oracles = registry.oracle_sql()
-    cons = {sf: duckdb_con(f"/root/testdata/sf{sf}") for sf in SCALES}
-    flagged: list[str] = []
-    for name, sql in oracles.items():
-        counts: dict[str, int] = {}
-        try:
-            for sf, con in cons.items():
-                counts[sf] = len(con.execute(sql).fetchall())
-        except Exception as exc:  # noqa: BLE001
-            print(f"ERR  {name}: {str(exc)[:100]}", flush=True)
-            flagged.append(f"{name}: oracle raised")
-            continue
-        lo, hi = counts[SCALES[0]], counts[SCALES[1]]
-        if lo > 0 and hi == 0:
-            line = f"{name}: {lo} rows at sf{SCALES[0]} but 0 at sf{SCALES[1]}"
-            flagged.append(line)
-            print(f"VACUOUS {line}", flush=True)
-        else:
-            print(f"ok   {name} ({lo} -> {hi})", flush=True)
-    print(f"\n{len(oracles) - len(flagged)}/{len(oracles)} live")
+    flagged = _audit_pair(
+        oracles, "sf0.01", "/root/testdata/sf0.01",
+        "sf0.1", "/root/testdata/sf0.1",
+    )
+    n_pairs = 1
+    if os.path.isfile(os.path.join(X10_DIR, ".staged")):
+        flagged += _audit_pair(
+            oracles, "sf0.1", "/root/testdata/sf0.1", "x10", X10_DIR
+        )
+        n_pairs += 1
+    else:
+        print(
+            f"\n# ×10 tier not staged at {X10_DIR} — second pair skipped "
+            "(run scripts/scaling_probe.py to stage it)",
+            flush=True,
+        )
+    print(
+        f"\n{len(oracles) * n_pairs - len(flagged)}/"
+        f"{len(oracles) * n_pairs} live checks across {n_pairs} pair(s)"
+    )
     for line in flagged:
         print(f"  {line}")
     return 1 if flagged else 0

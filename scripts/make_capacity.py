@@ -159,6 +159,20 @@ def build() -> str:
     tier_tb = tier_bytes / 1e12
 
     names = [n for n, r in scaling.items() if "x100_s" in r]
+    # ADVICE r09: the column-count-keyed parsers silently drop every
+    # row if a generated table gains a column — CAPACITY.md would then
+    # regenerate with empty data instead of failing. Make drift loud.
+    for what, got, floor in (
+        ("SCALING.md ×100 rows", len(names), 5),
+        ("SHUFFLE.md rows", len(shuffle), 10),
+        ("CORES.md rows", len(cores), 5),
+    ):
+        if got < floor:
+            raise SystemExit(
+                f"make_capacity: parsed only {got} {what} (expected >= "
+                f"{floor}) — a probe table's format likely drifted; fix "
+                "the parser rather than regenerating empty CAPACITY.md"
+            )
     rows = []
     for n in names:
         s = scaling[n]

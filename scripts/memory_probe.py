@@ -74,23 +74,43 @@ X100_DIR = "/tmp/spark_graft_tier_x100"
 def _run_child(name: str, budget: str) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_DRIVER_MEM"] = budget
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--one", name, budget],
-        capture_output=True,
-        text=True,
-        cwd=REPO,
-        env=env,
-        timeout=1800,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name, budget],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            env=env,
+            timeout=1800,
+        )
+    except subprocess.TimeoutExpired:
+        # ADVICE r09: an uncaught TimeoutExpired aborted the whole grid
+        # and lost every newly measured cell. A hung cell is a failure
+        # of THAT cell, recorded and walked past.
+        return {
+            "name": name,
+            "budget": budget,
+            "ok": False,
+            "oom": False,
+            "err": "timeout (1800s)",
+        }
     tail = proc.stderr[-2000:]
     for ln in reversed(proc.stdout.strip().splitlines()):
         ln = ln.strip()
         if ln.startswith("{"):
             return json.loads(ln)
-    # No JSON line → the JVM died (OOM kills the gateway before any
-    # result). Classify heap death vs other failure from the tail.
-    oom = ("OutOfMemoryError" in proc.stderr or "OutOfMemoryError" in proc.stdout
-           or proc.returncode != 0)
+    # No JSON line → the child died before printing a result. Classify
+    # heap death vs other failure from the EVIDENCE, not the exit code
+    # (ADVICE r09: a missing staged dir / import error / segfault is
+    # NOT a deployment memory constraint): OOM means the JVM reported
+    # OutOfMemoryError / heap space, or the kernel OOM-killed the
+    # process (negative returncode = died by signal, SIGKILL=-9).
+    blob = proc.stderr + proc.stdout
+    oom = (
+        "OutOfMemoryError" in blob
+        or "Java heap space" in blob
+        or proc.returncode in (-9, 137)
+    )
     return {
         "name": name,
         "budget": budget,
@@ -189,9 +209,23 @@ def _render(grid: dict[str, dict[str, dict]]) -> list[str]:
         cells = grid.get(name, {})
         ref = cells.get("32g", {})
         ok_budgets = [b for b in BUDGETS if cells.get(b, {}).get("ok")]
-        oom = [b for b in BUDGETS if cells.get(b) and not cells[b].get("ok")]
+        # ADVICE r09: only genuine heap deaths render as OOM budgets —
+        # other failures (timeout, staging, import) are infrastructure
+        # noise and must not read as a deployment memory constraint.
+        oom = [
+            b for b in BUDGETS
+            if cells.get(b) and not cells[b].get("ok") and cells[b].get("oom")
+        ]
+        failed = [
+            f"{b}({cells[b].get('err', '?')[:40]})"
+            for b in BUDGETS
+            if cells.get(b) and not cells[b].get("ok") and not cells[b].get("oom")
+        ]
+        oom_col = ", ".join(oom) if oom else "—"
+        if failed:
+            oom_col += f" · non-OOM fail: {'; '.join(failed)}"
         if not ok_budgets:
-            lines.append(f"| {name} | — | none completed | | | | {', '.join(oom)} |")
+            lines.append(f"| {name} | — | none completed | | | | {oom_col} |")
             continue
         floor = ok_budgets[-1]  # BUDGETS is ordered downward
         fc = cells[floor]
@@ -206,7 +240,7 @@ def _render(grid: dict[str, dict[str, dict]]) -> list[str]:
         )
         lines.append(
             f"| {name} | {ref.get('wall_s', '—')} | {floor} | {fc['wall_s']} "
-            f"| {slow} | {spill} | {', '.join(oom) if oom else '—'} |"
+            f"| {slow} | {spill} | {oom_col} |"
         )
     return lines
 
@@ -255,6 +289,15 @@ def main() -> int:
                 grid = json.load(fh)
         except (OSError, ValueError):
             grid = {}
+    grid_path = os.path.join(REPO, "MEMORY_PROBE.json")
+
+    def _dump() -> None:
+        # ADVICE r09: write after EVERY cell, not once at the end — a
+        # crash mid-grid keeps everything measured so far and the
+        # resume path (above) picks up from the last completed cell.
+        with open(grid_path, "w") as fh:
+            json.dump(grid, fh, indent=1)
+
     for name in QUERIES:
         grid.setdefault(name, {})
         for budget in BUDGETS:
@@ -262,6 +305,7 @@ def main() -> int:
                 continue
             rec = _run_child(name, budget)
             grid[name][budget] = rec
+            _dump()
             if rec.get("ok"):
                 print(
                     f"# {name} @ {budget}: {rec['wall_s']}s "
@@ -275,8 +319,7 @@ def main() -> int:
                     f"({'OOM' if rec.get('oom') else rec.get('err', '?')})",
                     file=sys.stderr,
                 )
-    with open(os.path.join(REPO, "MEMORY_PROBE.json"), "w") as fh:
-        json.dump(grid, fh, indent=1)
+    _dump()
     _splice_scaling_md(_render(grid))
     print("# wrote MEMORY_PROBE.json + SCALING.md memory appendix",
           file=sys.stderr)

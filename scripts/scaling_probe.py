@@ -185,6 +185,15 @@ def _amplified(spark: SparkSession, sf_dir: str, name: str, i: int) -> DataFrame
         # fixed vec_id < 8 probe set stays in replica 0 — ANN's real
         # deployment shape (fixed queries, growing corpus).
         "embeddings": ["vec_id"],
+        # r10 (VERDICT r09 #5): events replicas previously kept their
+        # ids, so the streaming ×10 rows measured a 10-way-duplicate
+        # stream — dedup state held only the base distinct keys and the
+        # boundedness claim was vacuous at scale. Shifted event/user
+        # ids make tier ×N a genuinely ×N-rate stream over the SAME
+        # event-time range: watermark state must now grow with RATE and
+        # eviction must keep up, which is the claim the ×100 streaming
+        # probe exists to test.
+        "events": ["event_id", "user_id"],
     }
     for c in shifts.get(name, []):
         df = df.withColumn(c, F.col(c) + i * _KEY_SHIFT)
@@ -542,21 +551,29 @@ def main() -> None:
             + x100_cells
         )
     lines += _child_json(["--skew"])["skew_lines"]
-    # Preserve the streaming-state section (scripts/streaming_probe.py
-    # splices it between markers; this full-regen must not drop it).
-    streaming_block = ""
+    # Preserve the sections other probes splice in (streaming, graph —
+    # marker-fenced — and the memory appendix, which runs to the next
+    # "## " heading or EOF): this full-regen must not drop them.
+    kept_blocks = []
     try:
         with open("SCALING.md") as f:
             old = f.read()
-        b, e = "<!-- STREAMING:BEGIN", "<!-- STREAMING:END -->"
-        if b in old and e in old:
-            streaming_block = (
-                "\n" + old[old.index(b): old.index(e) + len(e)] + "\n"
-            )
+        for b, e in (
+            ("<!-- STREAMING:BEGIN", "<!-- STREAMING:END -->"),
+            ("<!-- GRAPH:BEGIN", "<!-- GRAPH:END -->"),
+        ):
+            if b in old and e in old:
+                kept_blocks.append(old[old.index(b): old.index(e) + len(e)])
+        mem = "## Memory appendix"
+        if mem in old:
+            rest = old[old.index(mem):]
+            idx = rest.find("\n## ")
+            kept_blocks.append(rest[:idx] if idx != -1 else rest)
     except OSError:
         pass
+    tail = "".join("\n" + blk.strip("\n") + "\n" for blk in kept_blocks)
     with open("SCALING.md", "w") as f:
-        f.write("\n".join(lines) + "\n" + streaming_block)
+        f.write("\n".join(lines) + "\n" + tail)
     print("wrote SCALING.md")
 
 

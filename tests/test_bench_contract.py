@@ -64,7 +64,8 @@ def test_band_check_missing_duck_falls_back_to_sec_hi():
 def test_band_check_missing_duck_without_fallback_breaches():
     bands = {"q": {"ratio_hi": 2.0}}
     out = bench._check_bands({"q": 0.1}, {}, {}, bands=bands)
-    assert out and "no duckdb timing" in out[0]
+    assert out and "no usable duckdb timing" in out[0]
+    assert "twin failed or skipped" in out[0]
 
 
 def test_band_check_sec_hi_guards_even_when_ratio_passes():
@@ -112,7 +113,11 @@ def test_band_check_zero_duck_timing_is_not_a_missing_twin():
     # genuinely absent twin with no sec_hi still breaches loudly
     bands2 = {"q": {"ratio_hi": 2.0}}
     out = bench._check_bands({"q": 0.1}, {}, {}, bands=bands2)
-    assert out and "no duckdb timing" in out[0]
+    assert out and "no usable duckdb timing" in out[0]
+    # ADVICE r09: a PRESENT twin that timed 0.0s with no sec_hi was a
+    # silent pass (checked against nothing at all) — now a loud breach.
+    out0 = bench._check_bands({"q": 0.1}, {"q": 0.0}, {}, bands=bands2)
+    assert out0 and "twin timed 0.0s" in out0[0]
 
 
 def test_main_wires_helpers():
@@ -126,6 +131,27 @@ def test_main_wires_helpers():
         assert helper + "(" in src, f"main() no longer calls {helper}()"
     # the emitted JSON must carry the verdict (VERDICT r08 #6)
     assert 'out["check"]' in src
+
+
+def test_wait_for_idle_polls_until_idle(monkeypatch):
+    """VERDICT r09 #3: the artifact run waits for the box to go idle
+    (bounded), rather than stamping a loaded run and moving on."""
+    samples = [
+        {"loaded": True, "load_avg_1m": 9.0, "foreign_spark_jvms": 1},
+        {"loaded": True, "load_avg_1m": 5.0, "foreign_spark_jvms": 0},
+        {"loaded": False, "load_avg_1m": 1.0, "foreign_spark_jvms": 0},
+    ]
+    monkeypatch.setattr(bench, "_box_conditions", lambda: samples.pop(0))
+    box = bench._wait_for_idle(budget_s=60.0, poll_s=0.0)
+    assert box["loaded"] is False
+    assert samples == []  # consumed exactly the three polls
+
+
+def test_wait_for_idle_gives_up_after_budget(monkeypatch):
+    loaded = {"loaded": True, "load_avg_1m": 9.0, "foreign_spark_jvms": 1}
+    monkeypatch.setattr(bench, "_box_conditions", lambda: dict(loaded))
+    box = bench._wait_for_idle(budget_s=0.05, poll_s=0.01)
+    assert box["loaded"] is True  # proceeds, stamped loaded
 
 
 def test_self_heal_merge_policy():

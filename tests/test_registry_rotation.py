@@ -70,6 +70,33 @@ def test_window_rotates_vs_last_two_rounds():
     )
 
 
+def test_r10_window_completes_cumulative_coverage():
+    """VERDICT r09 #2: every registered query with NO driver row in any
+    r6-r9 window must sit in this round's DRIVER_PRIORITY, so
+    CORRECTNESS_r10 closes the cumulative r6-r10 evidence at 186/186.
+    Skips silently on a clone without the artifacts."""
+    files = [
+        f
+        for f in _history_files()
+        if any(f.endswith(f"CORRECTNESS_r0{r}.json") for r in (6, 7, 8, 9))
+    ]
+    if len(files) < 4:
+        return
+    covered = set()
+    for f in files:
+        covered |= set(json.load(open(f)))
+    registry.load_all_plans()
+    never = {n for n in registry.REGISTRY if n not in covered}
+    prio = set(registry.DRIVER_PRIORITY)
+    missing = sorted(never - prio)
+    assert missing == [], (
+        f"{len(missing)} queries have no r6-r9 driver row and are not in "
+        f"this round's DRIVER_PRIORITY window: {missing}"
+    )
+    # and the whole priority list fits the ~50-row driver window
+    assert len([n for n in prio if n in registry.REGISTRY]) <= 50
+
+
 def test_history_reader_tolerates_garbage(tmp_path):
     """Unreadable artifacts are skipped, not fatal (driver sandboxes
     may lack the repo-root files entirely)."""
