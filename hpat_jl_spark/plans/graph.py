@@ -243,10 +243,14 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array_intersect("nbrs_u", "nbrs_v")).alias("w"),
         )
     )
-    corners = (
-        closed.select(F.col("src").alias("n"))
-        .unionAll(closed.select(F.col("dst").alias("n")))
-        .unionAll(closed.select(F.col("w").alias("n")))
+    # ONE pass over the closed-triangle stream: explode the 3-corner
+    # array instead of unionAll-ing three projections — the union form
+    # re-ran the array-payload join (oriented ⋈ au ⋈ av) once per
+    # branch, and at the g×100 tier those three concurrent array-heavy
+    # shuffle re-reads filled the disk (the r10 graph probe's first
+    # real catch: same rows out, 3× the shuffle bytes).
+    corners = closed.select(
+        F.explode(F.array("src", "dst", "w")).alias("n")
     )
     pernode = corners.groupBy("n").agg(F.count(F.lit(1)).alias("n_tri"))
     out = (

@@ -117,6 +117,27 @@ def parse_cores() -> dict[str, float]:
     return {**x10, **x100}
 
 
+def parse_graph() -> dict:
+    """GRAPH_SCALING.json (scripts/graph_scaling.py): disjoint-copy graph
+    tiers — {"queries": {name: {"sf0.1": s, "gx10": s, "gx100": s}},
+    "tier_bytes": {"gx10": b, "gx100": b}}. May not exist yet."""
+    try:
+        with open(os.path.join(REPO, "GRAPH_SCALING.json")) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def parse_streaming() -> dict:
+    """STREAMING_PROBE.json (scripts/streaming_probe.py): per-(query,
+    tier) replay metrics + staged tier bytes. May not exist yet."""
+    try:
+        with open(os.path.join(REPO, "STREAMING_PROBE.json")) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
 def parse_memory() -> dict[str, dict]:
     """floor budget + spill out of MEMORY_PROBE.json (may not exist)."""
     path = os.path.join(REPO, "MEMORY_PROBE.json")
@@ -290,6 +311,8 @@ def build() -> str:
             "- Memory floors not yet measured (run scripts/memory_probe.py"
             " first; MEMORY_PROBE.json missing).",
         ]
+    lines += _graph_section(cores, memory)
+    lines += _streaming_section()
     ex = rows[0] if rows else None
     if ex:
         lines += [
@@ -302,6 +325,131 @@ def build() -> str:
             "table's value, derived from a committed ×100 measurement.",
         ]
     return "\n".join(lines) + "\n"
+
+
+def _graph_section(cores: dict[str, float], memory: dict[str, dict]) -> list[str]:
+    """Graph-family capacity rows (VERDICT r09 #4) from the
+    disjoint-copy tiers — the main tiers exclude the graph family
+    because fact replication over an unchanged catalog DENSIFIES the
+    graph (superlinear by problem definition, not a scan signal)."""
+    g = parse_graph()
+    queries = g.get("queries") or {}
+    tier_bytes = (g.get("tier_bytes") or {}).get("gx100")
+    if not queries or not tier_bytes:
+        return [
+            "",
+            "## Graph family",
+            "",
+            "Not yet measured — run `python scripts/graph_scaling.py`"
+            " (stages disjoint-copy tiers, writes GRAPH_SCALING.json).",
+        ]
+    if len(queries) < 3:
+        raise SystemExit(
+            f"make_capacity: GRAPH_SCALING.json has only {len(queries)} "
+            "queries (expected >= 3) — a probe run likely aborted mid-grid"
+        )
+    tier_tb = tier_bytes / 1e12
+    threads = g.get("threads", THREADS)
+    lines = [
+        "",
+        "## Graph family (disjoint-copy g×100 tier)",
+        "",
+        "From GRAPH_SCALING.json (scripts/graph_scaling.py): tiers",
+        "shift every vertex-forming key per replica, so ×N is N disjoint",
+        "copies of the base graph and the honest output bound is LINEAR",
+        "(10×/decade) for every query — growth above ~10× would be a",
+        "real plan defect (a shuffle or driver loop superlinear in edge",
+        f"count). Tier bytes: {tier_bytes / 1e9:.2f} GB; same core-h/TB",
+        "model as the main table.",
+        "",
+        "| query | g×100 wall (s) | growth/decade (g×10→g×100) | core-h/TB | of-ceiling | provisioned core-h/TB | mem floor |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, t in queries.items():
+        x100 = t.get("gx100")
+        x10 = t.get("gx10")
+        if x100 is None:
+            continue
+        growth = round(x100 / x10, 1) if x10 else None
+        core_h = x100 * threads / tier_tb / 3600
+        oc = cores.get(name)
+        prov = core_h / oc if oc else None
+        mem = memory.get(name, {})
+        lines.append(
+            f"| {name} | {x100} | {growth}× | {core_h:.2f} "
+            f"| {oc if oc is not None else '—'} "
+            f"| {f'{prov:.2f}' if prov else '—'} "
+            f"| {mem.get('floor') or '—'} |"
+        )
+    return lines
+
+
+def _streaming_section() -> list[str]:
+    """Streaming capacity rows (VERDICT r09 #5): state bytes per input
+    TB — the number that sizes a 100 TB streaming deployment — plus
+    sustained throughput from the sliced replay."""
+    s = parse_streaming()
+    results = s.get("results") or {}
+    tier_bytes = s.get("tier_bytes") or {}
+    # prefer the largest measured tier per query
+    order = ["x100", "x10", "sf0.1", "sf0.01"]
+    if not results:
+        return [
+            "",
+            "## Streaming operators",
+            "",
+            "Not yet measured — run `python scripts/streaming_probe.py`"
+            " (writes STREAMING_PROBE.json).",
+        ]
+    if not any("x100" in tiers for tiers in results.values()):
+        raise SystemExit(
+            "make_capacity: STREAMING_PROBE.json has no x100 tier — run "
+            "scripts/streaming_probe.py --tiers x100 before regenerating"
+        )
+    lines = [
+        "",
+        "## Streaming operators (sliced replay, largest measured tier)",
+        "",
+        "From STREAMING_PROBE.json (scripts/streaming_probe.py): the",
+        "capacity number for a stateful stream is PEAK STATE per input",
+        "byte — state is what you provision executors for; throughput",
+        "follows from batch wall. `state GB/TB` projects peak state",
+        "bytes linearly per input TB at the measured arrival-rate shape",
+        "(tiers multiply the arrival RATE over a fixed event-time range,",
+        "ids shifted per replica — a genuine ×N-key stream).",
+        "Join/dedup state is bounded by rate × watermark delay (final ≪",
+        "peak proves eviction keeps up); tumbling state is windows ×",
+        "types (constant); running_user_totals state is one row per",
+        "distinct user by design (NoTimeout) — size it by key count,",
+        "not input.",
+        "",
+        "| query | tier | input MB | peak state MB | state GB per input TB | final/peak | evicted/input | MB/s sustained |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for name, tiers in results.items():
+        label = next((t for t in order if t in tiers), None)
+        if label is None:
+            continue
+        r = tiers[label]
+        in_bytes = tier_bytes.get(label)
+        in_mb = in_bytes / 1e6 if in_bytes else None
+        peak_mb = r.get("peak_state_mb") or 0.0
+        # peak_bytes/in_bytes × 1e12 B/TB ÷ 1e9 B/GB = peak_mb·2^20·1e3/in_bytes
+        gb_tb = (peak_mb * (1 << 20) * 1e3 / in_bytes) if in_bytes else None
+        peak_rows = r.get("peak_state_rows") or 0
+        final_rows = r.get("final_state_rows") or 0
+        total_in = sum((b.get("inputRows") or 0) for b in r.get("batches", []))
+        evicted = r.get("rows_evicted") or 0
+        mbs = (in_mb / r["wall_s"]) if (in_mb and r.get("wall_s")) else None
+        lines.append(
+            f"| {name} | {label} | {f'{in_mb:.0f}' if in_mb else '—'} "
+            f"| {peak_mb} "
+            f"| {f'{gb_tb:.2f}' if gb_tb is not None else '—'} "
+            f"| {f'{final_rows / peak_rows:.3f}' if peak_rows else '—'} "
+            f"| {f'{evicted / total_in:.2f}' if total_in else '—'} "
+            f"| {f'{mbs:.1f}' if mbs else '—'} |"
+        )
+    return lines
 
 
 def _fmt_bytes(n: int) -> str:

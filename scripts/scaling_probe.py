@@ -531,10 +531,12 @@ def main() -> None:
         "side). knn_lsh probes a FIXED 8-query set against the",
         "grown corpus — embeddings replicas carry shifted vec_ids as of",
         "r6 (unshifted copies were an identity artifact: merged query",
-        "groups and duplicate neighbor ids). triangle_count has no ×100 row:",
-        "replicating orders over the same part catalog DENSIFIES the",
-        "graph, and triangle work is O(m^1.5) in edges by definition —",
-        "a replication artifact, not a scan-scaling signal.",
+        "groups and duplicate neighbor ids). The graph family is excluded",
+        "HERE because replicating orders over the same part catalog",
+        "DENSIFIES the graph (superlinear triangle work by definition — a",
+        "replication artifact, not a scan signal); it has its own",
+        "disjoint-copy tiers in the Graph appendix below",
+        "(scripts/graph_scaling.py), where the honest bound is linear.",
         "",
         "| query | sf0.01 (s) | sf0.1 (s) | ×10 (s) | sf0.1→×10 growth | ×100 (s) | ×10→×100 growth |",
         "|---|---|---|---|---|---|---|",
