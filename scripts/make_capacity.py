@@ -421,7 +421,12 @@ def _streaming_section() -> list[str]:
         "peak proves eviction keeps up); tumbling state is windows ×",
         "types (constant); running_user_totals state is one row per",
         "distinct user by design (NoTimeout) — size it by key count,",
-        "not input.",
+        "not input. A state GB/TB above 1000 is not a typo: state-store",
+        "rows cost ~450 B each (keys + values + store overhead,",
+        "uncompressed) vs ~9 B/row in the snappy parquet input, so even",
+        "a watermark horizon holding ~8% of arrivals exceeds the input's",
+        "compressed bytes — provision state memory by ROWS in the",
+        "horizon × ~450 B, which is what this column measures.",
         "",
         "| query | tier | input MB | peak state MB | state GB per input TB | final/peak | evicted/input | MB/s sustained |",
         "|---|---|---|---|---|---|---|---|",

@@ -191,7 +191,6 @@ def main() -> None:
     for d in os.listdir(STAGE_ROOT):
         if d.startswith("ckpt_"):
             shutil.rmtree(os.path.join(STAGE_ROOT, d), ignore_errors=True)
-    _splice_scaling_md(results, list(tiers))
     # Persist the raw grid for make_capacity's streaming rows (state
     # bytes per input TB is the number a 100 TB operator needs).
     tier_bytes = {}
@@ -216,6 +215,11 @@ def main() -> None:
     prior.setdefault("tier_bytes", {}).update(tier_bytes)
     with open(path, "w") as fh:
         json.dump(prior, fh, indent=1)
+    # Splice the MERGED grid (not just this run's tiers) so per-tier
+    # partial runs compose into one complete SCALING.md table.
+    all_tiers = [t for t in TIERS
+                 if any(t in tr for tr in prior["results"].values())]
+    _splice_scaling_md(prior["results"], all_tiers)
     print(json.dumps(results, indent=1))
 
 
