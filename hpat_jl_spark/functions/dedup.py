@@ -142,11 +142,13 @@ def minhash_banded(
     bands: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Id-level LSH banding: (id, sig, band, bhash), one row per
-    (doc, band). Consumed by the two-sided cross join
-    (minhash_cross_candidates), whose broadcast-right shape keeps
-    id-level banding optimal; the SELF-join (minhash_candidates) bands
-    distinct signatures instead (see its docstring)."""
+    """Id-level LSH banding: (id, band, bhash), one row per
+    (doc, band) — narrow on purpose (the r10 ×100 profile showed the
+    full 32-long sig array rode along 8× per doc for no consumer).
+    Consumed by the two-sided cross join (minhash_cross_candidates),
+    whose broadcast-right shape keeps id-level banding optimal; the
+    SELF-join (minhash_candidates) bands distinct signatures instead
+    (see its docstring)."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
     band_keys = [
@@ -162,9 +164,8 @@ def minhash_banded(
     ]
     return sigs.select(
         "id",
-        F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"),
         F.explode(F.array(*band_keys)).alias("bk"),
-    ).select("id", "sig", "bk.band", "bk.bhash")
+    ).select("id", "bk.band", "bk.bhash")
 
 
 def minhash_cross_candidates(
@@ -186,10 +187,21 @@ def minhash_cross_candidates(
     never shuffled at all. Returns distinct (id_left, id_right).
 
     ``left_pred``/``right_pred``: Column-predicate functions of the id
-    column selecting the two (disjoint) slices."""
+    column selecting the two (disjoint) slices.
+
+    The banded stream is persisted: both side-filters consume it, and
+    without the cache each branch re-scans the corpus and recomputes
+    the full minhash expression tree — the r10 ×100 profile measured
+    that duplicate signature pass at 312 s of task time (26% of the
+    query). The cached frame is the narrow (id, band, bhash) projection
+    (the small-derived-frame persist that pays, CLAUDE.md r6 — never
+    the wide text/shingle stream), filled by the broadcast-build job
+    and reused by the probe-side stream."""
+    from pyspark import StorageLevel
+
     banded = minhash_banded(
         docs, text_col, id_col, num_hashes, bands, shingle_n
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     left = banded.filter(left_pred(F.col("id"))).select(
         F.col("id").alias("id_left"), "band", "bhash"
     )

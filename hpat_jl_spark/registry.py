@@ -79,11 +79,16 @@ def register(
 # be pre-listed.
 DRIVER_PRIORITY: list[str] = [
     # r10 changed plans first: the session-scoped workdir rewrite
-    # (VERDICT r09 #1) touched these two, and csv_roundtrip_sink is
-    # new (VERDICT r09 #7 — the TXT sink's first registered gate).
+    # (VERDICT r09 #1) touched these two, csv_roundtrip_sink is
+    # new (VERDICT r09 #7 — the TXT sink's first registered gate),
+    # clustering_coefficient's corner attribution is one-pass now
+    # (g×100 disk exhaustion fix), and fuzzy_decontaminate gained the
+    # persisted narrow banded stream (×100 profile, VERDICT r09 #6).
     "checkpointed_pagerank",
     "knn_ivf_persisted",
     "csv_roundtrip_sink",
+    "clustering_coefficient",
+    "fuzzy_decontaminate",
     # VERDICT r09 #2: the 41 queries with no driver row in ANY r6-r9
     # window (CORRECTNESS_r0{6..9}.json ∖ registry, computed and
     # pinned by tests/test_registry_rotation.py). With these in the

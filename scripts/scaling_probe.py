@@ -528,7 +528,18 @@ def main() -> None:
         "×N² per planted contaminated pair — a ×100 step bound between",
         "tiers, an artifact of replicating the benchmark with the corpus",
         "(real deployments hold eval fixed as the bounded broadcast",
-        "side). knn_lsh probes a FIXED 8-query set against the",
+        "side). Its ×100 run is now stage-decomposed (r10,",
+        "scripts/profile_query.py): of 1214 s task time (90% parallel-",
+        "efficient, 38 s ideal on 32 threads), the exact shingle-verify",
+        "join+agg holds 41% — that stage's rows are candidate pairs ×",
+        "shingles-per-doc, i.e. exactly the ×N² OUTPUT bound above, and",
+        "the content-level verify rewrites that would dedupe it were",
+        "measured strictly worse and reverted in r8 (don't retry) — so",
+        "the superlinear tail is output, documented and closed. The",
+        "profile DID catch one real defect: the banded signature stream",
+        "was recomputed once per side-filter (312 s task time, 26%) —",
+        "now a narrow (id, band, bhash) persist filled by the broadcast",
+        "build; ×100 wall 46.9 → 39.8 s (growth/decade 5.7× → 5.4×). knn_lsh probes a FIXED 8-query set against the",
         "grown corpus — embeddings replicas carry shifted vec_ids as of",
         "r6 (unshifted copies were an identity artifact: merged query",
         "groups and duplicate neighbor ids). The graph family is excluded",
