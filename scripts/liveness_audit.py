@@ -40,6 +40,42 @@ from hpat_jl_spark.testing import duckdb_con  # noqa: E402
 X10_DIR = "/tmp/spark_graft_tier_x10"
 
 
+# Per-oracle wall budget per side. The audit's question is "did this
+# gate go vacuous", not "is DuckDB fast" — but one pathological oracle
+# (fuzzy_name_pairs' FastSS twin is ~quadratic in DuckDB at the ×10
+# tier) hung the r10 run for 25+ minutes with no output. A timed-out
+# oracle is reported SLOW and skipped, never flagged: an oracle that
+# RUNS this long cannot be silently vacuous in the driver gate (the
+# sweep would time out loudly too), and the audit keeps its coverage
+# of the other ~185.
+ORACLE_TIMEOUT_S = float(os.environ.get("LIVENESS_ORACLE_TIMEOUT_S", "120"))
+SLOW: list[str] = []
+
+
+def _count_rows(con, sql: str) -> int | None:
+    """Row count with a watchdog: duckdb's interrupt() aborts the
+    running query from another thread; None means timed out."""
+    import threading
+
+    done = threading.Event()
+
+    def _watchdog():
+        if not done.wait(ORACLE_TIMEOUT_S):
+            con.interrupt()
+
+    t = threading.Thread(target=_watchdog, daemon=True)
+    t.start()
+    try:
+        return len(con.execute(sql).fetchall())
+    except Exception as exc:  # noqa: BLE001
+        if "INTERRUPT" in str(exc).upper():
+            return None
+        raise
+    finally:
+        done.set()
+        t.join()
+
+
 def _audit_pair(
     oracles: dict[str, str], lo_label: str, lo_dir: str,
     hi_label: str, hi_dir: str,
@@ -50,13 +86,17 @@ def _audit_pair(
     flagged: list[str] = []
     for name, sql in oracles.items():
         try:
-            lo = len(con_lo.execute(sql).fetchall())
-            hi = len(con_hi.execute(sql).fetchall())
+            lo = _count_rows(con_lo, sql)
+            hi = _count_rows(con_hi, sql) if lo is not None else None
         except Exception as exc:  # noqa: BLE001
             print(f"ERR  {name}: {str(exc)[:100]}", flush=True)
             flagged.append(f"{name}: oracle raised at {lo_label}/{hi_label}")
             continue
-        if lo > 0 and hi == 0:
+        if lo is None or hi is None:
+            SLOW.append(f"{name} @ {lo_label}->{hi_label}")
+            print(f"SLOW {name}: > {ORACLE_TIMEOUT_S:.0f}s per side — "
+                  "skipped (not a liveness signal)", flush=True)
+        elif lo > 0 and hi == 0:
             line = f"{name}: {lo} rows at {lo_label} but 0 at {hi_label}"
             flagged.append(line)
             print(f"VACUOUS {line}", flush=True)
@@ -84,10 +124,14 @@ def main() -> int:
             "(run scripts/scaling_probe.py to stage it)",
             flush=True,
         )
+    total = len(oracles) * n_pairs
     print(
-        f"\n{len(oracles) * n_pairs - len(flagged)}/"
-        f"{len(oracles) * n_pairs} live checks across {n_pairs} pair(s)"
+        f"\n{total - len(flagged) - len(SLOW)}/{total} live checks across "
+        f"{n_pairs} pair(s); {len(SLOW)} skipped as slow "
+        f"(> {ORACLE_TIMEOUT_S:.0f}s/side)"
     )
+    for line in SLOW:
+        print(f"  SLOW {line}")
     for line in flagged:
         print(f"  {line}")
     return 1 if flagged else 0
