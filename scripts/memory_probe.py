@@ -70,13 +70,32 @@ BUDGETS = ["32g", "16g", "12g", "8g", "6g", "4g", "3g"]
 
 X100_DIR = "/tmp/spark_graft_tier_x100"
 
+# r10: graph-family rows (VERDICT r09 #4 closed the wall-clock axis;
+# this closes the memory one). These run at the GRAPH probe's
+# disjoint-copy g×100 tier (scripts/graph_scaling.py), not the main
+# ×100 tier — the main tier densifies the graph (documented artifact).
+# Reduced budget walk (the full 7-budget grid at ~300 s/cell for
+# triangle_count would dominate probe time); 32g is the same
+# normalization reference. The three shapes covered: cached
+# edges+adjacency arrays with per-edge intersections (triangle),
+# the same plus the 3-corner explode/per-node agg (clustering), and
+# the 10-iteration checkpointed fixpoint (pagerank).
+GRAPH_QUERIES = [
+    "triangle_count",
+    "clustering_coefficient",
+    "pagerank_trade_graph",
+]
+GRAPH_BUDGETS = ["32g", "8g", "4g"]
+GX100_DIR = "/tmp/spark_graft_tier_gx100"
 
-def _run_child(name: str, budget: str) -> dict:
+
+def _run_child(name: str, budget: str, tier_dir: str = X100_DIR) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_DRIVER_MEM"] = budget
     try:
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--one", name, budget],
+            [sys.executable, os.path.abspath(__file__), "--one", name, budget,
+             tier_dir],
             capture_output=True,
             text=True,
             cwd=REPO,
@@ -120,8 +139,9 @@ def _run_child(name: str, budget: str) -> dict:
     }
 
 
-def _child(name: str, budget: str) -> None:
-    """Child mode: run ONE query at the ×100 tier in this process's
+def _child(name: str, budget: str, tier_dir: str = X100_DIR) -> None:
+    """Child mode: run ONE query at the given tier (default ×100; graph
+    queries pass the disjoint-copy g×100 dir) in this process's
     fresh JVM, print one JSON line. Spill metrics come from the status
     API (stage-level memoryBytesSpilled/diskBytesSpilled are exact;
     peakExecutionMemory is the max over stages of the stage's summed
@@ -153,7 +173,7 @@ def _child(name: str, budget: str) -> None:
 
     before = {j["jobId"] for j in _api("jobs")}
     t0 = time.perf_counter()
-    fn(spark, X100_DIR).write.format("noop").mode("overwrite").save()
+    fn(spark, tier_dir).write.format("noop").mode("overwrite").save()
     wall = round(time.perf_counter() - t0, 2)
     jobs = [j for j in _api("jobs") if j["jobId"] not in before]
     stage_ids = {s for j in jobs for s in j["stageIds"]}
@@ -200,13 +220,20 @@ def _render(grid: dict[str, dict[str, dict]]) -> list[str]:
         "is floor wall vs the 32g reference wall. A query that completes",
         "at every probed budget with bounded slowdown lives safely in the",
         "spill regime; an OOM cell is a real deployment constraint and is",
-        "listed explicitly.",
+        "listed explicitly. Graph-family rows (triangle_count,",
+        "clustering_coefficient, pagerank_trade_graph) run at the",
+        "disjoint-copy g×100 tier instead (scripts/graph_scaling.py —",
+        "the main tier densifies the graph) on a reduced 32g/8g/4g walk.",
         "",
         "| query | 32g wall (s) | floor | floor wall (s) | slowdown | spill@floor (mem / disk) | OOM budgets |",
         "|---|---|---|---|---|---|---|",
     ]
-    for name in QUERIES:
+    for name in QUERIES + GRAPH_QUERIES:
         cells = grid.get(name, {})
+        if name in GRAPH_QUERIES:
+            if not cells:
+                continue  # graph tier never probed on this box
+            name = f"{name} (g×100)"
         ref = cells.get("32g", {})
         ok_budgets = [b for b in BUDGETS if cells.get(b, {}).get("ok")]
         # ADVICE r09: only genuine heap deaths render as OOM budgets —
@@ -270,7 +297,8 @@ def _splice_scaling_md(lines: list[str]) -> None:
 def main() -> int:
     if "--one" in sys.argv:
         i = sys.argv.index("--one")
-        _child(sys.argv[i + 1], sys.argv[i + 2])
+        tier = sys.argv[i + 3] if len(sys.argv) > i + 3 else X100_DIR
+        _child(sys.argv[i + 1], sys.argv[i + 2], tier)
         return 0
     if not os.path.isfile(os.path.join(X100_DIR, ".staged")):
         print(
@@ -319,6 +347,29 @@ def main() -> int:
                     f"({'OOM' if rec.get('oom') else rec.get('err', '?')})",
                     file=sys.stderr,
                 )
+    for name in GRAPH_QUERIES:
+        if not os.path.isfile(os.path.join(GX100_DIR, ".staged")):
+            print(
+                f"# g×100 tier not staged at {GX100_DIR} — graph rows "
+                "skipped (run scripts/graph_scaling.py first)",
+                file=sys.stderr,
+            )
+            break
+        grid.setdefault(name, {})
+        for budget in GRAPH_BUDGETS:
+            if budget in grid[name]:
+                continue
+            rec = _run_child(name, budget, GX100_DIR)
+            grid[name][budget] = rec
+            _dump()
+            status = (
+                f"{rec['wall_s']}s spill "
+                f"{_fmt_bytes(rec['mem_spill_bytes'])}/"
+                f"{_fmt_bytes(rec['disk_spill_bytes'])}"
+                if rec.get("ok")
+                else f"FAILED ({'OOM' if rec.get('oom') else rec.get('err', '?')})"
+            )
+            print(f"# {name} @ {budget} (g×100): {status}", file=sys.stderr)
     _dump()
     _splice_scaling_md(_render(grid))
     print("# wrote MEMORY_PROBE.json + SCALING.md memory appendix",
