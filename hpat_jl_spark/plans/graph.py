@@ -200,11 +200,13 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_triangles desc, node) ordering.
 
     Plan: the same degree-oriented edge-iterator as triangle_count,
-    but the per-edge intersection is EXPLODED so each triangle
-    (u, v, w) attributes one count to all three corners; a union of
-    the three corner streams feeds one hash agg. The explode emits
-    exactly 3 rows per triangle — output-linear, still no wedge
-    materialization; per-node attribution adds one node-keyed shuffle.
+    but each matched triangle (u, v, w) is exploded as a single
+    3-element array(src, dst, w) so all three corners are attributed
+    in ONE pass over the join output (no per-corner union — Catalyst
+    does no cross-branch CSE, and the r10 3-branch union re-ran the
+    adjacency join per branch). The explode emits exactly 3 rows per
+    triangle — output-linear, still no wedge materialization; per-node
+    attribution adds one node-keyed shuffle.
     The id-ordered oracle enumerates each triangle once as a<b<c —
     count-equivalent to the orientation used here."""
     from pyspark import StorageLevel

@@ -78,62 +78,14 @@ def register(
 # behavior. Names not (yet) registered are skipped, so new plans can
 # be pre-listed.
 DRIVER_PRIORITY: list[str] = [
-    # r10 changed plans first: the session-scoped workdir rewrite
-    # (VERDICT r09 #1) touched these two, csv_roundtrip_sink is
-    # new (VERDICT r09 #7 — the TXT sink's first registered gate),
-    # clustering_coefficient's corner attribution is one-pass now
-    # (g×100 disk exhaustion fix), and fuzzy_decontaminate gained the
-    # persisted narrow banded stream (×100 profile, VERDICT r09 #6).
-    "checkpointed_pagerank",
-    "knn_ivf_persisted",
-    "csv_roundtrip_sink",
-    "clustering_coefficient",
-    "fuzzy_decontaminate",
-    # VERDICT r09 #2: the 41 queries with no driver row in ANY r6-r9
-    # window (CORRECTNESS_r0{6..9}.json ∖ registry, computed and
-    # pinned by tests/test_registry_rotation.py). With these in the
-    # r10 window, cumulative r6-r10 driver evidence covers 186/186.
-    "filter_select",
-    "project_rename",
-    "derived_column",
-    "join_dup_keys",
-    "join_left_outer",
-    "join_semi_anti",
-    "agg_sum_count_max",
-    "agg_conditional",
-    "count_distinct_agg",
-    "union_all_vcat",
-    "not_null_filter",
-    "asof_join_views",
-    "asof_join_tolerance",
-    "activity_streaks",
-    "sax_similarity_candidates",
-    "explode_tokens",
-    "json_struct_agg",
-    "map_functions_surface",
-    "approx_percentiles_sketch",
-    "equidepth_binning",
-    "pii_scrub",
-    "heavy_hitters",
-    "tfidf_top_terms",
-    "domain_mix_report",
-    "fuzzy_name_pairs",
-    "weighted_sample_docs",
-    "unigram_logprob_quality",
-    "cms_heavy_hitters",
-    "c4_line_filter",
-    "paragraph_dedup",
-    "js_divergence_sources",
-    "connected_components_repeat_pairs",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_windows",
-    "stream_stream_join_purchases",
-    "stream_dedup_events",
-    "stream_running_user_totals",
-    "stream_static_enrichment",
-    "lines_ingest_agg",
-    "compaction_roundtrip_agg",
+    # r11 changed plans ONLY (VERDICT r10 #1: reset each round; history
+    # lives in git). The oldest-driver-round-first fallback then leads
+    # the window with the ~40 queries whose last driver row is r7
+    # (tokenize_to_ids, triangle_count, knn_lsh, lang_id_ngram,
+    # multimodal_*, bpe_train_*, csv/json_ingest_agg, ...).
+    "q21_waiting_supplier",  # exchange-reuse rewrite (VERDICT r10 #2)
+    "triangle_count",  # graph memory-floor rewrite (VERDICT r10 #3)
+    "clustering_coefficient",  # graph memory-floor rewrite (#3)
 ]
 
 

@@ -219,9 +219,31 @@ def main() -> int:
                 results = json.load(fh).get("queries", {})
         except (OSError, ValueError):
             pass
+        # Staleness guard (ADVICE r10): resumed cells measured under an
+        # OLD plan silently feed SCALING.md/CAPACITY.md after an engine
+        # change. If the plan/operator modules are newer than the
+        # artifact, invalidate and remeasure instead of resuming.
+        try:
+            art_mtime = os.path.getmtime(out_path)
+            plan_mtime = max(
+                os.path.getmtime(os.path.join(REPO, "hpat_jl_spark", p))
+                for p in ("plans/graph.py", "operators/iterative.py")
+            )
+            if results and plan_mtime > art_mtime:
+                print(
+                    "# GRAPH_SCALING.json predates the current graph "
+                    "plans — invalidating resumed cells (pass committed "
+                    "artifacts forward only when plans are unchanged)",
+                    file=sys.stderr,
+                )
+                results = {}
+        except OSError:
+            pass
     for name in GRAPH_QUERIES:
         if set(results.get(name, {})) >= {"sf0.1", *STAGE}:
-            print(f"# {name}: resumed from {out_path}", file=sys.stderr)
+            print(f"# {name}: resumed from {out_path} "
+                  "(possibly stale — pass --rerun after plan changes)",
+                  file=sys.stderr)
             continue
         results[name] = _child_json(["--one", name])["timings"]
         payload = {

@@ -52,15 +52,25 @@ ORACLE_TIMEOUT_S = float(os.environ.get("LIVENESS_ORACLE_TIMEOUT_S", "120"))
 SLOW: list[str] = []
 
 
-def _count_rows(con, sql: str) -> int | None:
+def _count_rows(con, sql: str, _retried: bool = False) -> int | None:
     """Row count with a watchdog: duckdb's interrupt() aborts the
-    running query from another thread; None means timed out."""
+    running query from another thread; None means timed out.
+
+    Race guard (ADVICE r10): if the query finishes right at the
+    deadline, interrupt() can fire AFTER fetchall() returned but before
+    done.set(), leaving a stale interrupt on the shared connection that
+    aborts the NEXT query. The watchdog therefore records intent in
+    ``timed_out`` BEFORE interrupting, and an INTERRUPT surfacing with
+    the flag unset (the stale case) is retried once on the same
+    connection instead of being classified."""
     import threading
 
     done = threading.Event()
+    timed_out = threading.Event()
 
     def _watchdog():
         if not done.wait(ORACLE_TIMEOUT_S):
+            timed_out.set()
             con.interrupt()
 
     t = threading.Thread(target=_watchdog, daemon=True)
@@ -69,7 +79,12 @@ def _count_rows(con, sql: str) -> int | None:
         return len(con.execute(sql).fetchall())
     except Exception as exc:  # noqa: BLE001
         if "INTERRUPT" in str(exc).upper():
-            return None
+            if timed_out.is_set():
+                return None
+            if not _retried:  # stale interrupt from a prior watchdog
+                done.set()
+                t.join()
+                return _count_rows(con, sql, _retried=True)
         raise
     finally:
         done.set()

@@ -159,8 +159,10 @@ def parse_memory() -> dict[str, dict]:
             "spill_bytes": rec.get("mem_spill_bytes", 0)
             + rec.get("disk_spill_bytes", 0),
             "floor_wall_s": rec.get("wall_s"),
+            # numeric sort — lexicographic puts "16g" before "3g"
             "oom_budgets": sorted(
-                b for b, r in cells.items() if r.get("oom")
+                (b for b, r in cells.items() if r.get("oom")),
+                key=lambda b: float(re.sub(r"[^\d.]", "", b)),
             ),
         }
     return out
@@ -386,13 +388,13 @@ def _graph_section(cores: dict[str, float], memory: dict[str, dict]) -> list[str
         x10 = t.get("gx10")
         if x100 is None:
             continue
-        growth = round(x100 / x10, 1) if x10 else None
+        growth = f"{round(x100 / x10, 1)}×" if x10 else "—"
         core_h = x100 * threads / tier_tb / 3600
         oc = cores.get(name)
         prov = core_h / oc if oc else None
         mem = memory.get(name, {})
         lines.append(
-            f"| {name} | {x100} | {growth}× | {core_h:.2f} "
+            f"| {name} | {x100} | {growth} | {core_h:.2f} "
             f"| {oc if oc is not None else '—'} "
             f"| {f'{prov:.2f}' if prov else '—'} "
             f"| {mem.get('floor') or '—'} |"

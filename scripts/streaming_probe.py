@@ -218,7 +218,8 @@ def main() -> None:
     # Splice the MERGED grid (not just this run's tiers) so per-tier
     # partial runs compose into one complete SCALING.md table.
     all_tiers = [t for t in TIERS
-                 if any(t in tr for tr in prior["results"].values())]
+                 if any(t in tr
+                        for tr in prior.setdefault("results", {}).values())]
     _splice_scaling_md(prior["results"], all_tiers)
     print(json.dumps(results, indent=1))
 

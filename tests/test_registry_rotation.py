@@ -70,31 +70,34 @@ def test_window_rotates_vs_last_two_rounds():
     )
 
 
-def test_r10_window_completes_cumulative_coverage():
-    """VERDICT r09 #2: every registered query with NO driver row in any
-    r6-r9 window must sit in this round's DRIVER_PRIORITY, so
-    CORRECTNESS_r10 closes the cumulative r6-r10 evidence at 186/186.
-    Skips silently on a clone without the artifacts."""
-    files = [
-        f
-        for f in _history_files()
-        if any(f.endswith(f"CORRECTNESS_r0{r}.json") for r in (6, 7, 8, 9))
-    ]
+def test_stalest_queries_lead_the_window():
+    """Rolling form of the r10 cumulative-coverage test (VERDICT r10
+    #1): every registered query with NO driver row in the last four
+    committed windows must appear in the first ~50 entries of this
+    round's order — via DRIVER_PRIORITY or the oldest-round fallback —
+    so no query's driver evidence can age past ~4 rounds. Skips on a
+    clone without the artifacts."""
+    files = _history_files()
     if len(files) < 4:
         return
     covered = set()
-    for f in files:
+    for f in files[-4:]:
         covered |= set(json.load(open(f)))
     registry.load_all_plans()
-    never = {n for n in registry.REGISTRY if n not in covered}
-    prio = set(registry.DRIVER_PRIORITY)
-    missing = sorted(never - prio)
-    assert missing == [], (
-        f"{len(missing)} queries have no r6-r9 driver row and are not in "
-        f"this round's DRIVER_PRIORITY window: {missing}"
-    )
-    # and the whole priority list fits the ~50-row driver window
-    assert len([n for n in prio if n in registry.REGISTRY]) <= 50
+    stale = {n for n in registry.REGISTRY if n not in covered}
+    window = set(registry._ordered_names()[:50])
+    overdue = sorted(stale - window)
+    # The stale set can legitimately exceed one 50-row window right
+    # after a hardening round; what must hold is that the window is
+    # FULL of stale entries whenever any exist.
+    if stale and overdue:
+        assert len(window & stale) >= min(len(stale), 45), (
+            f"{len(overdue)} queries with no driver row in the last 4 "
+            f"rounds are outside the 50-entry window: {overdue[:10]}..."
+        )
+    # and the priority list itself fits the ~50-row driver window
+    prio = [n for n in registry.DRIVER_PRIORITY if n in registry.REGISTRY]
+    assert len(prio) <= 50
 
 
 def test_history_reader_tolerates_garbage(tmp_path):
