@@ -11,7 +11,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hpat_jl_spark.registry import register
+from hpat_jl_spark.session import sized_shuffle_partitions
 from hpat_jl_spark.tables import load_table
+
+
+def _graph_width(spark: SparkSession, sf_dir: str) -> int:
+    """Pinned exchange width for adjacency-carrying graph stages.
+
+    The r9 pinned-width rule (q01_copurchase): every per-task working
+    set downstream of a pinned exchange is corpus/width, so the width
+    must scale with input bytes or a fixed-thread memory budget OOMs at
+    amplified tiers — the g×100 probe measured exactly that (4 g OOMs
+    all three kernels at the probes' width-128 ceiling, MEMORY_PROBE
+    r10). Graph stages need a HIGHER cap than the relational 4×threads:
+    the edge-iterator's dst-keyed exchange carries per-edge adjacency
+    arrays whose stream is Θ(wedges) ≈ √m-amplified over the input
+    bytes, so ~2 MB of input per partition is ~√m× that in flight.
+    per_core_cap=16 lets the width reach 512 on a 32-thread box at the
+    g×100 tier while small fixtures keep width = defaultParallelism
+    (sf0.1: sized gives 8 < 32 — the sf0.1 plan shape is unchanged
+    apart from the now-explicit exchange)."""
+    return max(
+        spark.sparkContext.defaultParallelism,
+        sized_shuffle_partitions(sf_dir, per_core_cap=16),
+    )
 
 
 def _copurchase_pairs(li: DataFrame) -> DataFrame:
@@ -118,10 +141,21 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    oriented = ann.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Pinned byte-sized width (r11, VERDICT r10 #3): the src exchange
+    # is reused by the adjacency aggregate AND the first join (both
+    # src-clustered, zero extra exchanges), and the one dst exchange —
+    # the only stage where per-edge adjacency arrays cross the wire —
+    # is widened so its per-task sorter/join residency is
+    # wedge-bytes/width instead of wedge-bytes/128.
+    width = _graph_width(spark, sf_dir)
+    oriented = (
+        ann.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        .repartition(width, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     # Edge-iterator: per oriented edge (u,v), triangles through it =
     # |N_out(u) ∩ N_out(v)|. Out-adjacency lists are bounded at
@@ -144,6 +178,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # missing adjacency under non-legacy semantics → coalesce to 0.
     tri = (
         oriented.join(au, "src", "left")
+        .repartition(width, "dst")
         .join(av, "dst", "left")
         .select(
             F.coalesce(
@@ -227,10 +262,17 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    oriented = ann.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # same pinned byte-sized width as triangle_count (r11): one reused
+    # src exchange, one widened dst exchange for the array-carrying hop
+    width = _graph_width(spark, sf_dir)
+    oriented = (
+        ann.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        .repartition(width, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     adj = oriented.groupBy("src").agg(
         F.array_sort(F.collect_list("dst")).alias("nbrs")
     )
@@ -238,6 +280,7 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     av = adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nbrs_v"))
     closed = (
         oriented.join(au, "src")
+        .repartition(width, "dst")
         .join(av, "dst")
         .select(
             "src",

@@ -210,9 +210,28 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate off whole-stage codegen into ObjectHashAggregate and the
     arrays ride through the window sort; a window-free variant
     (per-order collect of supplier structs, O(k²) array walk) was worse
-    still (1.45s). The two-scan shape keeps both aggregates codegen'd;
-    revisit only if the fact scan itself becomes the measured
-    bottleneck (at 100 TB the one-scan variant halves IO)."""
+    still (1.45s).
+
+    r11 (VERDICT r10 #2 — of-ceiling 0.28 at ×100 made this the #2
+    provisioned-cost driver): the q01/hll exchange-reuse treatment.
+    Both consumers of the filtered line stream (the per-(order,supplier)
+    max aggregate and the line-match join) now read ONE pinned
+    ``repartition(width, l_orderkey)`` exchange with byte-sized width
+    (``max(defaultParallelism, sized_shuffle_partitions)`` — the r9
+    pinned-width rule: every downstream per-task buffer is
+    corpus/width). HashPartitioning(orderkey) satisfies every
+    downstream clustering requirement — the (orderkey,suppkey)
+    aggregate, the orderkey window, and BOTH sides of the line-match
+    join — so lineitem is scanned once and the line stream is shuffled
+    once (the old shape re-scanned lineitem per consumer and re-keyed
+    o→(o,s)→o across three exchanges). The nation-supplier broadcast is
+    applied to the QUALIFIED side before the line-match join (25×
+    smaller build, s_name rides through), and the join is hinted
+    SHUFFLE_HASH: the build is the per-(order,supplier) aggregate of
+    one nation's suppliers — bounded by corpus/width like q01's build —
+    and the hint keeps the wide fl stream un-sorted."""
+    from hpat_jl_spark.session import sized_shuffle_partitions
+
     li = load_table(spark, "lineitem", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
     supplier = load_table(spark, "supplier", sf_dir)
@@ -223,9 +242,30 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # f_orders is ~half the orders table (O(sf)) — VERDICT r01 flagged
     # force-broadcasting it as the worst scale hazard in the repo. The
-    # semi-ish join now shuffles on orderkey like the rest of the plan.
-    fl = li.join(f_orders, li.l_orderkey == F.col("o_orderkey")).select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
+    # semi-ish join shuffles (or AQE-broadcasts) on orderkey; the pinned
+    # repartition right after it is the ONE line-stream exchange every
+    # downstream stage reuses.
+    width = max(
+        spark.sparkContext.defaultParallelism,
+        sized_shuffle_partitions(sf_dir),
+    )
+    # Explicit not-null filters make the two consumers' scan predicates
+    # IDENTICAL: the line-match join infers isnotnull(suppkey/shipdate)
+    # constraints and pushes them below the exchange on its branch
+    # only, which de-canonicalizes the shared subtree and defeats AQE
+    # stage reuse (measured: lineitem scanned twice without these).
+    # Value-neutral on this schema (the fixture's key/date columns are
+    # null-free; null-key rows can't match the oracle's = / <> / >
+    # predicates either).
+    fl = (
+        li.filter(
+            F.col("l_orderkey").isNotNull()
+            & F.col("l_suppkey").isNotNull()
+            & F.col("l_shipdate").isNotNull()
+        )
+        .join(f_orders, li.l_orderkey == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .repartition(width, "l_orderkey")
     )
     supp_max = fl.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("l_shipdate").alias("smax")
@@ -250,25 +290,36 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualified = stats.filter(F.col("nsupp") > 1).withColumn(
         "other_max", other_max
     )
-    # lines of this (order, supplier) shipped >= every other supplier's line
-    waiting = fl.join(
-        qualified.select(
-            F.col("l_orderkey").alias("q_orderkey"),
-            F.col("l_suppkey").alias("q_suppkey"),
-            "other_max",
-        ),
-        (fl.l_orderkey == F.col("q_orderkey"))
-        & (fl.l_suppkey == F.col("q_suppkey"))
-        & (fl.l_shipdate >= F.col("other_max")),
-    )
+    # nation filter pushed into the qualified (build) side: only
+    # NATION_11's suppliers can contribute to the answer, so the
+    # line-match build shrinks ~25× and carries s_name through.
     nat_supp = supplier.join(
         F.broadcast(table_filter(nation, F.col("n_name") == "NATION_11")),
         supplier.s_nationkey == nation.n_nationkey,
     ).select("s_suppkey", "s_name")
-    counted = (
-        waiting.join(nat_supp, waiting.q_suppkey == F.col("s_suppkey"))
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+    # not force-broadcast: supplier is O(sf) (repo policy — the r1
+    # flag); at fixture sizes the static threshold/AQE broadcasts it
+    # anyway, preserving qualified's orderkey partitioning.
+    q_nat = qualified.join(
+        nat_supp,
+        qualified.l_suppkey == F.col("s_suppkey"),
+    ).select(
+        F.col("l_orderkey").alias("q_orderkey"),
+        F.col("l_suppkey").alias("q_suppkey"),
+        "other_max",
+        "s_name",
+    )
+    # lines of this (order, supplier) shipped >= every other supplier's
+    # line; both sides still carry the pinned orderkey partitioning, so
+    # the shuffled-hash join adds no exchange.
+    waiting = fl.join(
+        q_nat.hint("SHUFFLE_HASH"),
+        (fl.l_orderkey == F.col("q_orderkey"))
+        & (fl.l_suppkey == F.col("q_suppkey"))
+        & (fl.l_shipdate >= F.col("other_max")),
+    )
+    counted = waiting.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("numwait")
     )
     return top_k(counted, 20, F.col("numwait").desc(), F.col("s_name"))
 

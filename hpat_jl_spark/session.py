@@ -117,6 +117,19 @@ def get_spark(
         # cloud-storage clusters; the 3s default delay-schedules real
         # work (r5 measurement: ~5-10% on short queries).
         .config("spark.locality.wait", "0")
+        # Allow subset-key co-partitioning for joins (r11, q21): a join
+        # on (orderkey, suppkey) whose BOTH children already carry
+        # HashPartitioning(orderkey) is co-located — rows with equal
+        # orderkey meet regardless of suppkey — but Spark 4's default
+        # (true) refuses the subset and re-shuffles both sides on the
+        # full key set, defeating any pinned-exchange design that
+        # shares one partitioning across an aggregate, a window, and a
+        # join (the q01/hll exchange-reuse treatment). false restores
+        # the subset rule. Correctness-neutral (the driver's vanilla
+        # session still computes identical results through extra
+        # exchanges); the skew risk the default guards against is
+        # covered by AQE skew-join splitting above.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         # Arrow for every Python<->JVM exchange (pandas_udf, toPandas).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -90,7 +90,9 @@ def test_no_forced_broadcast_of_osf_tables(spark):
         "q15_top_supplier": 1,           # 1-row max aggregate
         "q17_small_quantity_revenue": 0,
         "q19_disjunctive_predicates": 0,
-        "q21_waiting_supplier": 1,       # nation filter
+        "q21_waiting_supplier": 2,       # nation filter + SHUFFLE_HASH
+                                         # (not a broadcast) on the
+                                         # co-partitioned line match
         # NOTE: a hinted subtree reused on both sides of a self-join
         # appears twice in the analyzed plan, so budgets count hint
         # NODES, not distinct hints.
