@@ -633,39 +633,52 @@ def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The iterative float fixpoint DOES have a SQL twin: DuckDB allows
-# aggregates in the recursive term, so the 10-step damping-0.85 power
-# iteration runs as a recursive CTE. Self-loops with weight 0 keep
-# every vertex (including pure sinks) alive through the per-iteration
-# GROUP BY — the SQL analogue of the Spark side's left join on verts.
-# (tol=1e-6 early-exit can't fire in 10 iterations: the geometric
-# contraction is 0.85^k, so deltas are ~0.2x scale at k=10.)
-_pagerank_oracle = """
-WITH RECURSIVE
-edges AS (
+# The iterative float fixpoint DOES have a SQL twin: the 10-step
+# damping-0.85 power iteration as a chain of UNROLLED MATERIALIZED
+# CTEs, one per iteration (the bpe_train technique — CLAUDE.md r5:
+# round-chained CTEs must be MATERIALIZED). An earlier WITH RECURSIVE
+# form computed identical values but DuckDB's recursive evaluation
+# drove ~731M rows through the iteration join at sf0.1 (46 s, and a
+# liveness-audit slow-skip at amplified tiers); the unrolled chain does
+# the honest ~600k rows/iteration (~2 s). Self-loops with weight 0
+# keep every vertex (including pure sinks) alive through the
+# per-iteration GROUP BY — the SQL analogue of the Spark side's left
+# join on verts. (tol=1e-6 early-exit can't fire in 10 iterations: the
+# geometric contraction is 0.85^k, so deltas are ~0.2x scale at k=10.)
+
+
+def _pagerank_unrolled_oracle(iters: int = 10) -> str:
+    steps = ",\n".join(
+        f"""r{k} AS MATERIALIZED (
+  SELECT a.dst AS vertex, 0.15 + 0.85 * sum(p.rank * a.w) AS rank
+  FROM r{k - 1} p JOIN aug a ON a.src = p.vertex
+  GROUP BY a.dst
+)"""
+        for k in range(1, iters + 1)
+    )
+    return f"""
+WITH
+edges AS MATERIALIZED (
   SELECT DISTINCT l_suppkey::BIGINT AS src, (o_custkey + 1000000)::BIGINT AS dst
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
-verts AS (
+verts AS MATERIALIZED (
   SELECT src AS vertex FROM edges UNION SELECT dst FROM edges
 ),
-degs AS (SELECT src AS vertex, count(*)::DOUBLE AS out_deg FROM edges GROUP BY src),
-aug AS (
+degs AS MATERIALIZED (SELECT src AS vertex, count(*)::DOUBLE AS out_deg FROM edges GROUP BY src),
+aug AS MATERIALIZED (
   SELECT e.src, e.dst, 1.0 / d.out_deg AS w
   FROM edges e JOIN degs d ON d.vertex = e.src
   UNION ALL
   SELECT vertex, vertex, 0.0 FROM verts
 ),
-pr(iter, vertex, rank) AS (
-  SELECT 0, vertex, 1.0::DOUBLE FROM verts
-  UNION ALL
-  SELECT p.iter + 1, a.dst, 0.15 + 0.85 * sum(p.rank * a.w)
-  FROM pr p JOIN aug a ON a.src = p.vertex
-  WHERE p.iter < 10
-  GROUP BY p.iter + 1, a.dst
-)
-SELECT vertex, round(rank, 4) AS rank FROM pr WHERE iter = 10
+r0 AS MATERIALIZED (SELECT vertex, 1.0::DOUBLE AS rank FROM verts),
+{steps}
+SELECT vertex, round(rank, 4) AS rank FROM r{iters}
 """
+
+
+_pagerank_oracle = _pagerank_unrolled_oracle(10)
 
 
 @register("pagerank_trade_graph", oracle=_pagerank_oracle, tags=("extended",))

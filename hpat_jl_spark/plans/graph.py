@@ -394,14 +394,14 @@ def link_prediction_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Self-loops keep isolated-in-round vertices alive through the GROUP BY.
 _cc_oracle = """
 WITH RECURSIVE
-op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-edges AS (
+op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS MATERIALIZED (
   SELECT a.p AS u, b.p AS v
   FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
   GROUP BY 1, 2 HAVING count(*) >= 2
 ),
-verts AS (SELECT u AS vertex FROM edges UNION SELECT v FROM edges),
-aug AS (
+verts AS MATERIALIZED (SELECT u AS vertex FROM edges UNION SELECT v FROM edges),
+aug AS MATERIALIZED (
   SELECT u AS src, v AS dst FROM edges
   UNION ALL SELECT v, u FROM edges
   UNION ALL SELECT vertex, vertex FROM verts

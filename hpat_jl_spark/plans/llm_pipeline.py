@@ -635,13 +635,33 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prepare_corpus(spark, sf_dir, context_len=512, min_quality=None)
 
 
+# FastSS twin (r11, VERDICT r10 #5): the old naive quadratic self-join
+# (customer × customer ON levenshtein <= 1) was value-identical but
+# ~O(n²) in DuckDB — 145.6 s at sf0.1 and a guaranteed slow-skip in the
+# amplified-tier liveness audit (it hung a full run 25+ min at ×10).
+# This form mirrors the Spark plan's linear FastSS wildcard buckets:
+# each name emits len variants with position i replaced by a sentinel;
+# a hamming-1 pair shares EXACTLY one variant (the wildcard offset is
+# positional), so the bucket join is multiplicity-exact with no dedup,
+# and the levenshtein verify never sees a cross product. Value- and
+# multiplicity-identical to the naive form whenever c_name is unique
+# per row (the fixture's case; verified equal at sf0.01/sf0.1).
 _fuzzy_oracle = """
-SELECT a.c_name AS name_a, b.c_name AS name_b,
-       levenshtein(a.c_name, b.c_name)::BIGINT AS distance
-FROM customer a JOIN customer b
-ON a.c_name < b.c_name
-AND length(a.c_name) = length(b.c_name)
-AND levenshtein(a.c_name, b.c_name) <= 1
+WITH names AS MATERIALIZED (SELECT c_name FROM customer),
+variants AS MATERIALIZED (
+  SELECT c_name,
+         substr(c_name, 1, i - 1) || chr(1) || substr(c_name, i + 1)
+           AS variant
+  FROM names, unnest(generate_series(1, length(c_name))) AS t(i)
+),
+cand AS (
+  SELECT a.c_name AS name_a, b.c_name AS name_b
+  FROM variants a JOIN variants b USING (variant)
+  WHERE a.c_name < b.c_name
+)
+SELECT name_a, name_b, levenshtein(name_a, name_b)::BIGINT AS distance
+FROM cand
+WHERE levenshtein(name_a, name_b) <= 1
 """
 
 
@@ -661,8 +681,9 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming-1 pair shares exactly one variant — no dedup needed). The
     shuffle is len× the input (linear); the levenshtein verify is a
     belt-and-braces filter over already-exact candidates, never a
-    cross product. The oracle's naive quadratic form is
-    count-equivalent at sf0.01."""
+    cross product. The oracle mirrors the same FastSS bucketing (r11 —
+    its earlier naive quadratic form hung the amplified-tier liveness
+    audit; both forms verified value-identical at sf0.01/sf0.1)."""
     cust = load_table(spark, "customer", sf_dir).select(
         F.col("c_name").alias("name")
     )

@@ -108,14 +108,14 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # diameter of cosine-0.9 near-dup clusters.
 _emb_cluster_oracle = f"""
 WITH RECURSIVE
-v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
-strong AS (
+v AS MATERIALIZED (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+strong AS MATERIALIZED (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
   WHERE {_cos_sql('a.e', 'b.e')} > {_NEARDUP_THRESHOLD}
 ),
-verts AS (SELECT id_a AS vertex FROM strong UNION SELECT id_b FROM strong),
-aug AS (
+verts AS MATERIALIZED (SELECT id_a AS vertex FROM strong UNION SELECT id_b FROM strong),
+aug AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM strong
   UNION ALL SELECT id_b, id_a FROM strong
   UNION ALL SELECT vertex, vertex FROM verts

@@ -421,8 +421,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fixpoint (same pattern as graph.py's connected_components oracle).
 _dedup_cluster_oracle = f"""
 WITH RECURSIVE {_minhash_pair_ctes(0.5)},
-verts AS (SELECT id_a AS vertex FROM strong UNION SELECT id_b FROM strong),
-aug AS (
+verts AS MATERIALIZED (SELECT id_a AS vertex FROM strong UNION SELECT id_b FROM strong),
+aug AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM strong
   UNION ALL SELECT id_b, id_a FROM strong
   UNION ALL SELECT vertex, vertex FROM verts

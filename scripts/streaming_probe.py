@@ -174,11 +174,35 @@ def main() -> None:
     tiers = {k: v for k, v in TIERS.items()
              if (tier_arg is None or k in tier_arg) and os.path.isdir(v)}
 
-    spark = get_spark(app_name="streaming-probe", shuffle_partitions=32)
+    # VERDICT r10 #7: the state-store BACKEND axis. `--backend rocksdb`
+    # re-runs the same grid under RocksDBStateStoreProvider (off-heap,
+    # disk-backed — the backend a 100 TB deployment would pick when
+    # per-partition state exceeds executor heap) and records each cell
+    # under the tier label "<tier>@rocksdb", so the JSON holds both
+    # backends side by side and the delta (peak-state bytes, trigger
+    # median) is a measured recommendation, not an assumed one.
+    backend = "hdfs"
+    if "--backend" in sys.argv:
+        backend = sys.argv[sys.argv.index("--backend") + 1].lower()
+    extra_conf = {}
+    label_suffix = ""
+    if backend == "rocksdb":
+        extra_conf["spark.sql.streaming.stateStore.providerClass"] = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+        label_suffix = "@rocksdb"
+
+    spark = get_spark(
+        app_name=f"streaming-probe-{backend}",
+        shuffle_partitions=32,
+        extra_conf=extra_conf or None,
+    )
     os.makedirs(STAGE_ROOT, exist_ok=True)
     results: dict[str, dict[str, dict]] = {}
     for label, src in tiers.items():
         staged = _stage_sliced(spark, src, label)
+        label = label + label_suffix
         for name, make, mode in _queries():
             r = _run_stream(spark, make, staged, mode)
             results.setdefault(name, {})[label] = r

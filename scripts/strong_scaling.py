@@ -107,6 +107,26 @@ X100_SET = [
     "q25",
     "hll_distinct_portable",
     "q01_copurchase",
+    # r11 (VERDICT r10 #4): every remaining ×100-measured query whose
+    # CAPACITY.md of-ceiling column was "—" (provisioned core-h/TB was
+    # incomputable for them), plus q21 — its old 0.28 came from the
+    # floor-dominated ×10 table and the r11 exchange-reuse rewrite
+    # needs the compute-dominated number.
+    "q21_waiting_supplier",
+    "benchmark_decontaminate",
+    "dedup_simhash",
+    "embedding_dedup_clusters",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q26",
+    "knn_ivf_portable",
+    "knn_pq_portable",
+    "knn_ivf_persisted",
+    "bpe_encode_fixed",
+    "bpe_train_merges",
+    "duplicate_span_report",
+    "kmeans_lloyd_exact",
+    "sequence_packing",
 ]
 
 
@@ -235,13 +255,46 @@ def _child(name: str, cores: int, tier: str = "x10") -> float:
     )
 
 
+CORES_JSON = os.path.join(REPO, "CORES.json")
+
+
+def _load_cores_json() -> dict:
+    try:
+        with open(CORES_JSON) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
 def _sweep(names: list[str], tier: str) -> dict[str, dict[int, float]]:
+    """Per-cell resume via CORES.json (r11 — the probe had no artifact,
+    so extending the query set re-measured EVERY cell; now committed
+    cells are reused and only missing ones run). Invalidate a changed
+    plan's row by deleting it from CORES.json (or the whole file for a
+    full refresh) — the graph_scaling staleness lesson applies: resumed
+    cells are only valid while the plan is unchanged."""
+    prior = _load_cores_json()
     results: dict[str, dict[int, float]] = {}
     for name in [_CALIBRATION, *names]:
+        seeded = prior.get(tier, {}).get(name, {})
         results[name] = {}
+        dirty = False
         for c in CORES:
+            if str(c) in seeded:
+                results[name][c] = seeded[str(c)]
+                continue
             results[name][c] = _child(name, c, tier)
+            dirty = True
             print(f"# [{tier}] {name} @ local[{c}]: {results[name][c]}s",
+                  file=sys.stderr)
+            prior = _load_cores_json()
+            prior.setdefault(tier, {}).setdefault(name, {})[str(c)] = (
+                results[name][c]
+            )
+            with open(CORES_JSON, "w") as fh:
+                json.dump(prior, fh, indent=1)
+        if not dirty:
+            print(f"# [{tier}] {name}: resumed from CORES.json",
                   file=sys.stderr)
     return results
 
