@@ -30,7 +30,20 @@ def _graph_width(spark: SparkSession, sf_dir: str) -> int:
     per_core_cap=16 lets the width reach 512 on a 32-thread box at the
     g×100 tier while small fixtures keep width = defaultParallelism
     (sf0.1: sized gives 8 < 32 — the sf0.1 plan shape is unchanged
-    apart from the now-explicit exchange)."""
+    apart from the now-explicit exchange).
+
+    Measured outcome (r11 g×100 back-to-back variants): the src pin is
+    the win — triangle 445 s (no pin) → 224 s (src pin) at 32 g,
+    445 → 290 s at 8 g — while a dst-side pin stacked on top measured
+    STRICTLY slower (341/353 s) and a DISK_ONLY-persist variant OOM'd
+    at 4 g identically to MEMORY_AND_DISK. Neither pin moves the 4 g
+    floor: that death is a JVM-heap OOM in the shuffle-write stage
+    (64 MB humongous pointer-array allocations across 32 concurrent
+    tasks + GCLocker retry storms), not a divisible per-task data
+    buffer. The 8 g/32-thread floor therefore stands as the honest
+    graph-family number in CAPACITY.md: Θ(wedges) array bytes in
+    flight need ~0.25 GB/core headroom at this tier regardless of
+    exchange width."""
     return max(
         spark.sparkContext.defaultParallelism,
         sized_shuffle_partitions(sf_dir, per_core_cap=16),
@@ -143,10 +156,13 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Pinned byte-sized width (r11, VERDICT r10 #3): the src exchange
     # is reused by the adjacency aggregate AND the first join (both
-    # src-clustered, zero extra exchanges), and the one dst exchange —
-    # the only stage where per-edge adjacency arrays cross the wire —
-    # is widened so its per-task sorter/join residency is
-    # wedge-bytes/width instead of wedge-bytes/128.
+    # src-clustered, zero extra exchanges). A dst-side
+    # repartition(width) was ALSO tried (divide the array-carrying
+    # hop's per-task residency) and rejected on measurement: it did
+    # not move the 4 g OOM (a JVM-heap death, not a divisible buffer),
+    # and at g×100 the src-pin-only plan is the fastest of the three
+    # variants measured back-to-back (src-pin 224 s / src+dst-pin
+    # 341 s / no-pin 445 s at 32 g; 290/353/445 at 8 g).
     width = _graph_width(spark, sf_dir)
     oriented = (
         ann.select(
@@ -178,7 +194,6 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # missing adjacency under non-legacy semantics → coalesce to 0.
     tri = (
         oriented.join(au, "src", "left")
-        .repartition(width, "dst")
         .join(av, "dst", "left")
         .select(
             F.coalesce(
@@ -262,8 +277,12 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    # same pinned byte-sized width as triangle_count (r11): one reused
-    # src exchange, one widened dst exchange for the array-carrying hop
+    # same pinned byte-sized src exchange as triangle_count (r11), but
+    # clustering KEEPS the dst-side pin triangle dropped: without it
+    # the g×100 8 g cell OOMs (the 3-corner explode downstream of the
+    # second join holds more per-task state than triangle's scalar
+    # intersect-sum, and the widened dst hop is what divides it);
+    # with it, 8 g completes at ~322 s with graceful spill.
     width = _graph_width(spark, sf_dir)
     oriented = (
         ann.select(
