@@ -639,29 +639,38 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (customer × customer ON levenshtein <= 1) was value-identical but
 # ~O(n²) in DuckDB — 145.6 s at sf0.1 and a guaranteed slow-skip in the
 # amplified-tier liveness audit (it hung a full run 25+ min at ×10).
-# This form mirrors the Spark plan's linear FastSS wildcard buckets:
-# each name emits len variants with position i replaced by a sentinel;
-# a hamming-1 pair shares EXACTLY one variant (the wildcard offset is
-# positional), so the bucket join is multiplicity-exact with no dedup,
-# and the levenshtein verify never sees a cross product. Value- and
-# multiplicity-identical to the naive form whenever c_name is unique
-# per row (the fixture's case; verified equal at sf0.01/sf0.1).
+# This form mirrors the Spark plan's linear FastSS wildcard buckets and
+# (r12, VERDICT r11 #4) applies the distinct-content decomposition the
+# ngram_jaccard oracle proved: the amplified tiers replicate c_name
+# VERBATIM (only c_custkey shifts), so a bucket join over row instances
+# squares the ×N multiplicity — the exact shape that blew the 120 s
+# liveness watchdog at the sf0.1→×10 pair. Variants are generated over
+# DISTINCT names carrying a count m; each surviving rep-level pair is
+# re-expanded to m_a·m_b rows at output, which is precisely the
+# row-instance multiplicity (copies of a never pair with each other —
+# the strict < excluded them before too). The join key is
+# (wildcard position, variant), not the variant string alone (ADVICE
+# r11): a hamming-1 pair shares a variant exactly at its differing
+# position, so the bucket stays collision-proof even if a name ever
+# contained the chr(1) sentinel.
 _fuzzy_oracle = """
-WITH names AS MATERIALIZED (SELECT c_name FROM customer),
+WITH dn AS MATERIALIZED (
+  SELECT c_name, count(*)::BIGINT AS m FROM customer GROUP BY c_name
+),
 variants AS MATERIALIZED (
-  SELECT c_name,
+  SELECT c_name, m, i AS pos,
          substr(c_name, 1, i - 1) || chr(1) || substr(c_name, i + 1)
            AS variant
-  FROM names, unnest(generate_series(1, length(c_name))) AS t(i)
+  FROM dn, unnest(generate_series(1, length(c_name))) AS t(i)
 ),
 cand AS (
-  SELECT a.c_name AS name_a, b.c_name AS name_b
-  FROM variants a JOIN variants b USING (variant)
+  SELECT a.c_name AS name_a, b.c_name AS name_b, a.m * b.m AS mult
+  FROM variants a JOIN variants b USING (pos, variant)
   WHERE a.c_name < b.c_name
+    AND levenshtein(a.c_name, b.c_name) <= 1
 )
 SELECT name_a, name_b, levenshtein(name_a, name_b)::BIGINT AS distance
-FROM cand
-WHERE levenshtein(name_a, name_b) <= 1
+FROM cand, unnest(generate_series(1, mult)) AS g(k)
 """
 
 
@@ -674,22 +683,29 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan — FastSS wildcard neighborhoods (Bocek et al. 2007), not
     PassJoin segment blocking: these names share a constant 9-char
     prefix, so any prefix/half segment key collapses into ONE bucket
-    and goes quadratic. Instead each name emits len variants with
-    position i replaced by a sentinel; two names share a variant IFF
-    they are hamming-≤1, so every join bucket is a true match group
-    (the wildcard position is encoded by the sentinel's offset, and a
-    hamming-1 pair shares exactly one variant — no dedup needed). The
-    shuffle is len× the input (linear); the levenshtein verify is a
-    belt-and-braces filter over already-exact candidates, never a
-    cross product. The oracle mirrors the same FastSS bucketing (r11 —
-    its earlier naive quadratic form hung the amplified-tier liveness
-    audit; both forms verified value-identical at sf0.01/sf0.1)."""
+    and goes quadratic. Each DISTINCT name (carrying its row count m —
+    the minhash/simhash distinct-content discipline, r12) emits len
+    variants with position i replaced by a sentinel; two names share a
+    (position, variant) key IFF they are hamming-≤1 at that position,
+    so every join bucket is a true match group and a hamming-1 pair
+    shares exactly ONE key — multiplicity-exact with no dedup, and
+    collision-proof even for names containing the sentinel char
+    (ADVICE r11). Surviving rep-level pairs re-expand to m_a·m_b rows,
+    the row-instance pair multiplicity (verbatim-duplicated names never
+    pair with themselves — strict < always excluded them). The shuffle
+    is len× the DISTINCT names (linear, immune to verbatim duplication
+    — the ×10/×100 replica tiers square a row-instance bucket join);
+    the levenshtein verify filters already-exact candidates before the
+    expansion, never a cross product. The oracle mirrors the same
+    decomposition; both forms verified value-identical at sf0.01/sf0.1."""
     cust = load_table(spark, "customer", sf_dir).select(
         F.col("c_name").alias("name")
     )
-    variants = cust.select(
+    dn = cust.groupBy("name").agg(F.count(F.lit(1)).alias("m"))
+    variants = dn.select(
         "name",
-        F.explode(
+        "m",
+        F.posexplode(
             F.transform(
                 F.sequence(F.lit(1), F.length("name")),
                 lambda i: F.concat(
@@ -698,22 +714,26 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("name").substr(i + 1, F.length("name")),
                 ),
             )
-        ).alias("variant"),
+        ).alias("pos", "variant"),
     )
     a = variants.alias("a")
     b = variants.alias("b")
     pairs = (
-        a.join(b, "variant")
+        a.join(b, ["pos", "variant"])
         .filter(F.col("a.name") < F.col("b.name"))
         .select(
-            F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            (F.col("a.m") * F.col("b.m")).alias("mult"),
         )
     )
-    return pairs.filter(
-        F.levenshtein("name_a", "name_b") <= 1
-    ).withColumn(
-        "distance", F.levenshtein("name_a", "name_b").cast("bigint")
-    )
+    matched = pairs.filter(F.levenshtein("name_a", "name_b") <= 1)
+    return matched.select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("bigint").alias("distance"),
+        F.explode(F.sequence(F.lit(1), F.col("mult"))).alias("_k"),
+    ).drop("_k")
 
 
 _weighted_sample_oracle = """

@@ -254,9 +254,15 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # constraints and pushes them below the exchange on its branch
     # only, which de-canonicalizes the shared subtree and defeats AQE
     # stage reuse (measured: lineitem scanned twice without these).
-    # Value-neutral on this schema (the fixture's key/date columns are
-    # null-free; null-key rows can't match the oracle's = / <> / >
-    # predicates either).
+    # Value-neutral for the KEY columns only (null l_orderkey/l_suppkey
+    # can't satisfy the oracle's = / <> join predicates). The
+    # l_shipdate filter is NOT value-neutral in general: the oracle's
+    # EXISTS(l2) has no shipdate predicate, so a valid-key row with
+    # NULL l_shipdate would still count toward nsupp there while this
+    # plan drops it — an explicit FIXTURE-DEPENDENT assumption (ADVICE
+    # r11): the TPC-H-shaped fixtures are shipdate-null-free, and
+    # tests/test_null_semantics.py pins where the engine diverges by
+    # design.
     fl = (
         li.filter(
             F.col("l_orderkey").isNotNull()

@@ -78,14 +78,17 @@ def register(
 # behavior. Names not (yet) registered are skipped, so new plans can
 # be pre-listed.
 DRIVER_PRIORITY: list[str] = [
-    # r11 changed plans ONLY (VERDICT r10 #1: reset each round; history
-    # lives in git). The oldest-driver-round-first fallback then leads
-    # the window with the ~40 queries whose last driver row is r7
-    # (tokenize_to_ids, triangle_count, knn_lsh, lang_id_ngram,
-    # multimodal_*, bpe_train_*, csv/json_ingest_agg, ...).
-    "q21_waiting_supplier",  # exchange-reuse rewrite (VERDICT r10 #2)
-    "triangle_count",  # graph memory-floor rewrite (VERDICT r10 #3)
-    "clustering_coefficient",  # graph memory-floor rewrite (#3)
+    # r12 changed plans AND changed oracles (ADVICE r11: an oracle
+    # rewrite is a changed plan for gate purposes — it must re-earn a
+    # driver row under the vanilla session). Reset each round; history
+    # lives in git. The oldest-driver-round-first fallback then fills
+    # the window with the r8/r9-stale queries.
+    "fuzzy_name_pairs",  # distinct-content FastSS decomposition, plan
+    #                      + oracle (VERDICT r11 #4 + ADVICE pos-join)
+    # r11's oracle-rewritten queries the r11 window missed (ADVICE r11
+    # #1): their riskiest-change driver evidence is still outstanding.
+    "ngram_jaccard",
+    "pagerank_trade_graph",
 ]
 
 

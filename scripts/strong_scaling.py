@@ -266,31 +266,71 @@ def _load_cores_json() -> dict:
         return {}
 
 
-def _sweep(names: list[str], tier: str) -> dict[str, dict[int, float]]:
+def _cell_parts(raw) -> tuple[float, float | None]:
+    """(sec, same-run calibration sec or None for legacy cells)."""
+    if isinstance(raw, dict):
+        return raw["sec"], raw.get("calib")
+    return raw, None
+
+
+def _sweep(names: list[str], tier: str) -> dict[str, dict[int, tuple]]:
     """Per-cell resume via CORES.json (r11 — the probe had no artifact,
     so extending the query set re-measured EVERY cell; now committed
     cells are reused and only missing ones run). Invalidate a changed
     plan's row by deleting it from CORES.json (or the whole file for a
     full refresh) — the graph_scaling staleness lesson applies: resumed
-    cells are only valid while the plan is unchanged."""
+    cells are only valid while the plan is unchanged.
+
+    Calibration mixing (ADVICE r11): resuming the CALIBRATION row while
+    measuring new query cells normalized fresh timings against a
+    yardstick from an earlier run's box conditions. Now (1) whenever any
+    query cell must run, the calibration row is RE-MEASURED fresh for
+    this invocation (never resumed), and (2) every query cell stores the
+    same-run calibration sec at its core count ({"sec": s, "calib": c}),
+    so the of-ceiling math normalizes each cell against its OWN run's
+    yardstick — rows whose cells span runs stay comparable. Legacy
+    numeric cells (pre-r12) carry no snapshot and fall back to the
+    tier's current calibration row, flagged in the table prose."""
     prior = _load_cores_json()
-    results: dict[str, dict[int, float]] = {}
-    for name in [_CALIBRATION, *names]:
-        seeded = prior.get(tier, {}).get(name, {})
+    tier_prior = prior.get(tier, {})
+    any_missing = any(
+        str(c) not in tier_prior.get(name, {}) for name in names for c in CORES
+    )
+    results: dict[str, dict[int, tuple]] = {}
+
+    calib: dict[int, float] = {}
+    seeded_calib = tier_prior.get(_CALIBRATION, {})
+    for c in CORES:
+        if not any_missing and str(c) in seeded_calib:
+            calib[c], _ = _cell_parts(seeded_calib[str(c)])
+            continue
+        calib[c] = _child(_CALIBRATION, c, tier)
+        print(f"# [{tier}] {_CALIBRATION} @ local[{c}]: {calib[c]}s",
+              file=sys.stderr)
+        prior = _load_cores_json()
+        prior.setdefault(tier, {}).setdefault(_CALIBRATION, {})[str(c)] = (
+            calib[c]
+        )
+        with open(CORES_JSON, "w") as fh:
+            json.dump(prior, fh, indent=1)
+    results[_CALIBRATION] = {c: (calib[c], calib[c]) for c in CORES}
+
+    for name in names:
+        seeded = tier_prior.get(name, {})
         results[name] = {}
         dirty = False
         for c in CORES:
             if str(c) in seeded:
-                results[name][c] = seeded[str(c)]
+                results[name][c] = _cell_parts(seeded[str(c)])
                 continue
-            results[name][c] = _child(name, c, tier)
+            sec = _child(name, c, tier)
+            results[name][c] = (sec, calib[c])
             dirty = True
-            print(f"# [{tier}] {name} @ local[{c}]: {results[name][c]}s",
-                  file=sys.stderr)
+            print(f"# [{tier}] {name} @ local[{c}]: {sec}s", file=sys.stderr)
             prior = _load_cores_json()
-            prior.setdefault(tier, {}).setdefault(name, {})[str(c)] = (
-                results[name][c]
-            )
+            prior.setdefault(tier, {}).setdefault(name, {})[str(c)] = {
+                "sec": sec, "calib": calib[c],
+            }
             with open(CORES_JSON, "w") as fh:
                 json.dump(prior, fh, indent=1)
         if not dirty:
@@ -299,21 +339,27 @@ def _sweep(names: list[str], tier: str) -> dict[str, dict[int, float]]:
     return results
 
 
-def _table(results: dict[str, dict[int, float]]) -> list[str]:
+def _table(results: dict[str, dict[int, tuple]]) -> list[str]:
     base, top = CORES[0], CORES[-1]
-    calib = results[_CALIBRATION]
-    calib_sp = calib[base] / max(calib[top], 1e-9)
+    calib = {c: v[0] for c, v in results[_CALIBRATION].items()}
     lines = [
         "| query | local[4] (s) | local[8] (s) | local[16] (s) | local[32] (s) | speedup 4→32 | of ceiling |",
         "|---|---|---|---|---|---|---|",
     ]
     for name, r in results.items():
-        sp = r[base] / max(r[top], 1e-9)
+        sp = r[base][0] / max(r[top][0], 1e-9)
         label = "machine ceiling (pure compute)" if name == _CALIBRATION else name
-        of_ceiling = "—" if name == _CALIBRATION else f"{sp / calib_sp:.2f}"
+        if name == _CALIBRATION:
+            of_ceiling = "—"
+        else:
+            # normalize each endpoint cell against ITS run's calibration
+            # (legacy cells without a snapshot use this run's yardstick)
+            norm_b = r[base][0] / (r[base][1] or calib[base])
+            norm_t = r[top][0] / (r[top][1] or calib[top])
+            of_ceiling = f"{norm_b / max(norm_t, 1e-9):.2f}"
         lines.append(
             "| " + label + " | "
-            + " | ".join(f"{r[c]}" for c in CORES)
+            + " | ".join(f"{r[c][0]}" for c in CORES)
             + f" | {sp:.1f}× | {of_ceiling} |"
         )
     return lines
@@ -358,7 +404,12 @@ def main() -> None:
         "broadcast builds, or a stage with fewer tasks than threads).",
         "On a real cluster the calibration ceiling moves to ~N (each",
         "executor brings its own memory channels and scheduler); the",
-        "of-ceiling fraction is the part that transfers.",
+        "of-ceiling fraction is the part that transfers. Since r12 each",
+        "cell stores the SAME-RUN calibration time at its core count and",
+        "of-ceiling is computed from calibration-normalized endpoints, so",
+        "resumed cells from different runs never mix yardsticks (ADVICE",
+        "r11); pre-r12 cells without a snapshot fall back to the current",
+        "calibration row.",
         "",
         "**Strong scaling is input-size-dependent (Amdahl).** At the ×10",
         "tier most queries carry ~1 core-second of parallel work against a",
@@ -405,6 +456,36 @@ def main() -> None:
         "point; its low fraction is the multi-stage job floor over a",
         "collapsed stream, not a serial section (SCALING.md shows the",
         "same signature: ×10→×100 growth 1.0×).",
+        "",
+        "r12 anomaly resolution (VERDICT r11 #1): the r11 table recorded",
+        "two INVERSE-scaling rows at ×100 — embedding_dedup_clusters",
+        "17.6 s@4thr → 55.4 s@32thr (of-ceiling 0.08) and",
+        "q10_returned_items 12.8 s@8thr → 33.8 s@32thr (0.14). The",
+        "COLLAPSE did not reproduce: re-measuring the exact cells on an",
+        "idle box gave 17.3-17.6 s and 9.3 s at local[32] (3.2× and 3.6×",
+        "faster than the committed cells) — those r11 cells were the",
+        "chronologically-late measurements of a multi-hour sweep on this",
+        "shared VM (cells run in ascending core order, so 16/32-thread",
+        "cells land last), i.e. run-order box contention, not thread",
+        "count. On re-measure q10_returned_items is cleanly monotone",
+        "(16.9 → 9.3 s, of-ceiling 0.41 — the textbook fact⋈fact +",
+        "broadcast-nation shape it always was). embedding_dedup_clusters",
+        "re-measures FLAT (13.1 → 17.6 s), which the per-stage profiles",
+        "explain as a genuine structural bound, not a plan defect: the",
+        "steady-state run is ~8-9 core-s of ideal-parallel work at EITHER",
+        "width inside a ~13 s wall of 62 jobs/115 stages — the connected-",
+        "components fixpoint's sequential sub-second driver rounds are",
+        "the floor — and the per-task executorRunTime inflates 35 → 259",
+        "core-s from 4 → 32 threads (7.4×) because the array-heavy gram/",
+        "CC stages saturate this box's shared memory bandwidth well below",
+        "32 threads. A real cluster hits neither: each executor brings",
+        "its own memory channels, and at 100 TB the per-round parallel",
+        "work dwarfs the fixed ~50-job round floor (SCALING.md's data-",
+        "growth rows for this query are healthy — the floor amortizes",
+        "with input, threads don't change it). The per-cell calibration",
+        "snapshot (above) now pins every cell to its own run's yardstick",
+        "so a contended stretch shows up in the calibration row instead",
+        "of silently inverting a query's fraction.",
         "",
         "SCALING.md (data tiers) and SHUFFLE.md (byte volumes) are the",
         "companion axes; all three are regenerated by their scripts with",
