@@ -175,6 +175,23 @@ def parse_memory() -> dict[str, dict]:
 _OUTPUT_BOUND = {"dedup_minhash", "dedup_simhash", "fuzzy_decontaminate",
                  "embedding_dedup_clusters"}
 
+# Of-ceiling values with a profiled structural cause (not a plan
+# defect) get a footnote so the provisioned/TB reader lands on the
+# evidence instead of re-opening the investigation. Keep in sync with
+# the CORES.md prose the note cites.
+_OC_NOTES = {
+    "embedding_dedup_clusters": (
+        "of-ceiling 0.17 is a measured STRUCTURAL bound, not a plan "
+        "defect (CORES.md r12 anomaly resolution): the CC-fixpoint's "
+        "~50 sequential sub-second driver rounds floor the wall at "
+        "this tier size, and the array-heavy gram/CC stages saturate "
+        "this shared VM's memory bandwidth below 32 threads. A real "
+        "cluster hits neither (per-executor memory channels; the round "
+        "floor amortizes with input), so the provisioned/TB row is a "
+        "worst-case upper bound."
+    ),
+}
+
 
 def build() -> str:
     scaling = parse_scaling()
@@ -271,6 +288,11 @@ def build() -> str:
             f"| {r['mem_floor'] or '—'} "
             f"| {_fmt_bytes(r['spill']) if r['spill'] is not None else '—'} |"
         )
+    noted = [r["name"] for r in rows if r["name"] in _OC_NOTES]
+    if noted:
+        lines.append("")
+        for n in noted:
+            lines.append(f"*{n}*: {_OC_NOTES[n]}")
     lines += [
         "",
         "## Top-3 cost drivers",
