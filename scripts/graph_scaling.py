@@ -233,7 +233,13 @@ def _splice_scaling_md(results: dict[str, dict[str, float]]) -> None:
     with open(path) as fh:
         text = fh.read()
     if _BEGIN in text and _END in text:
-        text = text.split(_BEGIN)[0] + block + text.split(_END, 1)[1]
+        # Replace BEGIN..the END that FOLLOWS it (not the first END in
+        # the file): an orphaned earlier block with a stray END — the
+        # r12 memory_probe marker-eating bug — would otherwise make
+        # this splice scramble the file instead of replacing one block.
+        s = text.index(_BEGIN)
+        e = text.index(_END, s) + len(_END)
+        text = text[:s] + block + text[e:]
     else:
         text = text.rstrip("\n") + "\n\n" + block + "\n"
     with open(path, "w") as fh:

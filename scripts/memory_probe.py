@@ -282,11 +282,16 @@ def _splice_scaling_md(lines: list[str]) -> None:
     block = "\n".join(lines) + "\n"
     if _MARKER in text:
         head, _, rest = text.partition(_MARKER)
-        # the old section runs to the next "## " heading or EOF
-        tail = ""
-        idx = rest.find("\n## ")
-        if idx != -1:
-            tail = rest[idx + 1:]
+        # The old section runs to the next "## " heading, the next
+        # splice MARKER, or EOF — whichever comes first. The marker
+        # check matters: the graph/streaming blocks open with a
+        # "<!-- X:BEGIN -->" line BEFORE their "## " heading, and
+        # cutting at the heading alone ate that marker line (r12 bug:
+        # SCALING.md accumulated an orphaned, then duplicated, graph
+        # appendix because its BEGIN fence was silently dropped here).
+        cut = [i for i in (rest.find("\n## "), rest.find("\n<!--"))
+               if i != -1]
+        tail = rest[min(cut) + 1:] if cut else ""
         text = head + block + tail
     else:
         text = text.rstrip("\n") + "\n\n" + block

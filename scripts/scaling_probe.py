@@ -576,7 +576,12 @@ def main() -> None:
             ("<!-- GRAPH:BEGIN", "<!-- GRAPH:END -->"),
         ):
             if b in old and e in old:
-                kept_blocks.append(old[old.index(b): old.index(e) + len(e)])
+                # END must be searched AFTER BEGIN: a malformed file
+                # (e.g. an orphaned block whose BEGIN was eaten by an
+                # earlier splice bug) can carry an END before the real
+                # BEGIN, and slicing to that earlier END keeps garbage.
+                s = old.index(b)
+                kept_blocks.append(old[s: old.index(e, s) + len(e)])
         mem = "## Memory appendix"
         if mem in old:
             rest = old[old.index(mem):]

@@ -308,9 +308,12 @@ def _splice_scaling_md(results: dict, tier_names: list[str]) -> None:
     except OSError:
         text = ""
     if _BEGIN in text and _END in text:
-        pre = text.split(_BEGIN)[0]
-        post = text.split(_END, 1)[1]
-        text = pre + block + post
+        # END searched AFTER BEGIN (r12: an orphaned block with a stray
+        # earlier END — the memory_probe marker-eating bug — must not
+        # scramble the replace).
+        s = text.index(_BEGIN)
+        e = text.index(_END, s) + len(_END)
+        text = text[:s] + block + text[e:]
     else:
         text = text.rstrip("\n") + "\n\n" + block + "\n"
     with open(path, "w") as fh:
