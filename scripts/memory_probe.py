@@ -85,7 +85,16 @@ GRAPH_QUERIES = [
     "clustering_coefficient",
     "pagerank_trade_graph",
 ]
-GRAPH_BUDGETS = ["32g", "8g", "4g"]
+# r12 added the 12g rung: pagerank_trade_graph's r10 "8g ok" cell
+# stopped reproducing after the g×100 restage — two independent 8g
+# runs died in the GCLocker/humongous-allocation storm (the same JVM
+# mechanism as the 4g deaths) while 12g completes with margin
+# (61-97 s, in line with the r11 8g wall). 8g was evidently a
+# borderline pass (26 GiB mem-spill in its r10 cell), so the honest
+# floor for the fixpoint shape is 12g; triangle/clustering keep
+# their 8g floors (re-confirmed by this round's graph_scaling runs
+# at the 8g default).
+GRAPH_BUDGETS = ["32g", "12g", "8g", "4g"]
 GX100_DIR = "/tmp/spark_graft_tier_gx100"
 
 
