@@ -208,9 +208,18 @@ def render(tiers: dict[str, dict[str, dict]], names: list[str]) -> str:
         "a constant factor more to avoid an O(n²) comparison);",
         "corpus_prep_pipeline contains that same minhash stage. What WOULD",
         "flag a scale problem is growΔ ≫10× (shuffle growing faster than",
-        "the data) — no query shows it, including the near-dup self-joins",
-        "whose duplicate-saturated ×10/×100 behavior SCALING.md measures",
-        "directly. Conversely `cache rd` ≫ scan (triangle_count,",
+        "the data) — at DATA scale no query shows it: the near-dup",
+        "self-joins' duplicate-saturated ×10/×100 behavior is measured",
+        "directly below and in SCALING.md. The one ≫10× cell in this",
+        "table, q21_waiting_supplier (~32×), is a TOY-tier plan",
+        "discontinuity, not a pair explosion: at sf0.01 AQE runtime-",
+        "converts one join's small side to broadcast (final plan: 4 BHJ,",
+        "3 exchanges), while at sf0.1 that join runs sort-merge with both",
+        "sides shuffled (3 BHJ + 1 SMJ, 5 exchanges) — one exchange of",
+        "coverage appears between the tiers on top of the 10× data. Past",
+        "the broadcast threshold the shape is stable: SCALING.md measures",
+        "q21 at 1.1×/5.2× per decade on the ×10/×100 tiers.",
+        "Conversely `cache rd` ≫ scan (triangle_count,",
         "corpus_prep, dedup_minhash) is deliberate: an iterative or",
         "multi-pass plan re-reading a persisted frame from the block",
         "manager instead of re-deriving it.",
