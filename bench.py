@@ -214,6 +214,66 @@ def _box_conditions() -> dict:
     }
 
 
+# Box-day compute guard (r12). The bands are min/max envelopes from an
+# idle band-source day, but "idle" (no foreign JVMs, low load) does not
+# mean "delivering the same compute": r12's end-of-round bench breached
+# a streaming ratio band on a box whose load was 1.0 and steal was low
+# at idle — yet the SAME 128-task pure-compute yardstick the CORES
+# calibration uses ran 1.28-1.58x slower than on the band-source day
+# (4.65-5.73 s best-of-3 vs 3.62 s), with ~5% steal under load, while
+# the DuckDB twins rode a warm page cache 25% FASTER — inflating every
+# Spark/DuckDB ratio from both ends with zero plan changes. So: bench
+# measures the yardstick once per run; if breaches exist AND the
+# yardstick exceeds the band-source calibration by >_CAL_DEGRADED_HI,
+# the verdict is WITHHELD (exit 2) like the loaded-box path — a
+# degraded-hypervisor breach must never read as a plan regression, and
+# deliberately never as a green gate either.
+_CAL_DEGRADED_HI = 1.25
+
+
+def _measure_calibration(spark, fold: int = 10_000_000) -> float:
+    """The strong-scaling probe's pure-compute yardstick (128 identical
+    CPU-only tasks, no IO/shuffle payload — scripts/strong_scaling.py
+    _calibration_fn), best-of-3 after a codegen warm run. Same fold as
+    the CORES ×100 calibration so the committed reference is directly
+    comparable."""
+
+    def cal(f):
+        return spark.range(0, 128, 1, 128).selectExpr(
+            "id",
+            f"aggregate(sequence(1, {f}), 0L,"
+            " (a, x) -> a + (x * 37) % 1000003) v",
+        ).agg({"v": "sum"})
+
+    cal(300_000).collect()
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        cal(fold).collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 2)
+
+
+def _band_calibration() -> float | None:
+    """The band-source day's yardstick seconds from BENCH_BANDS.json
+    (None when absent — older band files predate the field)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_BANDS.json")
+    try:
+        with open(path) as fh:
+            v = json.load(fh).get("calibration_s")
+        return float(v) if v else None
+    except (OSError, ValueError):
+        return None
+
+
+def _box_degraded(cal_now: float | None, cal_band: float | None) -> bool:
+    """True when the box is measurably delivering less JVM compute than
+    the band-source day (see _CAL_DEGRADED_HI note)."""
+    return bool(cal_now and cal_band and cal_now > cal_band * _CAL_DEGRADED_HI)
+
+
 def _wait_for_idle(budget_s: float, poll_s: float = 20.0) -> dict:
     """VERDICT r09 #3: the committed round artifact must BE an idle
     run, not a loaded run with a loaded flag. Before starting, poll up
@@ -605,6 +665,13 @@ def main() -> None:
     except Exception as exc:
         print(f"# warmup failed (continuing): {exc}", file=sys.stderr)
 
+    # Box-day compute yardstick (r12, see _CAL_DEGRADED_HI): measured
+    # only where bands apply (sf0.1) — it costs ~15 s of pure compute.
+    cal_now = _measure_calibration(spark) if str(sf_val) == "0.1" else None
+    if cal_now is not None:
+        print(f"# pure-compute calibration: {cal_now}s "
+              f"(band source: {_band_calibration()})", file=sys.stderr)
+
     # Per-query isolation: one broken query must never zero the round's
     # perf evidence (VERDICT r02 — the whole bench died at query 11/26).
     # Each query runs SPARK_GRAFT_BENCH_REPS times (default 2) and the
@@ -677,7 +744,16 @@ def main() -> None:
         loaded_now = box_heal["foreign_spark_jvms"] > 0 or (
             box_heal["load_avg_1m"] > _LOAD1_IDLE_MAX
         )
-    exit_code = _check_exit_code(breaches, loaded_now)
+    cal_band = _band_calibration()
+    degraded = bool(breaches) and _box_degraded(cal_now, cal_band)
+    if degraded:
+        print(
+            f"# box DEGRADED: pure-compute calibration {cal_now}s > "
+            f"{_CAL_DEGRADED_HI}x band-source {cal_band}s — breach "
+            "verdict withheld (measures the hypervisor, not the plans)",
+            file=sys.stderr,
+        )
+    exit_code = _check_exit_code(breaches, loaded_now or degraded)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -735,10 +811,18 @@ def main() -> None:
     # box round is machine-distinguishable from a regression. Only
     # `--check` turns the verdict into a nonzero exit (the driver's
     # plain run stays resilient, the verify recipe gets a hard gate).
+    if cal_now is not None:
+        out["box"]["calibration_s"] = cal_now
     out["check"] = {
         "verdict": {0: "clean", 1: "breach", 2: "withheld"}[exit_code],
         "exit_code": exit_code,
     }
+    if degraded:
+        out["check"]["box_degraded"] = {
+            "calibration_s": cal_now,
+            "band_calibration_s": cal_band,
+            "ratio": round(cal_now / cal_band, 2),
+        }
     if self_heal:
         out["check"]["self_healed"] = sorted(self_heal)
         detail["self_heal"] = self_heal

@@ -61,6 +61,19 @@ def main() -> None:
         "box_before": box,
         "bands": bands,
     }
+    # Band-source compute yardstick (r12): bench.py records its
+    # pure-compute calibration in box.calibration_s; carrying it here
+    # lets a later `bench.py --check` WITHHOLD breach verdicts when the
+    # box-day is measurably slower than the day these bands were cut
+    # (see bench.py _CAL_DEGRADED_HI). Refuse silently-uncalibrated
+    # bands only with a warning — older detail files predate the field.
+    cal = (d.get("box") or {}).get("calibration_s")
+    if cal:
+        out["calibration_s"] = cal
+        out["calibration_source"] = f"{os.path.basename(src)} box.calibration_s"
+    else:
+        print("WARNING: source detail has no box.calibration_s — "
+              "degraded-box withholding will be inactive", file=sys.stderr)
     path = os.path.join(REPO, "BENCH_BANDS.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)

@@ -101,6 +101,27 @@ def test_breach_names_dedupes_and_sorts():
     assert bench._breach_names(["b: x", "a: y", "b: z"]) == ["a", "b"]
 
 
+def test_box_degraded_policy():
+    """r12: a breach measured on a box delivering >1.25x less pure
+    compute than the band-source day is withheld, not reported as a
+    regression — and the guard degrades to inactive (False) when
+    either yardstick is missing, so old band files keep exit 1."""
+    assert bench._box_degraded(4.65, 3.62) is True       # 1.28x — the r12 day
+    assert bench._box_degraded(4.0, 3.62) is False       # 1.10x — in-band noise
+    assert bench._box_degraded(3.62 * 1.25, 3.62) is False  # boundary excluded
+    assert bench._box_degraded(None, 3.62) is False
+    assert bench._box_degraded(4.65, None) is False
+    # composed with the exit-code policy: degraded behaves like loaded
+    assert bench._check_exit_code(["q: slow"], True) == 2
+
+
+def test_band_calibration_reads_committed_file():
+    """The committed BENCH_BANDS.json must carry the band-source
+    yardstick, or the degraded-box guard is silently inactive."""
+    cal = bench._band_calibration()
+    assert cal is not None and 0.5 < cal < 60.0
+
+
 def test_band_check_zero_duck_timing_is_not_a_missing_twin():
     """ADVICE r08: a twin that rounds to 0.0s RAN — it just cannot
     anchor a ratio. It must fall back to sec_hi, not emit the spurious
