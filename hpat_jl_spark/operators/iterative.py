@@ -28,11 +28,23 @@ def connected_components(
     id in its component. Returns (vertex, component).
 
     Per iteration: candidate labels flow across edges (both directions),
-    vertices take the min of their own and neighbors' labels; stop when
-    no label changed. Lineage is truncated every ``checkpoint_every``
-    iterations (localCheckpoint — RDD blocks on executors, no HDFS
-    round-trip; use .checkpoint() where executor loss must be survivable,
-    which is the reference's disk-snapshot semantics).
+    vertices take the min of their own and neighbors' labels; stop at
+    the fixpoint. r12: ONE Spark action per round, down from two-plus —
+    the ×100 profile of embedding_dedup_clusters showed the fixpoint's
+    wall is the per-round JOB floor (62 jobs inside a ~13 s wall of
+    8-9 core-s of actual work), not data volume. The round's labels are
+    materialized by a lazy ``localCheckpoint`` whose first action is
+    the convergence witness itself: ``sum(component)`` as exact
+    decimal(38,0). Labels are per-vertex non-increasing (new = min of
+    old and neighbors'), so the sum is strictly decreasing until, and
+    constant exactly at, the fixpoint — the same stop condition as the
+    old join-new-vs-old changed-count, without that extra per-round
+    join job. Lineage still truncates every round (the lazy checkpoint
+    stores blocks during the witness job — no separate eager job);
+    ``checkpoint_every`` is kept for API compatibility. Old rounds'
+    RDD blocks are freed by the ContextCleaner when their Python refs
+    drop (RDD blocks, not CacheManager entries — the r6 session-
+    lifetime accumulation trap applies to Dataset.persist only).
     """
     both = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
@@ -47,34 +59,38 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("vertex"))
     )
+    prev_sum = None
     for i in range(max_iter):
         neighbor_labels = (
             both.join(labels, both.a == labels.vertex)
             .select(F.col("b").alias("vertex"), F.col("component"))
         )
+        # NOTE r12: pointer jumping (component := component's component
+        # via a per-round self-join) was tried here to cut the round
+        # count — it worked (20 → 4 rounds on embedding_dedup_clusters'
+        # cosine chains at sf0.1) but each jump round cost ~8 AQE
+        # query-stage jobs versus ~1 for this plain propagation round
+        # (two extra joins → broadcast/exchange materialization jobs),
+        # and total wall went 3.1-3.8 s → 4.4-6.3 s. In the job-floor
+        # regime JOBS, not rounds, are the wall — keep rounds simple.
         new_labels = (
             labels.select("vertex", "component")
             .union(neighbor_labels)
             .groupBy("vertex")
             .agg(F.min("component").alias("component"))
         )
-        # materialize every iteration: the convergence check below is an
-        # action, so the labels are computed anyway — checkpointing here
-        # makes that work reusable (the check AND iteration i+1 read the
-        # stored blocks) and keeps the plan depth constant. The
-        # checkpoint_every cadence only governs extra durability points
-        # for long runs (kept for API compatibility; eager is the floor).
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vertex")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        new_labels = new_labels.localCheckpoint(eager=False)
+        # the witness job computes every partition, so it also fills
+        # the lazy checkpoint's blocks for round i+1 to read. decimal
+        # keeps the sum exact for any int64 vertex-id domain (≤1e12
+        # rows × 2^63 fits decimal(38,0) with 7 digits to spare).
+        cur_sum = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 

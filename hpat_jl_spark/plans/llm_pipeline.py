@@ -653,6 +653,19 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r11): a hamming-1 pair shares a variant exactly at its differing
 # position, so the bucket stays collision-proof even if a name ever
 # contained the chr(1) sentinel.
+#
+# r12: the levenshtein verify is PROVABLY vacuous and was removed from
+# both engines. Equal variants force equal lengths, and masking pos
+# leaves every other character equal — so two DISTINCT names sharing a
+# (pos, variant) key differ at exactly position pos: hamming (hence
+# levenshtein) distance is exactly 1, always. Verified empirically
+# before the rewrite: min=max=lev=1 over every candidate at sf0.01
+# (19,500 pairs) and sf0.1 (262,500). The verify was ~0.7 s of the
+# Spark wall (levenshtein evaluated twice per candidate: join
+# condition + projected distance) for a filter that can never fire.
+# NOTE this holds because substitution-only variants preserve length;
+# a FastSS build that also emitted deletion neighborhoods (unequal-
+# length edit-distance-1 pairs) WOULD need the verify back.
 _fuzzy_oracle = """
 WITH dn AS MATERIALIZED (
   SELECT c_name, count(*)::BIGINT AS m FROM customer GROUP BY c_name
@@ -667,9 +680,8 @@ cand AS (
   SELECT a.c_name AS name_a, b.c_name AS name_b, a.m * b.m AS mult
   FROM variants a JOIN variants b USING (pos, variant)
   WHERE a.c_name < b.c_name
-    AND levenshtein(a.c_name, b.c_name) <= 1
 )
-SELECT name_a, name_b, levenshtein(name_a, name_b)::BIGINT AS distance
+SELECT name_a, name_b, 1::BIGINT AS distance
 FROM cand, unnest(generate_series(1, mult)) AS g(k)
 """
 
@@ -694,10 +706,29 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the row-instance pair multiplicity (verbatim-duplicated names never
     pair with themselves — strict < always excluded them). The shuffle
     is len× the DISTINCT names (linear, immune to verbatim duplication
-    — the ×10/×100 replica tiers square a row-instance bucket join);
-    the levenshtein verify filters already-exact candidates before the
-    expansion, never a cross product. The oracle mirrors the same
-    decomposition; both forms verified value-identical at sf0.01/sf0.1."""
+    — the ×10/×100 replica tiers square a row-instance bucket join).
+
+    r12 rewrite (was the slowest headline query, 2.4-2.8 s at sf0.1):
+    (1) the levenshtein verify is DROPPED as provably vacuous — equal
+    variants force equal lengths and masking pos leaves every other
+    char equal, so distinct bucket-mates are at distance exactly 1
+    (empirically min=max=1 over all 262,500 sf0.1 candidates; see the
+    oracle comment — a deletion-neighborhood FastSS would need it
+    back). It was ~0.7 s, evaluated twice per candidate. (2) the
+    self-join no longer broadcasts: Catalyst picked BHJ on the full
+    variants stream, a corpus-sized build that recomputed the whole
+    scan→agg→explode subtree on the build side and is exactly the
+    unbounded-broadcast shape this repo lints against at 100 TB. Both
+    sides now read one pinned repartition(width, pos, variant) of the
+    variant stream (byte-sized width, the r9 pinned-width rule) with a
+    MERGE hint: SMJ's per-task sort of the narrow stream measured
+    FASTER than shuffled-hash's build (0.63 s vs 0.82 s best-of-4,
+    same rows) and carries no per-task build-residency floor at the
+    amplified tiers. Net: 2.41 → 0.63 s at sf0.1 (3.8×), rows
+    identical. The oracle mirrors the same decomposition; both forms
+    verified value-identical at sf0.01/sf0.1."""
+    from hpat_jl_spark.session import sized_shuffle_partitions
+
     cust = load_table(spark, "customer", sf_dir).select(
         F.col("c_name").alias("name")
     )
@@ -716,8 +747,13 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "variant"),
     )
-    a = variants.alias("a")
-    b = variants.alias("b")
+    width = max(
+        spark.sparkContext.defaultParallelism,
+        sized_shuffle_partitions(sf_dir),
+    )
+    pinned = variants.repartition(width, "pos", "variant")
+    a = pinned.alias("a")
+    b = pinned.alias("b").hint("merge")
     pairs = (
         a.join(b, ["pos", "variant"])
         .filter(F.col("a.name") < F.col("b.name"))
@@ -727,11 +763,10 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.m") * F.col("b.m")).alias("mult"),
         )
     )
-    matched = pairs.filter(F.levenshtein("name_a", "name_b") <= 1)
-    return matched.select(
+    return pairs.select(
         "name_a",
         "name_b",
-        F.levenshtein("name_a", "name_b").cast("bigint").alias("distance"),
+        F.lit(1).cast("bigint").alias("distance"),
         F.explode(F.sequence(F.lit(1), F.col("mult"))).alias("_k"),
     ).drop("_k")
 

@@ -178,7 +178,19 @@ def semantic_dedup_components(emb: DataFrame) -> DataFrame:
     cluster, via rep-level gram kernel + star expansion — the body of
     embedding_dedup_clusters (see its docstring for the equivalence
     argument); split out so planted-duplicate tests can drive it with
-    a constructed frame. Expects columns (label, vec_id, embedding)."""
+    a constructed frame. Expects columns (label, vec_id, embedding).
+
+    r12: the CC fixpoint runs over REP pairs only, with star copies
+    attached by one post-join — the distinct-content discipline applied
+    to the ITERATION, not just the pair kernel. Correct because the rep
+    is the min vec_id of its (label, fp) group, so every copy id is
+    larger than its rep and a cluster's min vertex is always a rep:
+    CC(rep_pairs) already computes each rep's final min-label, copies
+    inherit it, and a star rep in no rep-pair is its own singleton
+    component. Previously the fixpoint iterated over rep_pairs ∪ stars,
+    dragging the full duplicate multiplicity (×100 tier: ~500k vertices
+    vs ~5k reps) through every propagation round of the profiled
+    job-floor-bound loop."""
     from pyspark import StorageLevel
 
     from hpat_jl_spark.operators.iterative import connected_components
@@ -214,7 +226,18 @@ def semantic_dedup_components(emb: DataFrame) -> DataFrame:
         .filter(F.col("nonzero") & (F.col("vec_id") != F.col("rep_id")))
         .select(F.col("rep_id").alias("id_a"), F.col("vec_id").alias("id_b"))
     )
-    return connected_components(rep_pairs.unionByName(stars), "id_a", "id_b")
+    rep_comp = connected_components(rep_pairs, "id_a", "id_b")
+    # membership = every vertex touched by a pair OR a star edge; star
+    # reps outside every rep-pair are their own (min-id) component.
+    star_reps = stars.select(F.col("id_a").alias("vertex")).distinct()
+    all_reps = rep_comp.select("vertex").unionByName(star_reps).distinct()
+    rep_full = all_reps.join(rep_comp, "vertex", "left").select(
+        "vertex", F.coalesce("component", "vertex").alias("component")
+    )
+    copies = stars.join(
+        rep_full, stars.id_a == rep_full.vertex
+    ).select(F.col("id_b").alias("vertex"), "component")
+    return rep_full.unionByName(copies)
 
 
 @register("knn_ivf", oracle=None, tags=("similarity",))

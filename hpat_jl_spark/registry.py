@@ -84,7 +84,17 @@ DRIVER_PRIORITY: list[str] = [
     # lives in git. The oldest-driver-round-first fallback then fills
     # the window with the r8/r9-stale queries.
     "fuzzy_name_pairs",  # distinct-content FastSS decomposition, plan
-    #                      + oracle (VERDICT r11 #4 + ADVICE pos-join)
+    #                      + oracle (VERDICT r11 #4 + ADVICE pos-join);
+    #                      late r12: vacuous-verify removal + pinned
+    #                      SMJ self-join, oracle simplified to match
+    # late-r12 perf sprint: connected_components gained the one-action
+    # sum-witness round (operators/iterative.py) — every consumer of
+    # the fixpoint must re-earn a driver row — and
+    # embedding_dedup_clusters additionally runs the fixpoint at
+    # rep-level with star copies attached post-hoc.
+    "embedding_dedup_clusters",
+    "dedup_cluster",
+    "connected_components_repeat_pairs",
     # r11's oracle-rewritten queries the r11 window missed (ADVICE r11
     # #1): their riskiest-change driver evidence is still outstanding.
     "ngram_jaccard",
