@@ -181,14 +181,16 @@ _OUTPUT_BOUND = {"dedup_minhash", "dedup_simhash", "fuzzy_decontaminate",
 # the CORES.md prose the note cites.
 _OC_NOTES = {
     "embedding_dedup_clusters": (
-        "of-ceiling 0.17 is a measured STRUCTURAL bound, not a plan "
-        "defect (CORES.md r12 anomaly resolution): the CC-fixpoint's "
-        "~50 sequential sub-second driver rounds floor the wall at "
-        "this tier size, and the array-heavy gram/CC stages saturate "
-        "this shared VM's memory bandwidth below 32 threads. A real "
-        "cluster hits neither (per-executor memory channels; the round "
-        "floor amortizes with input), so the provisioned/TB row is a "
-        "worst-case upper bound."
+        "of-ceiling 0.6 with a FLAT width profile (~15-16.5 s at every "
+        "thread count) is the CC-fixpoint's driver-round floor, a "
+        "measured structural bound, not a plan defect (CORES.md late-"
+        "r12 re-measure). The late-r12 fixpoint rewrite (one action "
+        "per round; rep-level iteration with star copies attached "
+        "post-hoc) cut the ×100 wall 14.9 → 9.5 s and lifted the "
+        "fraction from 0.17; what remains is the ~20 sequential "
+        "sub-second rounds, which a real cluster amortizes with input "
+        "(the round floor is fixed while per-round work grows), so "
+        "the provisioned/TB row is a worst-case upper bound."
     ),
 }
 
