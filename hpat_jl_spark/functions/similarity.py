@@ -129,17 +129,25 @@ def neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     block: int = 2048,
+    keep_bucket: bool = False,
 ) -> DataFrame:
     """All within-bucket pairs with cosine > threshold, via applyInPandas
     per bucket: one blocked numpy gram matrix per group instead of a
     pair-exploded join (the Column-expression pair join evaluates an
     interpreted 64-term fold per pair — ~10× slower). Blocks bound the
-    memory to block×group_size doubles. Output ids ordered id_a < id_b."""
+    memory to block×group_size doubles. Output ids ordered id_a < id_b.
+    ``keep_bucket`` prepends the bucket column (late r12: lets
+    bucket-local consumers — semantic_dedup_components' per-bucket
+    union-find — group the pairs again without a re-derivation join)."""
     import numpy as np
 
     out_schema = "id_a long, id_b long, cosine_sim double"
+    if keep_bucket:
+        btype = dict(df.dtypes)[bucket_col]
+        out_schema = f"{bucket_col} {btype}, " + out_schema
 
     def kernel(pdf):
+        bval = pdf[bucket_col].iloc[0] if len(pdf) else None
         pdf = pdf.sort_values(id_col, ignore_index=True)
         ids = pdf[id_col].to_numpy()
         M = _unit_rows(np.vstack(pdf[vec_col].to_numpy()).astype(np.float64))
@@ -156,7 +164,10 @@ def neardup_pairs(
                     ia.extend([ids[i]] * hits.size)
                     ib.extend(ids[i + 1 + hits])
                     sims.extend(row[hits])
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine_sim": sims})
+        out = {"id_a": ia, "id_b": ib, "cosine_sim": sims}
+        if keep_bucket:
+            out = {bucket_col: [bval] * len(ia), **out}
+        return pd.DataFrame(out)
 
     return df.select(bucket_col, id_col, vec_col).groupBy(bucket_col).applyInPandas(
         kernel, out_schema

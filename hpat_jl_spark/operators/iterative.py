@@ -94,6 +94,70 @@ def connected_components(
     return labels
 
 
+def bucketed_components(
+    edges: DataFrame,
+    bucket_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """(vertex, component) for a graph whose edges are BUCKET-LOCAL by
+    construction: no edge crosses a ``bucket_col`` value, so connected
+    components decompose exactly into per-bucket problems and the
+    whole computation is ONE shuffle + one Arrow kernel — a per-bucket
+    union-find — instead of a diameter-bounded join fixpoint.
+
+    This is the right CC for SemDeDup-shaped clustering, where pairs
+    only ever form inside an IVF/LSH/label bucket (the gram kernel's
+    own grouping): connected_components() above spent ~20 one-hop
+    propagation rounds (one Spark action each, profiled as THE wall at
+    every tier — job floor, not data) to rediscover a partition the
+    bucketing already proves. Component = min vertex id, matching the
+    fixpoint's labeling: union-by-min-root keeps every set's root at
+    its minimum member, so the result is identical to the global
+    min-label fixpoint on the same (bucket-disjoint) edge set.
+
+    Scale: the per-task residency is one bucket's edge set — the same
+    bucket-size bound the gram kernel already carries (at 100 TB the
+    bucket is an IVF cell / LSH band, sized by construction). For a
+    graph with genuinely cross-bucket edges use connected_components().
+    """
+    import pandas as pd
+
+    def kernel(pdf):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf[src].to_numpy(), pdf[dst].to_numpy()):
+            a, b = int(a), int(b)
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra  # attach larger root under smaller:
+                #                  every root stays its set's MIN id
+        verts = list(parent)
+        return pd.DataFrame(
+            {"vertex": verts, "component": [find(v) for v in verts]}
+        )
+
+    return (
+        edges.select(bucket_col, src, dst)
+        .groupBy(bucket_col)
+        .applyInPandas(kernel, "vertex long, component long")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

@@ -180,20 +180,23 @@ def semantic_dedup_components(emb: DataFrame) -> DataFrame:
     argument); split out so planted-duplicate tests can drive it with
     a constructed frame. Expects columns (label, vec_id, embedding).
 
-    r12: the CC fixpoint runs over REP pairs only, with star copies
-    attached by one post-join — the distinct-content discipline applied
-    to the ITERATION, not just the pair kernel. Correct because the rep
-    is the min vec_id of its (label, fp) group, so every copy id is
-    larger than its rep and a cluster's min vertex is always a rep:
-    CC(rep_pairs) already computes each rep's final min-label, copies
-    inherit it, and a star rep in no rep-pair is its own singleton
-    component. Previously the fixpoint iterated over rep_pairs ∪ stars,
-    dragging the full duplicate multiplicity (×100 tier: ~500k vertices
-    vs ~5k reps) through every propagation round of the profiled
-    job-floor-bound loop."""
+    r12, in two steps. First the fixpoint moved to REP-level pairs
+    with star copies attached post-hoc (the distinct-content
+    discipline applied to the ITERATION: a cluster's min vertex is
+    always a rep, since the rep is the min vec_id of its (label, fp)
+    group — ×100 wall 14.9 → 9.5 s). Then the fixpoint was removed
+    entirely: every edge here — gram-kernel pair or star — lives
+    inside ONE label bucket by construction, so the components
+    decompose per bucket and operators/iterative.bucketed_components
+    computes them in a single shuffle + Arrow union-find kernel. The
+    ~20 sequential propagation rounds (one Spark action each) that
+    profiled as the structural wall at every tier rediscovered a
+    partition the bucketing already proves. The general fixpoint
+    remains for genuinely cross-bucket graphs (shingle-band clusters,
+    repeat-pair CC)."""
     from pyspark import StorageLevel
 
-    from hpat_jl_spark.operators.iterative import connected_components
+    from hpat_jl_spark.operators.iterative import bucketed_components
 
     base = emb.select(
         "label",
@@ -210,8 +213,9 @@ def semantic_dedup_components(emb: DataFrame) -> DataFrame:
         F.col("r.embedding").alias("embedding"),
     )
     rep_pairs = S.neardup_pairs(
-        reps, bucket_col="label", threshold=_NEARDUP_THRESHOLD
-    ).select("id_a", "id_b")
+        reps, bucket_col="label", threshold=_NEARDUP_THRESHOLD,
+        keep_bucket=True,
+    ).select("label", "id_a", "id_b")
     stars = (
         base.select("label", "fp", "vec_id")
         .join(
@@ -224,20 +228,17 @@ def semantic_dedup_components(emb: DataFrame) -> DataFrame:
             ["label", "fp"],
         )
         .filter(F.col("nonzero") & (F.col("vec_id") != F.col("rep_id")))
-        .select(F.col("rep_id").alias("id_a"), F.col("vec_id").alias("id_b"))
+        .select(
+            "label",
+            F.col("rep_id").alias("id_a"),
+            F.col("vec_id").alias("id_b"),
+        )
     )
-    rep_comp = connected_components(rep_pairs, "id_a", "id_b")
-    # membership = every vertex touched by a pair OR a star edge; star
-    # reps outside every rep-pair are their own (min-id) component.
-    star_reps = stars.select(F.col("id_a").alias("vertex")).distinct()
-    all_reps = rep_comp.select("vertex").unionByName(star_reps).distinct()
-    rep_full = all_reps.join(rep_comp, "vertex", "left").select(
-        "vertex", F.coalesce("component", "vertex").alias("component")
+    # membership = every vertex touched by a pair OR a star edge; the
+    # union feeds one per-bucket union-find (edges never cross labels).
+    return bucketed_components(
+        rep_pairs.unionByName(stars), "label", "id_a", "id_b"
     )
-    copies = stars.join(
-        rep_full, stars.id_a == rep_full.vertex
-    ).select(F.col("id_b").alias("vertex"), "component")
-    return rep_full.unionByName(copies)
 
 
 @register("knn_ivf", oracle=None, tags=("similarity",))

@@ -181,16 +181,18 @@ _OUTPUT_BOUND = {"dedup_minhash", "dedup_simhash", "fuzzy_decontaminate",
 # the CORES.md prose the note cites.
 _OC_NOTES = {
     "embedding_dedup_clusters": (
-        "of-ceiling 0.6 with a FLAT width profile (~15-16.5 s at every "
-        "thread count) is the CC-fixpoint's driver-round floor, a "
-        "measured structural bound, not a plan defect (CORES.md late-"
-        "r12 re-measure). The late-r12 fixpoint rewrite (one action "
-        "per round; rep-level iteration with star copies attached "
-        "post-hoc) cut the ×100 wall 14.9 → 9.5 s and lifted the "
-        "fraction from 0.17; what remains is the ~20 sequential "
-        "sub-second rounds, which a real cluster amortizes with input "
-        "(the round floor is fixed while per-round work grows), so "
-        "the provisioned/TB row is a worst-case upper bound."
+        "of-ceiling 0.20 with a FLAT width profile (~6-7.4 s at every "
+        "thread count) is a fixed job floor plus FIXTURE-bounded "
+        "kernel parallelism, not a plan defect (CORES.md late-r12 "
+        "re-measure): the late-r12 rewrites removed the CC fixpoint "
+        "entirely (SemDeDup edges are label-bucket-local, so one "
+        "Arrow union-find kernel replaces ~20 propagation rounds — "
+        "×100 wall 14.94 → 5.14 s, a 2.9× cut) and what remains is "
+        "persist-fill/gram/union-find/agg jobs whose kernel stages "
+        "the fixture caps at its 8 label buckets. At 100 TB the "
+        "bucket count (IVF cells) exceeds any core count and the "
+        "floor amortizes with input, so the provisioned/TB row is a "
+        "worst-case upper bound."
     ),
 }
 

@@ -522,17 +522,23 @@ def main() -> None:
         "of silently inverting a query's fraction.",
         "",
         "late-r12 re-measure: embedding_dedup_clusters' cells were re-run",
-        "after the fixpoint rewrite (one action per CC round via a lazy-",
-        "checkpoint sum witness; rep-level iteration with star copies",
-        "attached post-hoc — operators/iterative.py, plans/similarity.py;",
-        "×100 probe wall 14.9 → 9.5 s, sf0.1 jobs 49 → 40). The row stays",
-        "FLAT across widths (~15-16.5 s, speedup 0.9×) — the driver-round",
-        "floor story above still holds, with fewer and lighter rounds —",
-        "but read its of-ceiling (and its calib snapshots) knowing the",
-        "measurement day's hypervisor was itself non-monotone: the pure-",
-        "compute calibration ran 7.08 s@16thr but 11.81 s@32thr, i.e. the",
-        "box could not scale even the yardstick past 16 threads that day.",
-        "Per-cell normalization charges that to the calibration column,",
+        "after its CC fixpoint was REMOVED outright — every SemDeDup edge",
+        "(gram pair or rep→copy star) is label-bucket-local by",
+        "construction, so the components decompose per bucket and one",
+        "Arrow union-find kernel (operators/iterative.",
+        "bucketed_components) replaces the ~20 one-action propagation",
+        "rounds that had profiled as the structural wall. ×100 probe wall",
+        "14.94 → 5.14 s, sf0.1 jobs 49 → 11 across the two rewrites. The",
+        "row is now FLAT at ~6-7.4 s across every width (of-ceiling",
+        "0.20): what remains is the fixed multi-job floor (persist fill,",
+        "gram kernel, union-find, final agg — Python-worker and Arrow",
+        "startup included) plus kernel stages whose parallelism the",
+        "FIXTURE caps at its 8 label buckets — at 100 TB the bucket",
+        "count (IVF cells / LSH bands) exceeds any core count, and the",
+        "floor amortizes with input (SCALING growth 1.5×/2.1× per",
+        "decade). Its calib snapshots also record how chaotic the",
+        "measurement epoch was (25.3 s@4thr against a committed 16.1) —",
+        "per-cell normalization charges that to the calibration column,",
         "which is exactly its job.",
         "",
         "SCALING.md (data tiers) and SHUFFLE.md (byte volumes) are the",
