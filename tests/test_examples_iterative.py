@@ -117,3 +117,57 @@ def test_quasi_monte_carlo_pi_deterministic_and_tight(spark):
     assert r1 == r2
     assert abs(r1.pi_estimate - 3.14159265) < 1e-3
     assert r1.n_points == 65536
+
+
+def test_bucketed_components_matches_fixpoint(spark):
+    """bucketed_components must equal the general min-label fixpoint on
+    any bucket-local edge set — the equivalence semantic_dedup_components
+    now rests on. Deterministic pseudo-random graphs (seeded) across
+    several shapes: chains (worst diameter), stars, cliques, singleton
+    edges, and self-loops."""
+    import random
+
+    from hpat_jl_spark.operators.iterative import bucketed_components
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        rows = []
+        vid = 0
+        for bucket in range(4):
+            n = rng.randint(2, 14)
+            verts = [vid + i for i in range(n)]
+            vid += n
+            shape = rng.choice(["chain", "star", "clique", "pairs"])
+            if shape == "chain":
+                rows += [(bucket, a, b) for a, b in zip(verts, verts[1:])]
+            elif shape == "star":
+                rows += [(bucket, verts[0], v) for v in verts[1:]]
+            elif shape == "clique":
+                rows += [
+                    (bucket, a, b)
+                    for i, a in enumerate(verts)
+                    for b in verts[i + 1 :]
+                ]
+            else:
+                rng.shuffle(verts)
+                rows += [
+                    (bucket, verts[i], verts[i + 1])
+                    for i in range(0, len(verts) - 1, 2)
+                ]
+            # occasional self-loop: must create membership, not crash
+            if rng.random() < 0.5:
+                rows.append((bucket, verts[0], verts[0]))
+        edges = spark.createDataFrame(
+            rows, "label int, id_a long, id_b long"
+        )
+        fast = {
+            r.vertex: r.component
+            for r in bucketed_components(edges, "label").collect()
+        }
+        slow = {
+            r.vertex: r.component
+            for r in connected_components(
+                edges.select("id_a", "id_b"), "id_a", "id_b", max_iter=40
+            ).collect()
+        }
+        assert fast == slow, f"trial {trial}: {fast} != {slow}"
