@@ -78,7 +78,26 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet scan + codegen explode is far cheaper than materializing
     the wide gram stream (persist pays only for small derived frames,
     e.g. lang_id_ngram's 200-char prefix grams)."""
-    grams = _word_grams(load_table(spark, "documents", sf_dir), 4).distinct()
+    # r12: pin the fan-out of the (doc_id, text) stream before the
+    # gram explode — the single-row-group fixture caps the scan at 1
+    # split, so the explode + partial-distinct ran in ONE task
+    # (profiled 633 ms of a 1.16 s steady run at sf0.1). The exchange
+    # carries only the bare text (guide §2.3); the downstream distinct
+    # exchange and both branch consumers are unchanged. Width is the
+    # byte-sized r9 rule (the partial-distinct buffers per-task gram
+    # state, the exact shape the rule exists for).
+    from hpat_jl_spark.session import sized_shuffle_partitions
+
+    width = max(
+        spark.sparkContext.defaultParallelism,
+        sized_shuffle_partitions(sf_dir),
+    )
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .repartition(width, "doc_id")
+    )
+    grams = _word_grams(docs, 4).distinct()
     train = grams.filter(F.col("doc_id") % 10 != 0)
     eval_grams = grams.filter(F.col("doc_id") % 10 == 0).select("gram").distinct()
     return (

@@ -1026,9 +1026,23 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars yields no trigrams and drops out on both sides (inner-join
     semantics)."""
     docs = load_table(spark, "documents", sf_dir)
+    # r12: pin the fan-out of the prefix stream BEFORE the explode +
+    # persist — the single-row-group fixture caps the scan at 1 split,
+    # so the cache used to fill with ONE partition and every consumer
+    # (profile pass AND scoring pass) inherited single-task stages
+    # (profiled 212 ms + 412 ms single-task of a 1.26 s steady run at
+    # sf0.1). The exchange carries only (doc_id, lang, 200-char
+    # prefix) — the narrowest projection, guide §2.3 — and the width
+    # is the byte-sized r9 rule.
+    from hpat_jl_spark.session import sized_shuffle_partitions
+
+    width = max(
+        spark.sparkContext.defaultParallelism,
+        sized_shuffle_partitions(sf_dir),
+    )
     prefix = docs.select(
         "doc_id", "lang", F.substring("text", 1, 200).alias("t")
-    )
+    ).repartition(width, "doc_id")
     grams = prefix.select(
         "doc_id",
         "lang",
@@ -1263,12 +1277,27 @@ def bpe_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_subwords).
 
     Scale shape: training is the gated bounded-vocab loop; encoding is
-    one codegen'd projection over the raw scan (the 64 replaces and
-    the word render never leave the JVM), no shuffle at all."""
+    one codegen'd projection (the 64 replaces and the word render
+    never leave the JVM) over ONE pinned byte-light
+    repartition(width, doc_id) of the bare (doc_id, text) stream —
+    r12: the single-row-group fixture caps the scan at 1 split, which
+    serialized the 64-replace encode on one thread (profiled: 1.47 s
+    of a 2.04 s steady run in ONE task at sf0.1). Same rationale as
+    bpe_encode_fixed: the exchange moves raw text once while the
+    encode costs ~100 CPU-bytes per input byte, so it is a few
+    percent of the stage at any scale; width is the byte-sized r9
+    rule. train_bpe keeps its own unpinned scan (its word-count agg
+    already fans out through the groupBy exchange)."""
     from hpat_jl_spark.functions.bpe import train_bpe
+    from hpat_jl_spark.session import sized_shuffle_partitions
 
     docs = load_table(spark, "documents", sf_dir)
     merges = train_bpe(docs, num_merges=64, max_words=65536)
+    width = max(
+        spark.sparkContext.defaultParallelism,
+        sized_shuffle_partitions(sf_dir),
+    )
+    docs = docs.select("doc_id", "text").repartition(width, "doc_id")
     words = F.filter(
         F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != ""
     )
@@ -1656,10 +1685,29 @@ def bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     TRAINING, whose iterative state has no SQL twin).
 
     Scale shape: one scan, ~20 chained string replaces inside a single
-    codegen'd projection, one narrow output — no shuffle at all; the
-    merge table is a compile-time literal exactly like a deployed
-    tokenizer's vocab file."""
-    docs = load_table(spark, "documents", sf_dir)
+    codegen'd projection, one narrow output; the merge table is a
+    compile-time literal exactly like a deployed tokenizer's vocab
+    file. r12: the projection reads ONE pinned byte-light
+    repartition(width, doc_id) of the bare (doc_id, text) stream — the
+    single-row-group fixture caps the scan at 1 split (r7 trap), which
+    serialized the whole encode on one thread (profiled 1.28 s of a
+    1.59 s steady run in ONE task at sf0.1). The exchange carries only
+    the raw text (projection BEFORE the exchange, guide §2.3) while
+    the encode costs ~100 CPU-bytes per input byte (char-spacing ~2×
+    expansion + 16 sequential whole-string rewrites), so by the §1.3
+    napkin math the shuffle is a few percent of the stage at ANY
+    scale; width is the byte-sized r9 rule, not a local constant."""
+    from hpat_jl_spark.session import sized_shuffle_partitions
+
+    width = max(
+        spark.sparkContext.defaultParallelism,
+        sized_shuffle_partitions(sf_dir),
+    )
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .repartition(width, "doc_id")
+    )
     norm = F.regexp_replace(
         F.trim(F.regexp_replace(F.lower("text"), "[^a-z ]", "")), " +", " "
     )
