@@ -493,27 +493,31 @@ def knn_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         _ivf_cell_expr(cents, F.col("px"), F.col("py")).alias("cell"),
     )
-    cdf = spark.createDataFrame(
-        [(j, cx, cy) for j, (cx, cy) in enumerate(cents)],
-        "j int, cx long, cy long",
-    )
-    qp = proj.filter(F.col("vec_id") < _N_QUERIES).crossJoin(F.broadcast(cdf))
-    dist = (F.col("px") - F.col("cx")) * (F.col("px") - F.col("cx")) + (
-        F.col("py") - F.col("cy")
-    ) * (F.col("py") - F.col("cy"))
-    wprobe = Window.partitionBy("vec_id").orderBy(dist.asc(), F.col("j"))
-    probe = (
-        qp.withColumn("rn", F.row_number().over(wprobe))
-        .filter(F.col("rn") <= _IVF_PROBE)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_vec"),
-            F.col("j").alias("cell"),
+    # r12: probe computed DRIVER-side from the bounded query rows —
+    # exactly knn_ivf_persisted's shape. The previous crossJoin +
+    # window probe subtree read the proj cache through its own
+    # exchange + broadcast-materialization jobs (profiled: 6 jobs with
+    # 1.08 s of inter-job gaps against 0.73 s in-jobs at sf0.1); a
+    # 40-row collect off the already-filled cache plus a local-relation
+    # broadcast replaces all of it. Same (distance, index) tiebreak as
+    # the window's orderBy(dist, j), so the probe set is identical.
+    q_rows = proj.filter(F.col("vec_id") < _N_QUERIES).select(
+        "vec_id", "embedding", "px", "py"
+    ).collect()
+    probes = []
+    for r in q_rows:
+        ranked = sorted(
+            ((r.px - cx) ** 2 + (r.py - cy) ** 2, j)
+            for j, (cx, cy) in enumerate(cents)
         )
+        for _, j in ranked[:_IVF_PROBE]:
+            probes.append((int(r.vec_id), list(r.embedding), int(j)))
+    probe = spark.createDataFrame(
+        probes, "query_id long, q_vec array<float>, cell int"
     )
-    # no explicit unpersist: cells/probe are lazy and still read proj's
+    # no explicit unpersist: cells is lazy and still reads proj's
     # cache when the returned frame executes (an unpersist here would
-    # beat them to it); reclaim is eviction/clearCache, not GC (r6)
+    # beat it to it); reclaim is eviction/clearCache, not GC (r6)
     cand = (
         cells.join(F.broadcast(probe), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -592,7 +596,16 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes, "query_id long, q_vec array<float>, cell int"
     )
     probed_cells = sorted({p[2] for p in probes})
-    data = spark.read.parquet(path).filter(F.col("cell").isin(probed_cells))
+    # r12: pass the writer's schema explicitly — schema inference on
+    # the partitioned read-back paid a footer-sampling job plus the
+    # partition-column type discovery every invocation (~80-110 ms of
+    # the profiled 1.3 s inter-job gap budget); the index layout is
+    # ours, so the schema is known statically.
+    data = (
+        spark.read.schema(cells.schema)
+        .parquet(path)
+        .filter(F.col("cell").isin(probed_cells))
+    )
     cand = (
         data.join(F.broadcast(probe), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1093,6 +1106,11 @@ def knn_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     codes = assign(books).select("vec_id", "s", "c")
+    # r12 probe: building qp driver-side from the already-collected
+    # `fit` frame was tried (the knn_ivf_portable treatment) and
+    # measured NO job-count or wall change — AQE already folds this
+    # broadcast build into the ADC job — so the lazy cache-read form
+    # stays (simpler, and the 320-row subtree is free).
     qp = plong.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         "s",
