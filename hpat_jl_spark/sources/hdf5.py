@@ -401,9 +401,15 @@ def read_hdf5(
                         cols[f"c{i}"] = m[:, i]
                 yield pd.DataFrame(cols)
 
+    # One range per RDD slice (parallelize splits positionally): the
+    # r12 profile showed the former repartitionByRange splits frame
+    # paying a range-sampling job + an Exchange per invocation just to
+    # spread len(ranges) rows — parallelize gives the same one-task-
+    # per-range layout with zero exchange and one job fewer.
     splits_df = spark.createDataFrame(
-        [(a, b) for a, b in ranges], "start long, stop long"
-    ).repartitionByRange(len(ranges), "start")
+        spark.sparkContext.parallelize(ranges, len(ranges)),
+        "start long, stop long",
+    )
     return splits_df.mapInPandas(kernel, out_schema)
 
 
@@ -485,7 +491,13 @@ def read_hdf5_table(
                             out[f"{name}_c{i}"] = m2[:, i]
                 yield pd.DataFrame(out)
 
+    # One range per RDD slice (parallelize splits positionally): the
+    # r12 profile showed the former repartitionByRange splits frame
+    # paying a range-sampling job + an Exchange per invocation just to
+    # spread len(ranges) rows — parallelize gives the same one-task-
+    # per-range layout with zero exchange and one job fewer.
     splits_df = spark.createDataFrame(
-        [(a, b) for a, b in ranges], "start long, stop long"
-    ).repartitionByRange(len(ranges), "start")
+        spark.sparkContext.parallelize(ranges, len(ranges)),
+        "start long, stop long",
+    )
     return splits_df.mapInPandas(kernel, out_schema)

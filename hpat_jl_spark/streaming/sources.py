@@ -8,9 +8,18 @@ source-agnostic because it only sees the DataFrame.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# events_dir → probed parquet encoding of `ts` (see stream_events).
+# The probe is a batch spark.read.parquet per invocation (~80-110 ms of
+# driver-side listing + footer reads, the r6 per-call cost) and the
+# fixture's encoding cannot change under a running process — the staged
+# dirs are themselves memoized symlink farms — so probe once per dir.
+_PROBED_TS: dict[str, T.DataType] = {}
 
 def _events_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
@@ -47,7 +56,11 @@ def stream_events(
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # as tables.load_table
-    probed = spark.read.parquet(events_dir).schema["ts"].dataType
+    key = os.path.abspath(events_dir)
+    probed = _PROBED_TS.get(key)
+    if probed is None:
+        probed = spark.read.parquet(events_dir).schema["ts"].dataType
+        _PROBED_TS[key] = probed
     reader = spark.readStream.schema(_events_schema(probed)).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
