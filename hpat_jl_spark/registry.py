@@ -99,6 +99,18 @@ DRIVER_PRIORITY: list[str] = [
     # #1): their riskiest-change driver evidence is still outstanding.
     "ngram_jaccard",
     "pagerank_trade_graph",
+    # late-r12 split-starvation sprint: physical plans changed (pinned
+    # byte-light fan-outs, driver-side IVF probe, static read-back
+    # schema, parallelize-based HDF5 splits) — each must re-earn a
+    # driver row. Results are value-identical by construction but the
+    # gate exists to prove exactly that under the vanilla session.
+    "bpe_encode_fixed",
+    "bpe_encode_trained",
+    "lang_id_ngram",
+    "benchmark_decontaminate",
+    "knn_ivf_portable",
+    "knn_ivf_persisted",
+    "hdf5_ingest_agg",
 ]
 
 
