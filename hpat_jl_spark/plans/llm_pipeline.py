@@ -493,8 +493,21 @@ def pack_sequences(
     """
     from hpat_jl_spark.operators.windowed import exscan_chunked
 
+    # Path probe, cheap form (r12): the branch only needs "does the
+    # LARGEST source exceed max_sort_run". n has one row per doc, so
+    # n.count() — which Catalyst prunes to a row count over the scan,
+    # no string work, no exchange — upper-bounds every source; only
+    # when that bound exceeds the threshold is the per-source
+    # aggregate worth its shuffle. Branch decisions are identical to
+    # the precise probe in every case (biggest <= total), and both
+    # paths produce identical output regardless (pinned in
+    # tests/test_llm_pipeline.py). Profiled before: the groupBy probe
+    # cost a 6-stage eager job chain per invocation at sf0.1.
+    total = n.count()
     biggest = (
-        n.groupBy("source").count().agg(F.max("count")).first()[0] or 0
+        total
+        if total <= max_sort_run
+        else (n.groupBy("source").count().agg(F.max("count")).first()[0] or 0)
     )
     if biggest > max_sort_run:
         packed = exscan_chunked(

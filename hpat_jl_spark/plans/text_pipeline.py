@@ -654,7 +654,26 @@ def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     One tokenize+slice map stage and one hash-keyed aggregate — the
     shuffle carries (hash, doc_id), never the text; at 100 TB this is
     the same shape as exact dedup, just at window granularity."""
-    docs = load_table(spark, "documents", sf_dir)
+    # r12: pin the fan-out of the bare (doc_id, text) stream before
+    # the chunker — the single-row-group fixture caps the scan at 1
+    # split, so chunk+md5+partial-countDistinct ran in ONE task
+    # (profiled 341 ms of the 0.72 s in-jobs at sf0.1; the same
+    # split-starvation class as benchmark_decontaminate/bpe_encode).
+    # The exchange carries the raw text once; md5 over ~2× the text
+    # bytes (stride-25 windows of 50) plus the tokenize dwarfs it at
+    # any scale, and the downstream two-phase aggregate now gets
+    # byte-sized map-side parallelism.
+    from hpat_jl_spark.session import sized_shuffle_partitions
+
+    width = max(
+        spark.sparkContext.defaultParallelism,
+        sized_shuffle_partitions(sf_dir),
+    )
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .repartition(width, "doc_id")
+    )
     chunks = X.chunk_documents(docs, chunk_size=50, stride=25)
     return (
         chunks.filter(F.col("n_chunk_tokens") == 50)

@@ -111,6 +111,8 @@ DRIVER_PRIORITY: list[str] = [
     "knn_ivf_portable",
     "knn_ivf_persisted",
     "hdf5_ingest_agg",
+    "duplicate_span_report",  # pinned chunker fan-out (3rd session)
+    "sequence_packing",  # cheap path probe (composed plan unchanged)
 ]
 
 

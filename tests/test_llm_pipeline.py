@@ -407,3 +407,29 @@ def test_sequence_packing_chunked_path_matches_window_path(spark):
     )
     assert via_window == via_chunks
     assert any(r.pack_id > 0 for r in via_window)  # packing actually crosses
+
+
+def test_sequence_packing_cheap_probe_branches_like_precise(spark):
+    """r12 probe refinement pin: the total-row count only UPPER-BOUNDS
+    the largest source, so when total > max_sort_run but every source
+    is individually under it, the precise fallback probe must still
+    select the WINDOW path (observable as a Window node in the plan),
+    exactly as the original per-source probe did. And a total under the
+    threshold picks the window path from the cheap count alone."""
+    from hpat_jl_spark.plans.llm_pipeline import pack_sequences
+
+    rows = [(i, f"s{i % 4}", 10) for i in range(2000)]
+    n = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+
+    def plan_of(max_sort_run):
+        df = pack_sequences(n, 512, max_sort_run=max_sort_run)
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    # The chunked path is identifiable by its __chunk bookkeeping
+    # column (exscan_chunked); the window path never materializes it.
+    # total=2000 > 1000 >= biggest=500: fallback probe -> window path
+    assert "__chunk" not in plan_of(1000)
+    # total=2000 <= 10**9: cheap count alone -> window path
+    assert "__chunk" not in plan_of(10**9)
+    # biggest=500 > 100: chunked path
+    assert "__chunk" in plan_of(100)
