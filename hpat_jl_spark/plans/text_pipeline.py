@@ -647,6 +647,22 @@ HAVING count(DISTINCT doc_id) >= 2
 """
 
 
+def _starved_scan_pin_width(
+    scan_parts: int, default_parallelism: int, sized_parts: int
+) -> int | None:
+    """Width for the split-starvation repartition, or None when the
+    scan already feeds enough tasks. Pin only when the scan yields
+    under a quarter of the cores: a light-compute stage downstream of
+    a split-RICH scan loses more to the raw-text exchange than it
+    gains in parallelism (duplicate_span_report ×10 tier: 2.27 s
+    pinned vs 0.75 s unpinned), while the single-row-group bench
+    fixtures report 1 split and starve every core. At real scale the
+    scan is split-rich and this never fires."""
+    if scan_parts * 4 >= default_parallelism:
+        return None
+    return max(default_parallelism, sized_parts)
+
+
 @register("duplicate_span_report", oracle=_dup_span_oracle, tags=("text", "dedup"))
 def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document exact duplicate spans: every FULL 50-token window
@@ -655,25 +671,25 @@ def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries (hash, doc_id), never the text; at 100 TB this is
     the same shape as exact dedup, just at window granularity."""
     # r12: pin the fan-out of the bare (doc_id, text) stream before
-    # the chunker — the single-row-group fixture caps the scan at 1
-    # split, so chunk+md5+partial-countDistinct ran in ONE task
-    # (profiled 341 ms of the 0.72 s in-jobs at sf0.1; the same
-    # split-starvation class as benchmark_decontaminate/bpe_encode).
-    # The exchange carries the raw text once; md5 over ~2× the text
-    # bytes (stride-25 windows of 50) plus the tokenize dwarfs it at
-    # any scale, and the downstream two-phase aggregate now gets
-    # byte-sized map-side parallelism.
+    # the chunker ONLY when the scan itself is split-starved (the
+    # single-row-group fixture caps the scan at 1 split, so chunk+md5+
+    # partial-countDistinct ran in ONE task — 341 ms of the 0.72 s
+    # in-jobs at sf0.1). Unlike benchmark_decontaminate/bpe_encode the
+    # chunker's compute is too light to dwarf an exchange of raw text
+    # on a split-rich input — see _starved_scan_pin_width. (Reported
+    # partitions can OVERSTATE effective parallelism on large
+    # single-row-group files — r7 trap — but our starved fixtures
+    # report 1, so the test is exact where it matters.)
     from hpat_jl_spark.session import sized_shuffle_partitions
 
-    width = max(
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    width = _starved_scan_pin_width(
+        docs.rdd.getNumPartitions(),
         spark.sparkContext.defaultParallelism,
         sized_shuffle_partitions(sf_dir),
     )
-    docs = (
-        load_table(spark, "documents", sf_dir)
-        .select("doc_id", "text")
-        .repartition(width, "doc_id")
-    )
+    if width is not None:
+        docs = docs.repartition(width, "doc_id")
     chunks = X.chunk_documents(docs, chunk_size=50, stride=25)
     return (
         chunks.filter(F.col("n_chunk_tokens") == 50)

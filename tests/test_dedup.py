@@ -252,3 +252,28 @@ def test_minhash_sig_banding_equals_id_banding(spark):
         for y in clique:
             if x < y:
                 assert got[(x, y)] == 1.0
+
+
+def test_span_report_pin_is_conditional_on_scan_starvation(spark):
+    """r12 fix: duplicate_span_report's split-starvation repartition
+    must fire only when the scan feeds under a quarter of the cores.
+    The chunker's md5 is too light to dwarf a raw-text exchange on a
+    split-rich input (×10 tier: 2.27 s pinned vs 0.75 s unpinned), so
+    an unconditional pin was a scale regression. Pure-logic table plus
+    a plan assertion on the suite's 4-core session (1 scan split ⇒
+    1*4 >= 4 ⇒ no pin)."""
+    from hpat_jl_spark.plans.text_pipeline import _starved_scan_pin_width
+    from hpat_jl_spark.registry import REGISTRY
+
+    # (scan_parts, cores, sized) -> width or None
+    assert _starved_scan_pin_width(1, 32, 8) == 32    # starved bench fixture
+    assert _starved_scan_pin_width(1, 32, 75) == 75   # starved, byte-sized wider
+    assert _starved_scan_pin_width(7, 32, 8) == 32    # still under cores/4
+    assert _starved_scan_pin_width(8, 32, 75) is None # at cores/4: no pin
+    assert _starved_scan_pin_width(10, 32, 75) is None  # ×10 staged tier
+    assert _starved_scan_pin_width(25, 32, 128) is None  # ×100 staged tier
+    assert _starved_scan_pin_width(1, 4, 8) is None   # 4-core session never pins
+
+    df = REGISTRY["duplicate_span_report"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "RepartitionByExpression" not in plan
