@@ -85,18 +85,25 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # carries only the bare text (guide §2.3); the downstream distinct
     # exchange and both branch consumers are unchanged. Width is the
     # byte-sized r9 rule (the partial-distinct buffers per-task gram
-    # state, the exact shape the rule exists for).
-    from hpat_jl_spark.session import sized_shuffle_partitions
+    # state, the exact shape the rule exists for). Late r12: the pin
+    # is CONDITIONAL on a split-starved scan — the 4-gram explode is
+    # light enough that on a split-rich input the raw-text exchange
+    # costs more than it parallelizes (×10 tier interleaved min-of-3:
+    # 3.02 s pinned vs 2.48 s unpinned) — see
+    # session.starved_scan_pin_width.
+    from hpat_jl_spark.session import (
+        sized_shuffle_partitions,
+        starved_scan_pin_width,
+    )
 
-    width = max(
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    width = starved_scan_pin_width(
+        docs.rdd.getNumPartitions(),
         spark.sparkContext.defaultParallelism,
         sized_shuffle_partitions(sf_dir),
     )
-    docs = (
-        load_table(spark, "documents", sf_dir)
-        .select("doc_id", "text")
-        .repartition(width, "doc_id")
-    )
+    if width is not None:
+        docs = docs.repartition(width, "doc_id")
     grams = _word_grams(docs, 4).distinct()
     train = grams.filter(F.col("doc_id") % 10 != 0)
     eval_grams = grams.filter(F.col("doc_id") % 10 == 0).select("gram").distinct()

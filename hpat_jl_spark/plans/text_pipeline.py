@@ -647,20 +647,9 @@ HAVING count(DISTINCT doc_id) >= 2
 """
 
 
-def _starved_scan_pin_width(
-    scan_parts: int, default_parallelism: int, sized_parts: int
-) -> int | None:
-    """Width for the split-starvation repartition, or None when the
-    scan already feeds enough tasks. Pin only when the scan yields
-    under a quarter of the cores: a light-compute stage downstream of
-    a split-RICH scan loses more to the raw-text exchange than it
-    gains in parallelism (duplicate_span_report ×10 tier: 2.27 s
-    pinned vs 0.75 s unpinned), while the single-row-group bench
-    fixtures report 1 split and starve every core. At real scale the
-    scan is split-rich and this never fires."""
-    if scan_parts * 4 >= default_parallelism:
-        return None
-    return max(default_parallelism, sized_parts)
+# Shared policy for conditionally pinning a light-compute raw-text
+# stream — see session.starved_scan_pin_width for the measurements.
+from hpat_jl_spark.session import starved_scan_pin_width as _starved_scan_pin_width
 
 
 @register("duplicate_span_report", oracle=_dup_span_oracle, tags=("text", "dedup"))

@@ -274,6 +274,7 @@ def test_span_report_pin_is_conditional_on_scan_starvation(spark):
     assert _starved_scan_pin_width(25, 32, 128) is None  # ×100 staged tier
     assert _starved_scan_pin_width(1, 4, 8) is None   # 4-core session never pins
 
-    df = REGISTRY["duplicate_span_report"].fn(spark, "/root/testdata/sf0.001")
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "RepartitionByExpression" not in plan
+    for name in ("duplicate_span_report", "benchmark_decontaminate"):
+        df = REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "RepartitionByExpression" not in plan, name
