@@ -92,6 +92,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    fanout: int | None = None,
 ) -> DataFrame:
     """MinHash signatures as one row per doc: columns mh0..mh{H-1}.
 
@@ -116,9 +117,17 @@ def minhash_signatures(
     (array_min over transform, ×H) spent ~20 s in codegen alone at ANY
     data size; aggregation is the right primitive, not nested array
     lambdas.
+
+    ``fanout`` (r13, the r9 byte-sized width rule): the pinned
+    exchange feeds per-task partial-agg state (H mins per distinct id
+    — corpus/width bytes per task), so plan-level callers pass
+    max(defaultParallelism, sized_shuffle_partitions(sf_dir)); bare
+    defaultParallelism (the default here, for callers without an
+    sf_dir) under-fans amplified corpora — the exact q01 ×100 OOM
+    class r9 documented.
     """
     coefs = minhash_coefficients(num_hashes)
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    par = fanout or docs.sparkSession.sparkContext.defaultParallelism
     sh = (
         docs.repartition(par)
         .select(
@@ -141,6 +150,7 @@ def minhash_banded(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    fanout: int | None = None,
 ) -> DataFrame:
     """Id-level LSH banding: (id, band, bhash), one row per
     (doc, band) — narrow on purpose (the r10 ×100 profile showed the
@@ -150,7 +160,7 @@ def minhash_banded(
     SELF-join (minhash_candidates) bands distinct signatures instead
     (see its docstring)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n, fanout)
     band_keys = [
         F.struct(
             F.lit(b).alias("band"),
@@ -177,6 +187,7 @@ def minhash_cross_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    fanout: int | None = None,
 ) -> DataFrame:
     """Candidate pairs BETWEEN two slices of one corpus (e.g. training
     docs × eval docs for fuzzy decontamination): bands are computed in
@@ -200,7 +211,7 @@ def minhash_cross_candidates(
     from pyspark import StorageLevel
 
     banded = minhash_banded(
-        docs, text_col, id_col, num_hashes, bands, shingle_n
+        docs, text_col, id_col, num_hashes, bands, shingle_n, fanout
     ).persist(StorageLevel.MEMORY_AND_DISK)
     left = banded.filter(left_pred(F.col("id"))).select(
         F.col("id").alias("id_left"), "band", "bhash"
@@ -222,6 +233,7 @@ def minhash_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    fanout: int | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` groups of
     ``num_hashes/bands`` values, hash each band, self-join on
@@ -254,7 +266,7 @@ def minhash_candidates(
     # wide exploded streams must NOT be persisted, this is the
     # opposite case).
     base = (
-        minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+        minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n, fanout)
         .select(
             "id",
             F.md5(
@@ -347,6 +359,7 @@ def simhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 60,
+    fanout: int | None = None,
 ) -> DataFrame:
     """SimHash signatures: one row per doc with column ``sig`` =
     array<int> of 0/1 (length ``bits``): majority vote per bit over
@@ -375,7 +388,7 @@ def simhash_signatures(
     vs this design is WHERE md5 runs, JVM codegen vs interpreter)."""
     import numpy as np
 
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    par = fanout or docs.sparkSession.sparkContext.defaultParallelism
     bit_idx = np.arange(bits, dtype=np.uint64)
 
     hashed = (
@@ -411,6 +424,7 @@ def simhash_candidates(
     bits: int = 60,
     bands: int = 4,
     max_hamming: int = 3,
+    fanout: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates by SimHash banding: any shared band →
     candidate; verify by exact Hamming distance ≤ max_hamming.
@@ -468,7 +482,7 @@ def simhash_candidates(
     # the small-derived-frame persist that pays (CLAUDE.md r6 trap:
     # wide exploded streams must NOT be persisted; this is the
     # opposite case).
-    sigs = simhash_signatures(docs, text_col, id_col, bits).persist(
+    sigs = simhash_signatures(docs, text_col, id_col, bits, fanout).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     dsig = sigs.select("sig").distinct()

@@ -19,6 +19,38 @@ from hpat_jl_spark.registry import register
 from hpat_jl_spark.tables import load_table
 
 
+def _doc_text_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bare ``(doc_id, text)`` documents stream with the shared
+    CONDITIONAL split-starvation pin (r13; policy + measurements in
+    session.starved_scan_pin_width): hash-repartition by doc_id only
+    when the documents scan cannot feed at least a quarter of the
+    cores. On the single-row-group bench fixtures the scan reports 1
+    split and every core but one starves; on split-rich input (the
+    staged ×10/×100 tiers, any real lake layout) the exchange of raw
+    text costs more than it parallelizes and is skipped. The split
+    count comes from session.scan_split_count — file listing + footers,
+    not ``.rdd.getNumPartitions()`` (ADVICE r12: the .rdd call forces
+    physical planning at plan-construction time and would run jobs
+    during build if an exchange were ever composed upstream, breaking
+    the prepared-query zero-jobs bench contract)."""
+    from hpat_jl_spark.session import (
+        scan_split_count,
+        sized_shuffle_partitions,
+        starved_scan_pin_width,
+    )
+    from hpat_jl_spark.tables import table_path
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    width = starved_scan_pin_width(
+        scan_split_count(spark, table_path(sf_dir, "documents")),
+        spark.sparkContext.defaultParallelism,
+        sized_shuffle_partitions(sf_dir),
+    )
+    if width is not None:
+        docs = docs.repartition(width, "doc_id")
+    return docs
+
+
 def _word_grams(df: DataFrame, n: int) -> DataFrame:
     """(doc_id, gram) word n-grams, JVM-side (transform over slice
     offsets — single-arg lambda only, see the F.transform two-arg trap
@@ -91,19 +123,7 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # costs more than it parallelizes (×10 tier interleaved min-of-3:
     # 3.02 s pinned vs 2.48 s unpinned) — see
     # session.starved_scan_pin_width.
-    from hpat_jl_spark.session import (
-        sized_shuffle_partitions,
-        starved_scan_pin_width,
-    )
-
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    width = starved_scan_pin_width(
-        docs.rdd.getNumPartitions(),
-        spark.sparkContext.defaultParallelism,
-        sized_shuffle_partitions(sf_dir),
-    )
-    if width is not None:
-        docs = docs.repartition(width, "doc_id")
+    docs = _doc_text_stream(spark, sf_dir)
     grams = _word_grams(docs, 4).distinct()
     train = grams.filter(F.col("doc_id") % 10 != 0)
     eval_grams = grams.filter(F.col("doc_id") % 10 == 0).select("gram").distinct()
@@ -204,12 +224,18 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     |vocab| × partitions rows, and top-k never materializes a global
     sort. For long-tail vocabularies where even that is too wide, the
     scale escape hatch is approx_count_unique-style sketching — kept
-    exact here because the oracle is exact."""
-    docs = load_table(spark, "documents", sf_dir)
-    par = spark.sparkContext.defaultParallelism
+    exact here because the oracle is exact.
+
+    r13: the r6-era unconditional round-robin ``repartition(par)`` of
+    the raw-text stream is now the shared CONDITIONAL pin
+    (_doc_text_stream / session.starved_scan_pin_width) — on split-rich
+    input the blanket exchange was pure tax (the duplicate_span_report
+    class, measured 2.27 vs 0.75 s at ×10), while the starved
+    single-split fixtures keep the fan-out; ×10 A/B for THIS query in
+    OPTIMIZATION_r13.md."""
+    docs = _doc_text_stream(spark, sf_dir)
     return (
-        docs.repartition(par)
-        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), "token")
@@ -251,12 +277,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     decides whether to broadcast. Final per-doc argmax is a
     row_number window partitioned by doc_id with a lexicographic
     tiebreaker for determinism. Three shuffles total (tf, df, window)
-    — each keyed and linear; nothing quadratic, no Python."""
+    — each keyed and linear; nothing quadratic, no Python.
+
+    r13: unconditional round-robin pin → the shared conditional pin
+    (_doc_text_stream), same rationale as heavy_hitters above; the
+    1-row n_docs aggregate reads the bare scan, not the pinned
+    stream (no reason to hang a row-count off the exchange)."""
     docs = load_table(spark, "documents", sf_dir)
-    par = spark.sparkContext.defaultParallelism
-    toks = (
-        docs.repartition(par)
-        .select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+    toks = _doc_text_stream(spark, sf_dir).select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
@@ -322,12 +351,14 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     serialized (sorting the string list would order '10' < '9'); the
     1-row doc count broadcasts back as a cross join, so the cap
     compare is map-side. The df cap bounds every aggregation buffer;
-    the serialized posting string keeps the oracle hash exact."""
+    the serialized posting string keeps the oracle hash exact.
+
+    r13: unconditional round-robin pin → the shared conditional pin
+    (_doc_text_stream), same rationale as heavy_hitters above."""
     docs = load_table(spark, "documents", sf_dir)
-    par = spark.sparkContext.defaultParallelism
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     toks = (
-        docs.repartition(par)
+        _doc_text_stream(spark, sf_dir)
         .select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
         .distinct()
     )

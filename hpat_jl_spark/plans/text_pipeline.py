@@ -378,7 +378,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     by tests/test_dedup.py. (Reference analogue: test/join_test1.jl's
     exact-golden discipline applied to the LSH path.)"""
     docs = load_table(spark, "documents", sf_dir)
-    out = D.minhash_candidates(docs).filter(F.col("est_jaccard") >= 0.5)
+    out = D.minhash_candidates(docs, fanout=_sig_fanout(spark, sf_dir)).filter(
+        F.col("est_jaccard") >= 0.5
+    )
     return out.select(
         F.col("id_a").alias("doc_a"),
         F.col("id_b").alias("doc_b"),
@@ -431,7 +433,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, and the Hamming filter exactly; planted-dup recall pinned in
     tests/test_dedup.py."""
     docs = load_table(spark, "documents", sf_dir)
-    return D.simhash_candidates(docs).select(
+    return D.simhash_candidates(docs, fanout=_sig_fanout(spark, sf_dir)).select(
         F.col("id_a").alias("doc_a"),
         F.col("id_b").alias("doc_b"),
         "hamming",
@@ -652,6 +654,23 @@ HAVING count(DISTINCT doc_id) >= 2
 from hpat_jl_spark.session import starved_scan_pin_width as _starved_scan_pin_width
 
 
+def _sig_fanout(spark: SparkSession, sf_dir: str) -> int:
+    """Width for the minhash/simhash signature kernels' pinned
+    exchange — the r9 byte-sized rule (CLAUDE.md): a pinned exchange
+    that feeds per-task partial-agg state must be
+    max(defaultParallelism, sized_shuffle_partitions(sf_dir)), not
+    bare defaultParallelism — every downstream per-task buffer is
+    corpus/width bytes, and at amplified tiers a width pinned to the
+    local core count concentrates it (the q01 ×100 OOM class). At
+    sf0.1 both terms are ≤ the core count, so bench plans are
+    unchanged; only amplified corpora widen."""
+    from hpat_jl_spark.session import sized_shuffle_partitions
+
+    return max(
+        spark.sparkContext.defaultParallelism, sized_shuffle_partitions(sf_dir)
+    )
+
+
 @register("duplicate_span_report", oracle=_dup_span_oracle, tags=("text", "dedup"))
 def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document exact duplicate spans: every FULL 50-token window
@@ -665,15 +684,20 @@ def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partial-countDistinct ran in ONE task — 341 ms of the 0.72 s
     # in-jobs at sf0.1). Unlike benchmark_decontaminate/bpe_encode the
     # chunker's compute is too light to dwarf an exchange of raw text
-    # on a split-rich input — see _starved_scan_pin_width. (Reported
-    # partitions can OVERSTATE effective parallelism on large
-    # single-row-group files — r7 trap — but our starved fixtures
-    # report 1, so the test is exact where it matters.)
-    from hpat_jl_spark.session import sized_shuffle_partitions
+    # on a split-rich input — see _starved_scan_pin_width. r13: the
+    # split count now comes from session.scan_split_count (file
+    # listing + parquet footers, row-group-capped) instead of
+    # docs.rdd.getNumPartitions() — the .rdd call forced physical
+    # planning at plan-construction time (ADVICE r12), and the
+    # reported count OVERSTATES effective parallelism on large
+    # single-row-group files (r7 trap) exactly where the pin most
+    # needs to fire; the footer-based count is capped correctly there.
+    from hpat_jl_spark.session import scan_split_count, sized_shuffle_partitions
+    from hpat_jl_spark.tables import table_path
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     width = _starved_scan_pin_width(
-        docs.rdd.getNumPartitions(),
+        scan_split_count(spark, table_path(sf_dir, "documents")),
         spark.sparkContext.defaultParallelism,
         sized_shuffle_partitions(sf_dir),
     )
@@ -1878,6 +1902,7 @@ def fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs,
         left_pred=lambda id_: id_ % 10 != 0,
         right_pred=lambda id_: id_ % 10 == 0,
+        fanout=_sig_fanout(spark, sf_dir),
     ).select(
         F.col("id_left").alias("corpus_doc"),
         F.col("id_right").alias("eval_doc"),

@@ -57,6 +57,114 @@ def sized_shuffle_partitions(
     return max(floor, min(total // target_bytes, per_core_cap * cpus))
 
 
+# Per-path (files, sizes, total_row_groups) listing memo. Fixtures are
+# immutable per directory (the load_table cache's assumption); conf-
+# dependent packing is recomputed per call so a probe that re-tunes
+# maxPartitionBytes (scaling_probe stages do) still gets fresh counts.
+_SCAN_LISTING_CACHE: dict[str, tuple[list[int], int]] = {}
+
+
+def _parse_jvm_bytes(v: str | int) -> int:
+    """Parse a JVM byte-size conf string ('128MB', '4194304b', '1g')."""
+    if isinstance(v, int):
+        return v
+    s = v.strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+        ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            mult = m
+            s = s[: -len(suffix)]
+            break
+    return int(float(s) * mult)
+
+
+def scan_split_count(spark: SparkSession, path: str) -> int:
+    """Effective scan parallelism for a parquet file-or-directory,
+    computed from the file listing, the session's split confs, and the
+    parquet footers — with NO ``.rdd`` call (ADVICE r12:
+    ``df.rdd.getNumPartitions()`` at plan-construction time forces
+    physical planning; if an exchange is ever composed upstream, AQE's
+    final-plan materialization would run jobs during build and break
+    the prepared-query zero-jobs bench contract).
+
+    Two components, take the min:
+
+    - Spark's own split packing — ``FilePartition.maxSplitBytes``
+      (``min(maxPartitionBytes, max(openCostInBytes, totalBytes/
+      minPartitionNum))``) then the greedy size-descending bin-pack of
+      ``getFilePartitions`` — the count ``.rdd.getNumPartitions()``
+      reports on a bare scan (validated against it in
+      tests/test_session.py across the fixtures and conf settings);
+    - the total parquet ROW-GROUP count (ADVICE r12 / the r7 trap:
+      byte-range splits only yield rows where a row group STARTS, so a
+      large single-row-group file reports many partitions while only
+      one task ever yields rows — the reported count OVERSTATES
+      effective parallelism exactly where the starved-scan pin most
+      needs to fire).
+
+    ``min(packed, row_groups)`` is the number of scan tasks that can
+    actually produce rows."""
+    real = os.path.realpath(path)
+    cached = _SCAN_LISTING_CACHE.get(real)
+    if cached is None:
+        files: list[str] = []
+        if os.path.isdir(real):
+            for root, _dirs, fs in os.walk(real):
+                files.extend(
+                    os.path.join(root, f) for f in fs if f.endswith(".parquet")
+                )
+        else:
+            files = [real]
+        sizes = [os.path.getsize(f) for f in files]
+        import pyarrow.parquet as pq
+
+        row_groups = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+        cached = (sizes, row_groups)
+        _SCAN_LISTING_CACHE[real] = cached
+    sizes, row_groups = cached
+    if not sizes:
+        return 1
+    max_part = _parse_jvm_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+    )
+    open_cost = _parse_jvm_bytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4MB")
+    )
+    min_parts = spark.conf.get("spark.sql.files.minPartitionNum", None)
+    if min_parts is None:
+        min_parts = spark.conf.get(
+            "spark.sql.leafNodeDefaultParallelism", None
+        )
+    min_parts = (
+        int(min_parts)
+        if min_parts is not None
+        else spark.sparkContext.defaultParallelism
+    )
+    total = sum(s + open_cost for s in sizes)
+    max_split = min(max_part, max(open_cost, total // max(min_parts, 1)))
+    # byte-range splits of each file, then greedy size-desc bin-pack
+    splits: list[int] = []
+    for s in sizes:
+        off = 0
+        while off < s:
+            splits.append(min(max_split, s - off))
+            off += max_split
+    splits.sort(reverse=True)
+    n_partitions, current = 0, 0
+    for s in splits:
+        if current + s > max_split:
+            n_partitions += 1
+            current = 0
+        current += s + open_cost
+    if current > 0:
+        n_partitions += 1
+    return max(1, min(n_partitions, row_groups))
+
+
 def starved_scan_pin_width(
     scan_parts: int, default_parallelism: int, sized_parts: int
 ) -> int | None:
@@ -71,10 +179,11 @@ def starved_scan_pin_width(
     and starve every core. Heavy encodes (~100 CPU-bytes/byte — the
     BPE projections) keep unconditional pins: the exchange is measured
     noise there at every tier. At real scale the scan is split-rich
-    and this never fires — it is a small-fixture patch. (Reported
-    partitions can OVERSTATE effective parallelism on large
-    single-row-group files — r7 trap — but the starved fixtures
-    report 1, so the test is exact where it matters.)"""
+    and this never fires — it is a small-fixture patch. Callers pass
+    ``scan_parts`` from scan_split_count above (r13): its row-group
+    cap means a large single-row-group file — which reports many
+    byte-range partitions while only one task yields rows, the r7
+    trap — is correctly counted as 1 and gets its pin."""
     if scan_parts * 4 >= default_parallelism:
         return None
     return max(default_parallelism, sized_parts)

@@ -263,7 +263,13 @@ def test_span_report_pin_is_conditional_on_scan_starvation(spark):
     a plan assertion on the suite's 4-core session (1 scan split ⇒
     1*4 >= 4 ⇒ no pin)."""
     from hpat_jl_spark.plans.text_pipeline import _starved_scan_pin_width
-    from hpat_jl_spark.registry import REGISTRY
+    from hpat_jl_spark.registry import REGISTRY, load_all_plans
+
+    # ADVICE r12: benchmark_decontaminate registers from
+    # plans/llm_pipeline, which this file never imports — standalone
+    # runs of test_dedup.py relied on an earlier test file having
+    # called load_all_plans().
+    load_all_plans()
 
     # (scan_parts, cores, sized) -> width or None
     assert _starved_scan_pin_width(1, 32, 8) == 32    # starved bench fixture
