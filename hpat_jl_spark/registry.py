@@ -78,41 +78,24 @@ def register(
 # behavior. Names not (yet) registered are skipped, so new plans can
 # be pre-listed.
 DRIVER_PRIORITY: list[str] = [
-    # r12 changed plans AND changed oracles (ADVICE r11: an oracle
-    # rewrite is a changed plan for gate purposes — it must re-earn a
-    # driver row under the vanilla session). Reset each round; history
-    # lives in git. The oldest-driver-round-first fallback then fills
-    # the window with the r8/r9-stale queries.
-    "fuzzy_name_pairs",  # distinct-content FastSS decomposition, plan
-    #                      + oracle (VERDICT r11 #4 + ADVICE pos-join);
-    #                      late r12: vacuous-verify removal + pinned
-    #                      SMJ self-join, oracle simplified to match
-    # late-r12 perf sprint: connected_components gained the one-action
-    # sum-witness round (operators/iterative.py) — every consumer of
-    # the fixpoint must re-earn a driver row — and
-    # embedding_dedup_clusters additionally runs the fixpoint at
-    # rep-level with star copies attached post-hoc.
-    "embedding_dedup_clusters",
-    "dedup_cluster",
-    "connected_components_repeat_pairs",
-    # r11's oracle-rewritten queries the r11 window missed (ADVICE r11
-    # #1): their riskiest-change driver evidence is still outstanding.
-    "ngram_jaccard",
-    "pagerank_trade_graph",
-    # late-r12 split-starvation sprint: physical plans changed (pinned
-    # byte-light fan-outs, driver-side IVF probe, static read-back
-    # schema, parallelize-based HDF5 splits) — each must re-earn a
-    # driver row. Results are value-identical by construction but the
-    # gate exists to prove exactly that under the vanilla session.
-    "bpe_encode_fixed",
-    "bpe_encode_trained",
-    "lang_id_ngram",
+    # r13 changed plans (VERDICT r12 #2): the three r6-era
+    # unconditional round-robin raw-text pins converted to the
+    # conditional starved-scan policy (hash pin by doc_id when the
+    # scan is split-starved, NO exchange on split-rich input) — each
+    # must re-earn a driver row under the vanilla session.
+    "heavy_hitters",
+    "tfidf_top_terms",
+    "inverted_index",
+    # r13: split-count input swapped to session.scan_split_count
+    # (job-free, row-group-capped) — same decisions on the fixtures
+    # (test-pinned) but the physical-strategy input changed.
     "benchmark_decontaminate",
-    "knn_ivf_portable",
-    "knn_ivf_persisted",
-    "hdf5_ingest_agg",
-    "duplicate_span_report",  # pinned chunker fan-out (3rd session)
-    "sequence_packing",  # cheap path probe (composed plan unchanged)
+    "duplicate_span_report",
+    # r13: minhash/simhash signature fanout now byte-sized (r9 rule);
+    # width unchanged at sf0.1 but the plan code changed.
+    "dedup_minhash",
+    "dedup_simhash",
+    "fuzzy_decontaminate",
 ]
 
 
