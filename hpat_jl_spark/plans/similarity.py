@@ -443,15 +443,28 @@ def _ivf_fit(spark: SparkSession, sf_dir: str):
     rationale). np.argmin's first-min tiebreak ==
     the oracle's ORDER BY d, j; python // floors possibly-negative
     sums, matching the oracle's floor-mod-subtract division. Returns
-    (persisted projection frame, final centroid list) — used by both
-    the in-memory knn_ivf_portable and the storage-backed
-    knn_ivf_persisted, which must agree exactly."""
+    (persisted projection frame, final centroid list, bounded query
+    rows) — used by both the in-memory knn_ivf_portable and the
+    storage-backed knn_ivf_persisted, which must agree exactly.
+
+    r13 (VERDICT r12 #4): the fit collect and the bounded query-row
+    collect share ONE action — both queries previously ran a second
+    8-row collect off the cache, a whole extra job (+ its inter-job
+    gap, ~0.35 s of the profiled 1.5 s wall) for rows the fit action
+    already streams past. The embedding column rides along only for
+    vec_id < _N_QUERIES (a when(); nulls elsewhere cost an offsets
+    array), so the collect stays ~2 int64 columns wide."""
     import numpy as np
 
     emb = load_table(spark, "embeddings", sf_dir)
     proj = _ivf_project_arrow(emb).persist()
-    # this collect also fills proj's cache for the downstream passes
-    fit = proj.select("px", "py").toPandas()
+    # ONE collect: fit projection + query rows; also fills proj's cache
+    fit = proj.select(
+        "vec_id",
+        "px",
+        "py",
+        F.when(F.col("vec_id") < _N_QUERIES, F.col("embedding")).alias("q_emb"),
+    ).toPandas()
     PX = fit["px"].to_numpy(dtype=np.int64)
     PY = fit["py"].to_numpy(dtype=np.int64)
     cents = list(_IVF_INIT)
@@ -470,7 +483,36 @@ def _ivf_fit(spark: SparkSession, sf_dir: str):
             else:
                 new_cents.append(old)
         cents = new_cents
-    return proj, cents
+    qf = fit[fit["vec_id"] < _N_QUERIES]
+    q_rows = [
+        (
+            int(r.vec_id),
+            [float(x) for x in r.q_emb],
+            int(r.px),
+            int(r.py),
+        )
+        for r in qf.itertuples()
+    ]
+    return proj, cents, q_rows
+
+
+def _ivf_probe_frame(spark: SparkSession, cents, q_rows):
+    """Driver-side probe rows (query_id, q_vec, cell) — the n_probe
+    nearest cells per bounded query row, exact integer centroid
+    distances with the same (distance, index) tiebreak as the oracle's
+    row_number ORDER BY d, j. Shared by both IVF queries (r13: was
+    duplicated verbatim in each)."""
+    probes = []
+    for vec_id, emb_list, px, py in q_rows:
+        ranked = sorted(
+            ((px - cx) ** 2 + (py - cy) ** 2, j)
+            for j, (cx, cy) in enumerate(cents)
+        )
+        for _, j in ranked[:_IVF_PROBE]:
+            probes.append((vec_id, emb_list, int(j)))
+    return probes, spark.createDataFrame(
+        probes, "query_id long, q_vec array<float>, cell int"
+    )
 
 
 @register("knn_ivf_portable", oracle=_ivf_oracle(), tags=("similarity",))
@@ -487,7 +529,7 @@ def knn_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole query plan is UDF-free."""
     from pyspark.sql import Window
 
-    proj, cents = _ivf_fit(spark, sf_dir)
+    proj, cents, q_rows = _ivf_fit(spark, sf_dir)
     cells = proj.select(
         "vec_id",
         "embedding",
@@ -497,24 +539,12 @@ def knn_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly knn_ivf_persisted's shape. The previous crossJoin +
     # window probe subtree read the proj cache through its own
     # exchange + broadcast-materialization jobs (profiled: 6 jobs with
-    # 1.08 s of inter-job gaps against 0.73 s in-jobs at sf0.1); a
-    # 40-row collect off the already-filled cache plus a local-relation
-    # broadcast replaces all of it. Same (distance, index) tiebreak as
-    # the window's orderBy(dist, j), so the probe set is identical.
-    q_rows = proj.filter(F.col("vec_id") < _N_QUERIES).select(
-        "vec_id", "embedding", "px", "py"
-    ).collect()
-    probes = []
-    for r in q_rows:
-        ranked = sorted(
-            ((r.px - cx) ** 2 + (r.py - cy) ** 2, j)
-            for j, (cx, cy) in enumerate(cents)
-        )
-        for _, j in ranked[:_IVF_PROBE]:
-            probes.append((int(r.vec_id), list(r.embedding), int(j)))
-    probe = spark.createDataFrame(
-        probes, "query_id long, q_vec array<float>, cell int"
-    )
+    # 1.08 s of inter-job gaps against 0.73 s in-jobs at sf0.1); the
+    # query rows now arrive with the fit collect (ONE action, r13) and
+    # a local-relation broadcast replaces all of it. Same (distance,
+    # index) tiebreak as the window's orderBy(dist, j), so the probe
+    # set is identical.
+    _, probe = _ivf_probe_frame(spark, cents, q_rows)
     # no explicit unpersist: cells is lazy and still reads proj's
     # cache when the returned frame executes (an unpersist here would
     # beat it to it); reclaim is eviction/clearCache, not GC (r6)
@@ -556,7 +586,7 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_probe directories, not the corpus."""
     from pyspark.sql import Window
 
-    proj, cents = _ivf_fit(spark, sf_dir)
+    proj, cents, q_rows = _ivf_fit(spark, sf_dir)
     cells = proj.select(
         "vec_id",
         "embedding",
@@ -578,23 +608,11 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(session_workdir("ivf_index", corpus=sf_dir), "index")
     cells.write.mode("overwrite").partitionBy("cell").parquet(path)
 
-    # Driver-side probe from the (bounded) query rows: exact integer
-    # centroid distances with the same (distance, index) tiebreak as
-    # the oracle's row_number ORDER BY d, j.
-    q_rows = proj.filter(F.col("vec_id") < _N_QUERIES).select(
-        "vec_id", "embedding", "px", "py"
-    ).collect()
-    probes = []
-    for r in q_rows:
-        ranked = sorted(
-            ((r.px - cx) ** 2 + (r.py - cy) ** 2, j)
-            for j, (cx, cy) in enumerate(cents)
-        )
-        for _, j in ranked[:_IVF_PROBE]:
-            probes.append((int(r.vec_id), list(r.embedding), int(j)))
-    probe = spark.createDataFrame(
-        probes, "query_id long, q_vec array<float>, cell int"
-    )
+    # Driver-side probe from the (bounded) query rows, which arrive
+    # with the fit collect (ONE action, r13): exact integer centroid
+    # distances with the same (distance, index) tiebreak as the
+    # oracle's row_number ORDER BY d, j.
+    probes, probe = _ivf_probe_frame(spark, cents, q_rows)
     probed_cells = sorted({p[2] for p in probes})
     # r12: pass the writer's schema explicitly — schema inference on
     # the partitioned read-back paid a footer-sampling job plus the
