@@ -429,6 +429,20 @@ def encode_corpus_to_ids(
     was the worst tier-2→3 grower in SCALING.md (6.1×); this plan's
     growth is agg-bound.
     """
+    # r13 negative result (VERDICT r12 #5, tried and REVERTED): a
+    # fully-lazy form — rank the top-K limit output with a bounded
+    # single-task row_number window instead of toPandas + positional
+    # index + createDataFrame — is value-identical and makes fn() run
+    # zero jobs (prepared-eligible), but measured STRICTLY worse at
+    # sf0.1 under interleaved min-of-4: tokenize_to_ids 0.440 → 0.567 s
+    # rebuilt, corpus_prep_pipeline 0.374 → 1.957 s rebuilt / 0.659 s
+    # prepared-exec. Two causes: the broadcast dictionary becomes a
+    # computed subquery AQE must materialize through its serial
+    # broadcast rounds (the r7 trap) instead of a job-free
+    # LocalRelation, and in corpus_prep the upstream lazy persists
+    # (deduped/clean) lose their dedicated fill job so concurrent AQE
+    # stages race the fill and recompute the chain. The eager
+    # TakeOrdered collect IS the optimization here.
     # The token stream is consumed twice (vocab count + encode) and is
     # deliberately NOT persisted: measured at the ×10 tier (r6),
     # caching the exploded stream cost 1.6s → 7.4s — re-scanning
