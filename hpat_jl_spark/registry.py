@@ -96,6 +96,9 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_minhash",
     "dedup_simhash",
     "fuzzy_decontaminate",
+    # r13: merged fit+query collect (one action; final plans unchanged)
+    "knn_ivf_portable",
+    "knn_ivf_persisted",
 ]
 
 
