@@ -59,10 +59,28 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tokenization/ratios are materialized ONCE in a staged projection and
     reused — the naive composition re-evaluates split+filter per derived
     column (quality_score alone embeds three tokenizations; Catalyst's
-    subexpression elimination doesn't span the lambda functions)."""
+    subexpression elimination doesn't span the lambda functions).
+
+    r13: the r6-era unconditional round-robin ``repartition(par)`` of
+    the raw-text stream is now the shared CONDITIONAL pin (same policy
+    as duplicate_span_report below). Interleaved min-of-3 measured
+    pinned vs unpinned at PARITY at both sf0.1 (0.218 vs 0.221 s) and
+    the ×10 tier (0.439 vs 0.450 s) — the per-doc ratio math is light
+    enough that the pin buys nothing locally, and at split-rich scale
+    a blanket exchange of raw text is pure tax, so the conditional
+    form is the only shape with no losing tier."""
+    from hpat_jl_spark.session import scan_split_count, sized_shuffle_partitions
+    from hpat_jl_spark.tables import table_path
+
     docs = load_table(spark, "documents", sf_dir)
-    par = spark.sparkContext.defaultParallelism
-    staged = docs.repartition(par).select(
+    width = _starved_scan_pin_width(
+        scan_split_count(spark, table_path(sf_dir, "documents")),
+        spark.sparkContext.defaultParallelism,
+        sized_shuffle_partitions(sf_dir),
+    )
+    if width is not None:
+        docs = docs.repartition(width, "doc_id")
+    staged = docs.select(
         "doc_id",
         "text",
         X.tokens("text").alias("__toks"),

@@ -86,6 +86,7 @@ DRIVER_PRIORITY: list[str] = [
     "heavy_hitters",
     "tfidf_top_terms",
     "inverted_index",
+    "text_stats",
     # r13: split-count input swapped to session.scan_split_count
     # (job-free, row-group-capped) — same decisions on the fixtures
     # (test-pinned) but the physical-strategy input changed.

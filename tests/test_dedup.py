@@ -280,7 +280,17 @@ def test_span_report_pin_is_conditional_on_scan_starvation(spark):
     assert _starved_scan_pin_width(25, 32, 128) is None  # ×100 staged tier
     assert _starved_scan_pin_width(1, 4, 8) is None   # 4-core session never pins
 
-    for name in ("duplicate_span_report", "benchmark_decontaminate"):
+    # r13: the remaining raw-text pins joined the conditional policy
+    # (heavy_hitters/tfidf/inverted_index/text_stats) — same 4-core
+    # no-pin assertion for all of them.
+    for name in (
+        "duplicate_span_report",
+        "benchmark_decontaminate",
+        "heavy_hitters",
+        "tfidf_top_terms",
+        "inverted_index",
+        "text_stats",
+    ):
         df = REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "RepartitionByExpression" not in plan, name
