@@ -90,7 +90,10 @@ def prepare_corpus(
     #    slice (doc_id % 10 == 0 stands in for the benchmark set);
     #    the distinct gram set feeds both the eval side and the dirty
     #    side of the join — cache it once too
-    grams = _word_grams(deduped, decontam_ngram).distinct().persist()
+    # r13: per-doc dedup inside the gram array (array_distinct == the
+    # old .distinct() over (doc_id, gram), with zero shuffle — see
+    # _word_grams). The persist stays: both decontam sides consume it.
+    grams = _word_grams(deduped, decontam_ngram, distinct_within_doc=True).persist()
     eval_grams = grams.filter(F.col("doc_id") % 10 == 0).select("gram").distinct()
     dirty = (
         grams.filter(F.col("doc_id") % 10 != 0)

@@ -51,22 +51,32 @@ def _doc_text_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs
 
 
-def _word_grams(df: DataFrame, n: int) -> DataFrame:
+def _word_grams(
+    df: DataFrame, n: int, distinct_within_doc: bool = False
+) -> DataFrame:
     """(doc_id, gram) word n-grams, JVM-side (transform over slice
     offsets — single-arg lambda only, see the F.transform two-arg trap
-    in CLAUDE.md). Docs shorter than n tokens yield no grams."""
+    in CLAUDE.md). Docs shorter than n tokens yield no grams.
+
+    ``distinct_within_doc`` (r13, guide §2.3/§2.4): a doc is ONE row
+    before the explode, so ``array_distinct`` on the gram array is
+    EXACTLY ``.distinct()`` over (doc_id, gram) — with zero shuffle.
+    The old ``_word_grams(...).distinct()`` exchanged the full gram
+    stream (~4× the text bytes at n=4; 53.9 MB at the ×10 tier,
+    1019 MB at ×100 in SHUFFLE.md) to dedupe pairs whose key is
+    entirely local to one row. Map-side-exact dedup is the shape that
+    survives 100 TB: the only remaining corpus-sized exchange in
+    benchmark_decontaminate's plan is the final per-doc aggregate."""
     toks = df.select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
     ).filter(F.size("t") >= n)
-    return toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("t") - n),
-                lambda i: F.array_join(F.slice("t", i + 1, n), " "),
-            )
-        ).alias("gram"),
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - n),
+        lambda i: F.array_join(F.slice("t", i + 1, n), " "),
     )
+    if distinct_within_doc:
+        grams = F.array_distinct(grams)
+    return toks.select("doc_id", F.explode(grams).alias("gram"))
 
 
 _decontaminate_oracle = """
@@ -124,7 +134,9 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3.02 s pinned vs 2.48 s unpinned) — see
     # session.starved_scan_pin_width.
     docs = _doc_text_stream(spark, sf_dir)
-    grams = _word_grams(docs, 4).distinct()
+    # r13: per-doc dedup moved INSIDE the gram array (array_distinct —
+    # exactly (doc_id, gram) distinct, zero shuffle; see _word_grams).
+    grams = _word_grams(docs, 4, distinct_within_doc=True)
     train = grams.filter(F.col("doc_id") % 10 != 0)
     eval_grams = grams.filter(F.col("doc_id") % 10 == 0).select("gram").distinct()
     return (
