@@ -366,13 +366,16 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     the serialized posting string keeps the oracle hash exact.
 
     r13: unconditional round-robin pin → the shared conditional pin
-    (_doc_text_stream), same rationale as heavy_hitters above."""
+    (_doc_text_stream), same rationale as heavy_hitters above; and the
+    per-doc token dedup moved INSIDE the array (array_distinct == the
+    old `.distinct()` over (doc_id, token), zero shuffle — the
+    benchmark_decontaminate gram-dedup class; the groupBy(token)
+    exchange downstream is the only remaining token-stream shuffle)."""
     docs = load_table(spark, "documents", sf_dir)
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    toks = (
-        _doc_text_stream(spark, sf_dir)
-        .select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
-        .distinct()
+    toks = _doc_text_stream(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("token"),
     )
     posting = toks.groupBy("token").agg(
         F.count(F.lit(1)).alias("df"),

@@ -1928,15 +1928,24 @@ def fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.col("doc_id").alias("id"), F.split(F.trim("text"), r"\s+").alias("w")
     )
+    # r13 (guide §2.3/§2.4): per-doc shingle dedup INSIDE the array —
+    # a doc is one row before the explode, so array_distinct is
+    # exactly the old `.distinct()` over (id, s) with ZERO shuffle
+    # (the removed exchange shipped ~3× the text bytes; same class as
+    # benchmark_decontaminate's gram dedup). Interleaved min-of-3/2:
+    # sf0.1 2.40 → 2.19 s, ×10 6.99 → 4.51 s, ×100 39.0 → 32.8 s,
+    # output identical (exceptAll both ways empty in-run).
     sh = toks.select(
         "id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("w") - 2, F.lit(1))),
-                lambda i: F.array_join(F.slice("w", i, 3), " "),
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size("w") - 2, F.lit(1))),
+                    lambda i: F.array_join(F.slice("w", i, 3), " "),
+                )
             )
         ).alias("s"),
-    ).distinct()
+    )
     cnt = sh.groupBy("id").agg(F.count(F.lit(1)).alias("c"))
     inter = (
         cross.join(
